@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Designed for `local[32]` testing but with settings that transfer to a real
+  * cluster: AQE on (runtime re-plan, skew-join handling, partition coalescing),
+  * modest shuffle parallelism for local mode, UTC session time zone so results
+  * are oracle-comparable (DuckDB timestamps are naive/UTC).
+  */
+object GraftSession {
+
+  /** Apply the engine's standard configs to any builder (shared with the
+    * driver-owned `Verify`/`Bench` mains, which construct their own sessions).
+    */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // The driver testdata's `events.ts` is parquet TIMESTAMP(NANOS); Spark's
+    // TimestampType is microseconds. Read nanos as a raw long (ns since
+    // epoch) and convert explicitly where needed — this keeps full precision
+    // and matches DuckDB's epoch_ns() exactly in oracle SQL.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Deterministic float formatting / no ANSI throw-on-cast: lenient casts
+    // mirror the reference's errors="coerce" → NULL semantics
+    // (/root/reference/pipeline.py:98-99,106).
+    .config("spark.sql.ansi.enabled", "false")
+
+  def local(cores: Int = 32, app: String = "graft"): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

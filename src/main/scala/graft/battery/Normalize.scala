@@ -1,0 +1,200 @@
+package graft.battery
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Vendor CSV → canonical time-series normalizer.
+  *
+  * Re-expresses the reference's `normalize()` (/root/reference/pipeline.py:16-151)
+  * as one declarative Spark plan: header-map renames are metadata-only, casts are
+  * lenient (`errors="coerce"` ≙ non-ANSI cast → NULL), and the one genuinely
+  * eager step — the discharge-sign heuristic, which needs a data-dependent
+  * scalar (/root/reference/pipeline.py:131-135) — is a single tiny aggregate.
+  *
+  * Scale note: the delimiter probe reads one line driver-side; everything else
+  * is a distributed scan. No global sort is materialized — downstream windows
+  * order by (timestamp, row_seq) inside each cycle partition instead
+  * (SURVEY.md §7.4 risk 1).
+  */
+object Normalize {
+
+  /** Arbin header map (/root/reference/pipeline.py:29-46). */
+  val arbinMap: Seq[(String, String)] = Seq(
+    "Date_Time" -> "timestamp",
+    "Date Time" -> "timestamp",
+    "Cycle_Index" -> "cycle_index",
+    "Step_Index" -> "step_index",
+    "Step_Name" -> "step_type",
+    "Current(A)" -> "current_a",
+    "Current(mA)" -> "current_mA",
+    "Voltage(V)" -> "voltage_v",
+    "Voltage(mV)" -> "voltage_mV",
+    "Temperature(C)" -> "temp_c",
+    "Charge_Capacity(Ah)" -> "charge_ah",
+    "Charge_Capacity(mAh)" -> "charge_mAh",
+    "Discharge_Capacity(Ah)" -> "discharge_ah",
+    "Discharge_Capacity(mAh)" -> "discharge_mAh",
+    "Test Time (s)" -> "test_time_s",
+    "Test_Time(s)" -> "test_time_s")
+
+  /** Neware header map (/root/reference/pipeline.py:47-67). */
+  val newareMap: Seq[(String, String)] = Seq(
+    "Record Time" -> "timestamp",
+    "Cycle" -> "cycle_index",
+    "Step" -> "step_index",
+    "Mode" -> "step_type",
+    "Status" -> "step_type",
+    "Current(A)" -> "current_a",
+    "Current(mA)" -> "current_mA",
+    "Voltage(V)" -> "voltage_v",
+    "Voltage(mV)" -> "voltage_mV",
+    "NTC" -> "temp_c",
+    "Temperature(℃)" -> "temp_c",
+    "CapCharge(Ah)" -> "charge_ah",
+    "CapDischarge(Ah)" -> "discharge_ah",
+    "CHARGE_Ah" -> "charge_ah",
+    "DISCHARGE_Ah" -> "discharge_ah",
+    "Capacity Charge(mAh)" -> "charge_mAh",
+    "Capacity Discharge(mAh)" -> "discharge_mAh",
+    "Time(s)" -> "test_time_s",
+    "Test Time(s)" -> "test_time_s")
+
+  /** Step-type label normalization (/root/reference/pipeline.py:110-115) —
+    * exact-match replace, unknown labels pass through uppercased. */
+  val stepTypeMap: Seq[(String, String)] = Seq(
+    "CC CHARGE" -> "CC_CHG", "CCC" -> "CC_CHG", "CHG" -> "CC_CHG",
+    "CV CHARGE" -> "CV", "CV" -> "CV",
+    "CC DISCHARGE" -> "CC_DIS", "CCD" -> "CC_DIS", "DCHG" -> "CC_DIS",
+    "REST" -> "REST", "PAUSE" -> "REST", "IDLE" -> "REST")
+
+  private val cycleCandidates = Seq("Cycle_Index", "Cycle", "cycle", "CycleIndex")
+  private val stepCandidates = Seq("Step_Index", "Step", "StepIndex", "Index")
+
+  /** Peek at the raw header line to choose the delimiter
+    * (/root/reference/pipeline.py:19-23 retries with `;` on failure; we probe
+    * instead — one driver-side line read, works on any Hadoop FS). */
+  def probeDelimiter(spark: SparkSession, path: String): String = {
+    val first = spark.read.textFile(path).head(1).headOption.getOrElse("")
+    if (first.count(_ == ';') > first.count(_ == ',')) ";" else ","
+  }
+
+  /** Lenient numeric cast: junk → NULL, and NaN literals → NULL
+    * (engine policy: NaN is normalized to NULL at ingest, SURVEY.md §7.4). */
+  private def num(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    when(isnan(d), lit(null).cast(DoubleType)).otherwise(d)
+  }
+
+  private def softRename(df: DataFrame, mapping: Seq[(String, String)]): DataFrame =
+    mapping.foldLeft(df) { case (acc, (from, to)) =>
+      if (acc.columns.contains(from) && !acc.columns.contains(to))
+        acc.withColumnRenamed(from, to)
+      else acc
+    }
+
+  /** Normalize a raw vendor CSV into the canonical table. The result carries
+    * the 9 canonical columns plus `row_seq` (deterministic order tiebreak). */
+  def apply(spark: SparkSession, csvPath: String): DataFrame = {
+    val sep = probeDelimiter(spark, csvPath)
+    val raw = spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .csv(csvPath)
+    fromRaw(raw)
+  }
+
+  /** Normalization proper, starting from an all-string raw frame (so the same
+    * logic serves CSV files and test fixtures). */
+  def fromRaw(raw0: DataFrame): DataFrame = {
+    // column-name whitespace trim (/root/reference/pipeline.py:26)
+    var df = raw0.toDF(raw0.columns.map(_.trim): _*)
+      .withColumn(Canonical.RowSeq, monotonically_increasing_id())
+    df = softRename(softRename(df, arbinMap), newareMap)
+
+    // timestamp (/root/reference/pipeline.py:79-85)
+    df =
+      if (df.columns.contains("timestamp"))
+        df.withColumn("timestamp", to_timestamp(col("timestamp")))
+      else if (df.columns.contains("test_time_s"))
+        df.withColumn("timestamp", timestamp_seconds(num(col("test_time_s"))))
+      else
+        throw new IllegalArgumentException(
+          "No timestamp-like column found (expected Date_Time/Record Time or Test Time (s)).")
+
+    // cycle & step indices with candidate fallback (/root/reference/pipeline.py:88-99)
+    def resolveIndex(target: String, candidates: Seq[String]): DataFrame = {
+      val d = if (!df.columns.contains(target))
+        candidates.find(df.columns.contains)
+          .map(c => df.withColumnRenamed(c, target))
+          .getOrElse(df.withColumn(target, lit(null)))
+      else df
+      d.withColumn(target, num(col(target)).cast(LongType))
+    }
+    df = resolveIndex("cycle_index", cycleCandidates)
+    df = resolveIndex("step_index", stepCandidates)
+
+    // step type, with current-sign fallback (/root/reference/pipeline.py:102-115)
+    if (!df.columns.contains("step_type")) {
+      val curCol =
+        if (df.columns.contains("current_a")) Some("current_a")
+        else if (df.columns.contains("current_mA")) Some("current_mA")
+        else None
+      df = curCol match {
+        case Some(c) =>
+          val cur = num(col(c))
+          df.withColumn("step_type",
+            when(cur < 0, "CC_DIS").when(cur > 0, "CC_CHG").otherwise("REST"))
+        case None => df.withColumn("step_type", lit("REST"))
+      }
+    }
+    val upperStep = upper(col("step_type").cast("string"))
+    df = df.withColumn("step_type",
+      stepTypeMap.foldLeft(when(lit(false), lit(null).cast("string"))) {
+        case (acc, (k, v)) => acc.when(upperStep === k, v)
+      }.otherwise(upperStep))
+
+    // unit conversions mA/mV/mAh → A/V/Ah (/root/reference/pipeline.py:118-125)
+    def convert(target: String, milli: String): Unit =
+      if (!df.columns.contains(target) && df.columns.contains(milli))
+        df = df.withColumn(target, num(col(milli)) / 1000.0)
+    convert("current_a", "current_mA")
+    convert("voltage_v", "voltage_mV")
+    convert("charge_ah", "charge_mAh")
+    convert("discharge_ah", "discharge_mAh")
+
+    if (df.columns.contains("temp_c"))
+      df = df.withColumn("temp_c", num(col("temp_c")))
+
+    // canonical projection + required-column check (/root/reference/pipeline.py:138-145)
+    for (c <- Canonical.columns if !df.columns.contains(c)) {
+      if (c == "temp_c") df = df.withColumn("temp_c", lit(null).cast(DoubleType))
+      else throw new IllegalArgumentException(
+        s"Missing required column after normalization: $c")
+    }
+    df = df.select((Canonical.columns :+ Canonical.RowSeq).map(col): _*)
+      .withColumn("current_a", num(col("current_a")))
+      .withColumn("voltage_v", num(col("voltage_v")))
+      .withColumn("charge_ah", num(col("charge_ah")))
+      .withColumn("discharge_ah", num(col("discharge_ah")))
+
+    // discharge-negative sign convention (/root/reference/pipeline.py:131-135):
+    // needs a data-dependent scalar → one small aggregate action.
+    val dis = col("step_type").contains("DIS")
+    val frac = df.filter(dis)
+      .agg(avg(when(col("current_a") > 0, 1.0).otherwise(0.0)))
+      .head().getAs[Any](0)
+    val flip = frac match {
+      case d: java.lang.Double => d > 0.8
+      case _ => false // no discharge rows, or all-null currents
+    }
+    if (flip) df = df.withColumn("current_a", -col("current_a"))
+    df
+  }
+
+  /** Parquet sink for the canonical table (/root/reference/pipeline.py:149-150).
+    * Partitioned writes happen at the caller's choice; order is carried by
+    * (timestamp, row_seq), not by file layout. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
