@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Column-level text primitives (tokenize, shingle, hash-sketch) built from
+  * codegen'd built-ins and higher-order functions — no UDFs in these paths,
+  * so whole-stage codegen spans hold (SURVEY.md §2b E2/E4).
+  */
+object TextFunctions {
+
+  /** Whitespace-collapse + lowercase normalization (near-dedup canon form). */
+  def normText(c: Column): Column =
+    lower(regexp_replace(c, "\\s+", " "))
+
+  /** Non-empty whitespace tokens. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** DuckDB rendering of [[tokens]] over the `text` column. */
+  val tokensSql: String =
+    "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+  /** BPE-ish greedy piece split: letter runs, digit runs, single symbols. */
+  def bpeIsh(c: Column): Column =
+    regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  /** Distinct character n-grams. Empty array when the text is shorter than
+    * `n` (Spark's `sequence(1, 0)` counts DOWN — it must be guarded, unlike
+    * DuckDB's generate_series which returns empty). */
+  def shingles(c: Column, n: Int): Column =
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(c) - (n - 1)),
+        i => substring(c, i, lit(n)))))
+
+  val stopwords: Seq[String] =
+    Seq("a", "the", "an", "of", "to", "and", "in", "is", "on", "for")
+
+  val stopwordsSql: String = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Stopword profiles for the language-ID heuristic (order = argmax
+    * tiebreak order, lang ascending). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "los", "y", "en", "es"),
+    "fr" -> Seq("le", "la", "et", "de", "est"),
+    "zh" -> Seq("de", "shi", "he", "zai", "le"))
+
+  /** DuckDB shingle-set rendering (distinct n-grams of `text`). */
+  def shinglesSql(n: Int): String =
+    s"""list_distinct(list_transform(
+       generate_series(1, greatest(length(text) - ${n - 1}, 0)),
+       i -> substring(text, CAST(i AS INT), $n)))"""
+
+  /** Brute-force exact n-gram Jaccard oracle (5-grams), same output schema as
+    * the engine's posting-list and MinHash queries. */
+  def jaccardOracleSql(threshold: Double): String =
+    s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(5)}) AS s FROM documents),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold
+      ORDER BY doc_a, doc_b"""
+
+  /** Language-ID oracle: same stopword scoring + same argmax chain. */
+  val langIdOracleSql: String = {
+    val scores = langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($lst))) AS s_$lang"
+    }.mkString(", ")
+    val langs = langProfiles.map(_._1)
+    val cases = langs.dropRight(1).map { lang =>
+      val others = langs.filter(_ != lang).map(l => s"s_$l").mkString(", ")
+      s"WHEN s_$lang >= greatest($others) THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $tokensSql AS toks
+        FROM documents),
+      s AS (SELECT doc_id, labeled_lang, $scores FROM t)
+      SELECT doc_id, labeled_lang,
+        CASE $cases ELSE '${langs.last}' END AS pred_lang,
+        CAST(CASE $cases ELSE '${langs.last}' END = labeled_lang AS INT) AS agrees
+      FROM s ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH (SURVEY.md §2b E2): shingle → k permuted min-hashes via
+  // double hashing h1 + i·h2 → band buckets → candidate pairs → exact
+  // Jaccard verification. Candidates carry only (doc_a, doc_b); shingle
+  // sets re-join by id, so no data-sized payload rides the bucket shuffle.
+  // -------------------------------------------------------------------
+
+  def minhashSignature(shingleArr: Column, numHashes: Int): Seq[Column] = {
+    val h1 = transform(shingleArr, s => xxhash64(s))
+    val h2 = transform(shingleArr, s => hash(s).cast("long"))
+    (0 until numHashes).map { i =>
+      array_min(zip_with(h1, h2, (a, b) => a + lit(i.toLong) * b)).as(s"mh_$i")
+    }
+  }
+
+  def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int,
+                      shingleLen: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), shingleLen).as("shset"))
+    val signed = sh.select(
+      col("doc_id") +: minhashSignature(col("shset"), numHashes): _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        struct((0 until rows).map(r =>
+          col(s"mh_${b * rows + r}").as(s"r$r")): _*).as("sig"))
+    }
+    val buckets = signed.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val setsA = sh.select(col("doc_id").as("doc_a"), col("shset").as("sa"))
+    val setsB = sh.select(col("doc_id").as("doc_b"), col("shset").as("sb"))
+    cand.join(setsA, "doc_a").join(setsB, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash: 64-bit token-hash bit votes; near-dup = small hamming distance.
+  // Banded on 4×16-bit chunks so candidate pairs only form inside a chunk
+  // match (any pair within hamming ≤ 3 shares at least one exact chunk).
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash of the whitespace tokens of `colName`: per-bit ±1 votes
+    * over xxhash64 token hashes, bit set where votes are positive. Built as a
+    * SQL expression because the DSL's shiftright only takes literal shift
+    * amounts, while the lambda-bound bit index is a column. */
+  def simhash(colName: String): Column = expr(
+    s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
+       acc + IF(
+         aggregate(
+           transform(filter(split($colName, '\\\\s+'), t -> t != ''),
+                     t -> xxhash64(t)),
+           cast(0 as bigint),
+           (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
+         shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""")
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val d = docs.select(col("doc_id"), simhash("text").as("sh64"))
+    val chunks = (0 until 4).map { k =>
+      struct(lit(k).as("k"),
+        shiftright(col("sh64"), k * 16).bitwiseAND(0xFFFFL).as("chunk"))
+    }
+    val buckets = d.select(col("doc_id"), col("sh64"),
+      explode(array(chunks: _*)).as("bucket"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh64").as("ha"), col("b.sh64").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

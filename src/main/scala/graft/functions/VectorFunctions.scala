@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over `array<float>` columns, computed with
+  * higher-order functions (codegen'd, no UDF). Elements are widened to double
+  * BEFORE multiplication so results are bit-compatible with an oracle that
+  * does the same (float multiply then widen would differ).
+  */
+object VectorFunctions {
+
+  def toDoubleArr(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity via explicit dot/(|a||b|) — same shape as the oracle. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Deterministic pseudo-random hyperplane weights for cosine-LSH: a
+    * splitmix64 stream keyed by (plane, dim), mapped to [-0.5, 0.5). Fully
+    * reproducible across runs and engines — no RNG state. */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val h = splitmix64(p.toLong * 1000003L + d)
+      (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+  }
+
+  /** Sign-bit signature of `v` against `planes` → a bucket id in [0, 2^P). */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (w, p) =>
+      val proj = aggregate(
+        zip_with(v, typedLit(w.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

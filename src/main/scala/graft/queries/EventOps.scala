@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.operators.{GridInterpolate, OrderedOps}
+
+/** Battery-shaped generic operators phrased over the `events` table
+  * (user_id ≙ cycle_index, ts ≙ timestamp, value ≙ signal — FIXTURES.md F5),
+  * each with a DuckDB oracle.
+  *
+  * Precision contract: `events.ts` is nanosecond parquet. Spark reads it as a
+  * ns long (GraftSession); DuckDB 1.x truncates it to a µs TIMESTAMP at scan
+  * time. All time math here therefore uses µs (`ts div 1000` ≡ `epoch_us(ts)`)
+  * so both engines compute on identical doubles.
+  */
+object EventOps {
+
+  private val ord = Seq(col("ts"), col("event_id"))
+  private val tsUs = expr("ts div 1000")
+  /** µs → fractional hours; 3.6e9 µs per hour (oracle: epoch_us(ts)/3600e6). */
+  private val tHours = tsUs / lit(3600e6)
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("a1_last_nonnull",
+      (s, dir) => OrderedOps.lastNonNull(ev(s, dir), Seq("user_id"), "value",
+        ord, "last_value").orderBy("user_id"),
+      Some("""SELECT user_id, value AS last_value FROM (
+        SELECT user_id, value, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE value IS NOT NULL) t
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    QueryDef("a2_ratio_guarded",
+      (s, dir) => {
+        val d = ev(s, dir).groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,6)"))).as("p"),
+          sum(when(col("event_type") === "view",
+            col("value").cast("decimal(18,6)"))).as("v"))
+        d.select(col("user_id"),
+            col("p").cast("decimal(38,6)").as("purchase_total"),
+            col("v").cast("decimal(38,6)").as("view_total"),
+            when(col("v").isNull || col("v") === 0, lit(null).cast(DoubleType))
+              .otherwise(round(col("p").cast(DoubleType) / col("v").cast(DoubleType), 6))
+              .as("ratio"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+        CAST(p AS DECIMAL(38,6)) AS purchase_total,
+        CAST(v AS DECIMAL(38,6)) AS view_total,
+        CASE WHEN v IS NULL OR v = 0 THEN NULL
+             ELSE round(CAST(p AS DOUBLE) / CAST(v AS DOUBLE), 6) END AS ratio
+        FROM (SELECT user_id,
+          sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS p,
+          sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'view') AS v
+          FROM events GROUP BY user_id) t ORDER BY user_id""")),
+
+    QueryDef("a3_norm_by_first",
+      (s, dir) => OrderedOps.normalizedByFirst(ev(s, dir), Seq("user_id"),
+          "value", ord, "v_norm")
+        .select("event_id", "user_id", "v_norm").orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+        value / first_value(value) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS v_norm
+        FROM events ORDER BY event_id""")),
+
+    QueryDef("a4_trapezoid",
+      (s, dir) => OrderedOps.trapezoid(ev(s, dir), Seq("user_id"), "value",
+        tHours, ord, "e_trapz").orderBy("user_id"),
+      Some("""WITH o AS (SELECT user_id, value,
+          epoch_us(ts)/3600e6 AS th,
+          lag(value) OVER w AS pv, lag(epoch_us(ts)/3600e6) OVER w AS pt
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id,
+          CASE WHEN count(*) < 2 OR count(*) FILTER (WHERE value IS NULL) > 0
+               THEN NULL
+               ELSE round(abs(sum((value + pv) / 2 * (th - pt))), 4)
+          END AS e_trapz
+        FROM o GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef("a5_nearest_row_delta",
+      (s, dir) => OrderedOps.nearestRowDelta(ev(s, dir), Seq("user_id"),
+        "value", ord, target = 50.0).orderBy("user_id"),
+      Some("""WITH r AS (SELECT user_id, value, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) rn FROM events),
+        t AS (SELECT user_id, rn AS tidx FROM (
+          SELECT user_id, rn, row_number() OVER (
+            PARTITION BY user_id ORDER BY abs(value - 50.0), rn) k
+          FROM r WHERE value IS NOT NULL) s WHERE k = 1),
+        j AS (SELECT r.user_id, r.value, r.rn, t.tidx
+              FROM r JOIN t ON r.user_id = t.user_id)
+        SELECT user_id,
+          median(value) FILTER (WHERE rn BETWEEN tidx-1 AND tidx-1) AS pre_med,
+          median(value) FILTER (WHERE rn BETWEEN tidx AND tidx+1) AS post_med,
+          median(value) FILTER (WHERE rn BETWEEN tidx AND tidx+1)
+            - median(value) FILTER (WHERE rn BETWEEN tidx-1 AND tidx-1) AS delta
+        FROM j GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef("a6_grid_peak",
+      // grid-interpolated derivative peak of cumulative value vs time — the
+      // dQ/dV kernel shape; not SQL-expressible, rows-only driver check
+      // (semantic tests live in GridInterpolateSpec / BatterySpec)
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(ord: _*)
+        ev(s, dir)
+          .withColumn("th", tHours)
+          .withColumn("cum", sum("value").over(w))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("th"), col("cum")))).as("pairs"))
+          .withColumn("peak_th", GridInterpolate.peakUdf(lit(24.0),
+            expr("transform(pairs, x -> x.th)"), expr("transform(pairs, x -> x.cum)")))
+          .select("user_id", "peak_th").orderBy("user_id")
+      },
+      None),
+
+    QueryDef("a7_delta_from_first_valid",
+      (s, dir) => OrderedOps.deltaFromFirstValid(ev(s, dir), Seq("user_id"),
+          "value", ord, "delta_from_ref")
+        .select("event_id", "user_id", "delta_from_ref").orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+        CASE WHEN value IS NOT NULL THEN value - first_value(value IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) END AS delta_from_ref
+        FROM events ORDER BY event_id""")),
+
+    QueryDef("a8_ols_fit",
+      (s, dir) => OrderedOps.olsFit(ev(s, dir), Seq("user_id"),
+        col("value"), tHours, crossAt = 150.0).orderBy("user_id"),
+      Some("""SELECT user_id,
+        round(regr_slope(value, epoch_us(ts)/3600e6), 4) AS slope,
+        round(regr_intercept(value, epoch_us(ts)/3600e6), 4) AS intercept,
+        CASE WHEN count(*) < 2 OR regr_slope(value, epoch_us(ts)/3600e6) IS NULL
+                  OR regr_slope(value, epoch_us(ts)/3600e6) = 0 THEN NULL
+             ELSE round((150.0 - regr_intercept(value, epoch_us(ts)/3600e6))
+                        / regr_slope(value, epoch_us(ts)/3600e6), 4)
+        END AS cross_x
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef("a9_stats",
+      (s, dir) => ev(s, dir).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          min("value").as("v_min"),
+          max("value").as("v_max"),
+          round(sum(col("value").cast("decimal(18,6)")).cast(DoubleType) /
+            count(lit(1)), 6).as("v_avg"),
+          round(median(col("value")), 6).as("v_median"),
+          round(expr("percentile(value, 0.9)"), 6).as("v_p90"))
+        .orderBy("event_type"),
+      // exact percentile (not approx): duckdb quantile_cont interpolates with
+      // the same lower + (upper-lower)*frac formula
+      Some("""SELECT event_type, count(*) AS n,
+        count(DISTINCT user_id) AS n_users,
+        min(value) AS v_min, max(value) AS v_max,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS v_avg,
+        round(median(value), 6) AS v_median,
+        round(quantile_cont(value, 0.9), 6) AS v_p90
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef("a10_first_last",
+      (s, dir) => ev(s, dir).groupBy("user_id").agg(
+          min_by(col("value"), struct(ord: _*)).as("first_value"),
+          max_by(col("value"), struct(ord: _*)).as("last_value"))
+        .withColumn("trend", col("last_value") - col("first_value"))
+        .orderBy("user_id"),
+      Some("""WITH r AS (SELECT user_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rf,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rl
+        FROM events)
+        SELECT user_id,
+          max(value) FILTER (WHERE rf = 1) AS first_value,
+          max(value) FILTER (WHERE rl = 1) AS last_value,
+          max(value) FILTER (WHERE rl = 1) - max(value) FILTER (WHERE rf = 1) AS trend
+        FROM r GROUP BY user_id ORDER BY user_id"""))
+  )
+}

@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.operators.OrderedOps
+
+/** Relational operator coverage over the TPC-H-ish tables: scans, projection/
+  * rename/filter/conditionals (P*), casts & scalar functions (C*), sorts (O*),
+  * aggregation (A9-ish), joins incl. semi/anti (J*), set ops (U1), window
+  * functions and top-k (E6).
+  *
+  * Float policy: every SUM over data-sized inputs goes through
+  * DECIMAL(18,6) — exact in both engines regardless of partial-aggregation
+  * order — then casts back to double for output (SURVEY.md §7.4 risk 4).
+  */
+object RelationalOps {
+
+  private def dec(c: String) = col(c).cast("decimal(18,6)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: the flagship scan→filter→agg (S3, P6, A9, O2)
+    QueryDef("q1_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("decimal(38,6)").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("decimal(38,6)").as("sum_base_price"),
+          sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+            .cast("decimal(28,12)")).cast("decimal(38,12)").as("sum_disc_price"),
+          round(sum(dec("l_quantity")).cast(DoubleType) / count(lit(1)), 6)
+            .as("avg_qty"),
+          round(sum(dec("l_discount")).cast(DoubleType) / count(lit(1)), 6)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12))) AS DECIMAL(38,12))
+          AS sum_disc_price,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // J1-J3 shape: star join with broadcast dims, grouped rollup per region
+    QueryDef("j1_star_join_revenue",
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("decimal(38,6)").as("revenue"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // TPC-H Q3 shape: selective multi-join + agg + global top-k
+    QueryDef("j2_shipping_priority",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+            .filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(28,12)")).cast("decimal(38,12)").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, o_orderdate,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12))) AS DECIMAL(38,12))
+          AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate > TIMESTAMP '1997-06-01'
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // semi/anti joins (EXISTS / NOT EXISTS)
+    QueryDef("j3_semi_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_orders"))
+        val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_without_orders"))
+        withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+          .select(col("c_nationkey"),
+            coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+            coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey,
+        count(*) FILTER (WHERE EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+        count(*) FILTER (WHERE NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+        FROM customer GROUP BY c_nationkey
+        ORDER BY c_nationkey""")),
+
+    // U1: union-by-name with missing-column NULL fill
+    QueryDef("u1_union_by_name",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(
+          col("c_custkey").as("id"), col("c_acctbal").as("acctbal"),
+          lit("customer").as("src"), col("c_mktsegment").as("segment"))
+        val p = Tables.supplier(s, dir).select(
+          col("s_suppkey").as("id"), col("s_acctbal").as("acctbal"),
+          lit("supplier").as("src"))
+        c.unionByName(p, allowMissingColumns = true)
+          .groupBy("src")
+          .agg(count(lit(1)).as("n"),
+            sum(dec("acctbal")).cast("decimal(38,6)").as("total_bal"),
+            sum(when(col("segment").isNull, 1).otherwise(0)).as("n_null_segment"))
+          .orderBy("src")
+      },
+      Some("""WITH u AS (
+        SELECT c_custkey AS id, c_acctbal AS acctbal, 'customer' AS src,
+               c_mktsegment AS segment FROM customer
+        UNION ALL BY NAME
+        SELECT s_suppkey AS id, s_acctbal AS acctbal, 'supplier' AS src
+        FROM supplier)
+        SELECT src, count(*) AS n,
+          CAST(sum(CAST(acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_bal,
+          count(*) FILTER (WHERE segment IS NULL) AS n_null_segment
+        FROM u GROUP BY src ORDER BY src""")),
+
+    // P6-P10 + C6-C11: filters, conditional bands, scalar string/number funcs
+    QueryDef("p1_case_bands",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "N") &&
+          col("l_linestatus").contains("F"))
+        .withColumn("qty_band",
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high"))
+        .groupBy("l_returnflag", "qty_band")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_extendedprice")).cast("decimal(38,6)").as("total_price"),
+          round(min("l_discount"), 2).as("min_disc"),
+          round(max("l_tax"), 2).as("max_tax"))
+        .orderBy("l_returnflag", "qty_band"),
+      Some("""SELECT l_returnflag,
+        CASE WHEN l_quantity < 10 THEN 'low'
+             WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
+        count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price,
+        round(min(l_discount), 2) AS min_disc, round(max(l_tax), 2) AS max_tax
+        FROM lineitem
+        WHERE l_returnflag IN ('A','N') AND contains(l_linestatus, 'F')
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("c1_scalar_funcs",
+      (s, dir) => Tables.part(s, dir)
+        .filter(col("p_partkey") <= 100)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 4).as("type_prefix"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          (col("p_size").cast(LongType) * 2 + 1).as("size_calc"),
+          round(col("p_retailprice") * 100, 0).cast(LongType).as("price_cents"),
+          abs(-col("p_retailprice")).as("price_abs"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_up,
+        regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        length(p_name) AS name_len,
+        substring(p_type, 1, 4) AS type_prefix,
+        concat_ws('|', p_brand, p_type) AS brand_type,
+        CAST(p_size AS BIGINT) * 2 + 1 AS size_calc,
+        CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+        abs(-p_retailprice) AS price_abs
+        FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""")),
+
+    // C2-C4: datetime extraction and truncation
+    QueryDef("c2_datetime_parts",
+      (s, dir) => Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          col("o_totalprice"))
+        .groupBy("y", "m")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("decimal(38,6)").as("monthly_total"),
+          max("d").as("max_day"))
+        .orderBy("y", "m"),
+      Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS monthly_total,
+        max(day(o_orderdate)) AS max_day
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // O1/O2 + P10: global sort + limit (top-N scan)
+    QueryDef("o1_top_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // window functions: rank / lag / running totals per group
+    QueryDef("w1_running_window",
+      (s, dir) => {
+        val w = OrderedOps.ordered(Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") < 100)
+          .withColumn("seq", row_number().over(w))
+          .withColumn("prev_diff",
+            col("o_totalprice") - lag("o_totalprice", 1).over(w))
+          .withColumn("run_total",
+            sum(dec("o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("decimal(38,6)"))
+          .select("o_orderkey", "o_custkey", "seq", "prev_diff", "run_total")
+          .orderBy("o_custkey", "seq")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        row_number() OVER w AS seq,
+        o_totalprice - lag(o_totalprice) OVER w AS prev_diff,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS run_total
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, seq""")),
+
+    // E6: top-k per group
+    QueryDef("e6_topk_per_group",
+      (s, dir) => OrderedOps.topKPerGroup(
+          Tables.orders(s, dir).filter(col("o_custkey") < 200),
+          Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rank"),
+      Some("""SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders WHERE o_custkey < 200) t
+        WHERE rank <= 3 ORDER BY o_custkey, rank""")),
+
+    // S6/C12: multi-source scan with per-file provenance
+    QueryDef("s6_source_tagging",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("src",
+            regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1))
+          .groupBy("src").agg(count(lit(1)).as("n"))
+        val l = Tables.lineitem(s, dir)
+          .withColumn("src",
+            regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1))
+          .groupBy("src").agg(count(lit(1)).as("n"))
+        e.unionByName(l).orderBy("src")
+      },
+      Some("""SELECT 'events' AS src, count(*) AS n FROM events
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem ORDER BY src"""))
+  )
+}

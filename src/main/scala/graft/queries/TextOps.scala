@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis + deduplication operators over `documents` (SURVEY.md §2b
+  * E1/E2/E4): exact and near dedup, n-gram Jaccard, MinHash+LSH, SimHash,
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Scale designs: all-pairs similarity is NEVER a crossJoin — the exact
+  * Jaccard path is a shingle posting-list join (pairs only materialize for
+  * docs sharing a shingle), and the MinHash path buckets by LSH band before
+  * any pair is formed. Both patterns hold at 100 TB with banding/salting.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // E1: exact dedup with deterministic keeper (min doc_id per key)
+    QueryDef("e1_dedup_exact",
+      (s, dir) => docs(s, dir)
+        .groupBy("lang", "source")
+        .agg(min("doc_id").as("keeper_doc"), count(lit(1)).as("n_dupes"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, min(doc_id) AS keeper_doc,
+        count(*) AS n_dupes FROM documents
+        GROUP BY lang, source ORDER BY lang, source""")),
+
+    // E2a: near-dedup via normalized-text content hash
+    QueryDef("e2_neardup_hash",
+      (s, dir) => docs(s, dir)
+        .withColumn("h", md5(normText(col("text"))))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper_doc"))
+        .orderBy("h"),
+      Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
+        count(*) AS n, min(doc_id) AS keeper_doc
+        FROM documents GROUP BY 1 ORDER BY h""")),
+
+    // E2b: exact n-gram Jaccard via shingle posting-list join (the scalable
+    // all-pairs pattern: pairs exist only for docs sharing a shingle)
+    QueryDef("e2_ngram_jaccard",
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n", "na"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n", "nb"), "doc_b")
+          .withColumn("jaccard",
+            col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(jaccardOracleSql(0.3))),
+
+    // E2c: MinHash + LSH banding, then exact-Jaccard verification of the
+    // banded candidates. At the 0.8 threshold the 32-band × 4-row scheme has
+    // recall 1 − (1 − s⁴)³² ≈ 1 − 5e-8, so the exact brute-force oracle
+    // matches; recall-on-planted-duplicates is covered in DedupSpec.
+    QueryDef("e2_minhash_lsh",
+      (s, dir) => minhashLshPairs(docs(s, dir), numHashes = 128, bands = 32,
+        shingleLen = 5, threshold = 0.8),
+      Some(jaccardOracleSql(0.8))),
+
+    // E2d: SimHash hamming-distance near-dup (hash-dependent → rows-only
+    // driver check; semantics verified on planted dups in DedupSpec)
+    QueryDef("e2_simhash",
+      (s, dir) => simhashPairs(docs(s, dir), maxHamming = 3),
+      None),
+
+    // E4a: tokenization stats (HOF-only — no explode/shuffle per token)
+    QueryDef("e4_token_stats",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        docs(s, dir).select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_unique"),
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("char_sum"),
+          (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType)
+            / size(toks)).as("avg_token_len"),
+          size(bpeIsh(col("text"))).as("n_bpe_pieces"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        len($tokensSql) AS n_tokens,
+        len(list_distinct($tokensSql)) AS n_unique,
+        list_sum(list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))) AS char_sum,
+        CAST(list_sum(list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+          / len($tokensSql) AS avg_token_len,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_pieces
+        FROM documents ORDER BY doc_id""")),
+
+    // E4b: corpus word count, top 20 (explode → map-side-combined count)
+    QueryDef("e4_wordcount",
+      (s, dir) => docs(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20),
+      Some(s"""SELECT word, count(*) AS n FROM (
+        SELECT unnest($tokensSql) AS word FROM documents) t
+        GROUP BY word ORDER BY n DESC, word LIMIT 20""")),
+
+    // E4c: quality scoring (length/punct/stopword ratios, linear score)
+    QueryDef("e4_quality",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks)
+        val stopHits = size(filter(toks, t => t.isin(stopwords: _*)))
+        val punct = size(regexp_extract_all(col("text"), lit("[,.;:!?]"), lit(0)))
+        val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        docs(s, dir).select(
+          col("doc_id"),
+          round(stopHits.cast(DoubleType) / nTok, 6).as("stop_ratio"),
+          round(punct.cast(DoubleType) / length(col("text")), 6).as("punct_ratio"),
+          round(digits.cast(DoubleType) / length(col("text")), 6).as("digit_ratio"),
+          round(
+            stopHits.cast(DoubleType) / nTok * 2.0
+              - punct.cast(DoubleType) / length(col("text")) * 3.0
+              - digits.cast(DoubleType) / length(col("text")), 6).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        round(sr, 6) AS stop_ratio, round(pr, 6) AS punct_ratio,
+        round(dr, 6) AS digit_ratio, round(sr*2.0 - pr*3.0 - dr, 6) AS quality
+        FROM (SELECT doc_id,
+          CAST(len(list_filter($tokensSql, t -> t IN ($stopwordsSql))) AS DOUBLE)
+            / len($tokensSql) AS sr,
+          CAST(len(regexp_extract_all(text, '[,.;:!?]')) AS DOUBLE)
+            / length(text) AS pr,
+          CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+            / length(text) AS dr
+        FROM documents) t ORDER BY doc_id""")),
+
+    // E4d: language-ID heuristic (stopword-profile scoring, deterministic
+    // argmax with lang-ascending tiebreak)
+    QueryDef("e4_langid",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val scored = docs(s, dir).select(
+          (col("doc_id") +: col("lang").as("labeled_lang") +:
+            langProfiles.map { case (lang, words) =>
+              size(filter(toks, t => t.isin(words.map(lit): _*))).as(s"s_$lang")
+            }): _*)
+        val langs = langProfiles.map(_._1)
+        val pred = langs.foldRight(lit(langs.last)) { case (lang, els) =>
+          val others = langs.filter(_ != lang).map(l => col(s"s_$l"))
+          when(col(s"s_$lang") >= greatest(others: _*), lang).otherwise(els)
+        }
+        scored.withColumn("pred_lang", pred)
+          .withColumn("agrees", (col("pred_lang") === col("labeled_lang")).cast("int"))
+          .select("doc_id", "labeled_lang", "pred_lang", "agrees")
+          .orderBy("doc_id")
+      },
+      Some(langIdOracleSql)),
+
+    // E4e: document fingerprint — min/max over the shingle-hash set
+    // (rolling-hash fingerprint; content-defined, order-independent)
+    QueryDef("e4_fingerprint",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
+        .withColumn("h", sha2(col("sh"), 256))
+        .groupBy("doc_id")
+        .agg(min("h").as("fingerprint"), count(lit(1)).as("n_shingles"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, min(h) AS fingerprint, count(*) AS n_shingles
+        FROM (SELECT doc_id, sha256(unnest(list_distinct(list_transform(
+            generate_series(1, greatest(length(text)-7, 0)),
+            i -> substring(text, CAST(i AS INT), 8))))) AS h
+          FROM documents) t
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // E5-adjacent: opaque binary payload plumbing (multimodal column model):
+    // text → binary column, byte length + content digest
+    QueryDef("mm_binary_meta",
+      (s, dir) => docs(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).as("byte_len"),
+          sha2(col("payload"), 256).as("digest"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+        sha256(text) AS digest FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming surface over `events` (SURVEY.md §2b E7).
+  *
+  * The transforms are batch/stream-agnostic `DataFrame => DataFrame`
+  * functions: the batch catalog queries (StreamShaped) and the streaming
+  * runner below apply the SAME code, so the DuckDB oracle that validates the
+  * batch result validates the streaming semantics too (modulo late-data
+  * drops, which have no batch oracle — SURVEY.md §7.4 risk 8).
+  *
+  * Inputs are expected to carry a µs `ts_utc` TimestampType column
+  * ([[graft.Tables.events]]).
+  */
+object EventsStreaming {
+
+  /** Tumbling 1-hour aggregate: (hour, event_type) → count + exact sum. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"))
+      .select(expr("unix_micros(window.start) div 3600000000").as("hour_id"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows (30-min inactivity gap) → per-user session stats. */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        sum("n_events").as("total_events"))
+
+  /** Key dedup (batch analog of dropDuplicatesWithinWatermark). */
+  def distinctKeyCounts(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id", "event_type")
+      .groupBy("user_id").agg(count(lit(1)).as("n_types"))
+
+  /** Streaming runner: file source → watermarked tumbling agg → memory sink.
+    * Returns the started query; callers drive it with processAllAvailable().
+    */
+  def runTumbling(spark: SparkSession, dir: String,
+                  queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+    tumblingHourly(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+}
