@@ -57,8 +57,9 @@ object TextFunctions {
 
   /** Brute-force exact n-gram Jaccard oracle (5-grams), same output schema as
     * the engine's posting-list and MinHash queries. */
-  def jaccardOracleSql(threshold: Double): String =
-    s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(5)}) AS s FROM documents),
+  def jaccardOracleSql(threshold: Double, where: String = "TRUE"): String =
+    s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(5)}) AS s
+        FROM documents WHERE $where),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -96,22 +97,36 @@ object TextFunctions {
   // sets re-join by id, so no data-sized payload rides the bucket shuffle.
   // -------------------------------------------------------------------
 
-  def minhashSignature(shingleArr: Column, numHashes: Int): Seq[Column] = {
-    val h1 = transform(shingleArr, s => xxhash64(s))
-    val h2 = transform(shingleArr, s => hash(s).cast("long"))
-    (0 until numHashes).map { i =>
-      array_min(zip_with(h1, h2, (a, b) => a + lit(i.toLong) * b)).as(s"mh_$i")
-    }
-  }
-
   def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int,
                       shingleLen: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val sh = docs.select(col("doc_id"),
       shingles(col("text"), shingleLen).as("shset"))
-    val signed = sh.select(
-      col("doc_id") +: minhashSignature(col("shset"), numHashes): _*)
+    // Signature via explode + k min-aggregates: each shingle is hashed ONCE,
+    // then one map-side-combined groupBy computes all k minima — no
+    // per-permutation re-hash, no array allocation churn. Permutation i is
+    // the universal hash a_i·h + b_i mod 2⁶⁴ (odd multiplier → bijection;
+    // Java long multiply wraps). NOTE: the tempting h1 + i·h2 double-hashing
+    // form is BROKEN for min-hashing when h2's range (int) is tiny relative
+    // to h1's (long): every "permutation" then shares h1's argmin, all k
+    // signature slots collapse to one, and banding degenerates to
+    // shared-argmin buckets (measured: 7.6M candidate pairs instead of ~10³).
+    val exploded = sh
+      .select(col("doc_id"), explode(col("shset")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val sigAggs = (0 until numHashes).map { i =>
+      val a = splitmix64(2L * i) | 1L
+      val b = splitmix64(2L * i + 1)
+      min(col("h") * lit(a) + lit(b)).as(s"mh_$i")
+    }
+    val signed = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until rows).map(r =>
@@ -140,22 +155,29 @@ object TextFunctions {
   // match (any pair within hamming ≤ 3 shares at least one exact chunk).
   // -------------------------------------------------------------------
 
-  /** 64-bit SimHash of the whitespace tokens of `colName`: per-bit ±1 votes
-    * over xxhash64 token hashes, bit set where votes are positive. Built as a
-    * SQL expression because the DSL's shiftright only takes literal shift
-    * amounts, while the lambda-bound bit index is a column. */
-  def simhash(colName: String): Column = expr(
+  /** 64-bit SimHash over a pre-materialized token-hash array column: per-bit
+    * ±1 votes, bit set where votes are positive. Built as a SQL expression
+    * because the DSL's shiftright only takes literal shift amounts, while the
+    * lambda-bound bit index is a column. Expects `hsCol` to hold the hashes
+    * (hash each token ONCE; the bit loop then only reads longs). */
+  def simhashOfHashes(hsCol: String): Column = expr(
     s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
        acc + IF(
-         aggregate(
-           transform(filter(split($colName, '\\\\s+'), t -> t != ''),
-                     t -> xxhash64(t)),
-           cast(0 as bigint),
+         aggregate($hsCol, cast(0 as bigint),
            (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
          shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""")
 
+  /** Convenience single-expression form (inlines the token-hash transform —
+    * fine for small inputs; bulk paths use [[simhashOfHashes]] over a
+    * pre-materialized hash column). */
+  def simhash(colName: String): Column = simhashOfHashes(
+    s"transform(filter(split($colName, '\\\\s+'), t -> t != ''), t -> xxhash64(t))")
+
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val d = docs.select(col("doc_id"), simhash("text").as("sh64"))
+    val d = docs
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => xxhash64(t)).as("__hs"))
+      .select(col("doc_id"), simhashOfHashes("__hs").as("sh64"))
     val chunks = (0 until 4).map { k =>
       struct(lit(k).as("k"),
         shiftright(col("sh64"), k * 16).bitwiseAND(0xFFFFL).as("chunk"))

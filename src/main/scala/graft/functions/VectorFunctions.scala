@@ -48,4 +48,18 @@ object VectorFunctions {
     }
     bits.reduce(_ + _)
   }
+
+  /** Multi-table LSH buckets: `tables` independent hash tables of
+    * `planesPerTable` hyperplanes each. A pair collides if it shares a bucket
+    * in ANY table — recall 1 − (1 − p^k)^L for per-plane agreement p. Returns
+    * one struct(table, bucket) per table, ready to explode. */
+  def lshTableBuckets(v: Column, tables: Int, planesPerTable: Int,
+                      dim: Int): Column = {
+    val planes = hyperplanes(tables * planesPerTable, dim)
+    val cols = (0 until tables).map { t =>
+      val slice = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      struct(lit(t).as("t"), lshBucket(v, slice).as("b"))
+    }
+    array(cols: _*)
+  }
 }

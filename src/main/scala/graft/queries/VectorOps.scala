@@ -81,25 +81,52 @@ object VectorOps {
         WHERE dot / (na.nrm * nb.nrm) >= 0.4
         ORDER BY a_id, b_id""")),
 
-    // LSH-bucketed ANN (the 100 TB scale path): hyperplane sign signatures →
-    // same-bucket candidates → exact cosine re-rank. Probabilistic recall →
-    // rows-only driver check; recall vs brute force asserted in VectorSpec.
+    // LSH-bucketed ANN (the 100 TB scale path): multi-table hyperplane sign
+    // signatures → same-(table,bucket) candidates → exact cosine re-rank of
+    // the deduped candidate set. Probabilistic recall → rows-only driver
+    // check; recall vs brute force asserted in VectorSpec.
     QueryDef("e3_lsh_ann",
-      (s, dir) => {
-        val planes = hyperplanes(numPlanes = 8, dim = 64)
-        val all = emb(s, dir).withColumn("bucket", lshBucket(col("v"), planes))
-        val q = all.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qn"), col("bucket"))
-        val cand = broadcast(q).join(all, Seq("bucket"))
-          .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
-        OrderedOps.topKPerGroup(cand, Seq("q_id"),
-            Seq(col("cos").desc, col("vec_id")), k = 3)
-          .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
-            round(col("cos"), 6).as("cos_sim"))
-          .orderBy("q_id", "rank")
-      },
+      (s, dir) => lshAnnTopK(s, dir, nQueries = 50, k = 3),
       None)
   )
+
+  /** Multi-table LSH ANN: candidates form only inside a (table, bucket) —
+    * the shuffle key — then exact re-rank. */
+  def lshAnnTopK(s: SparkSession, dir: String, nQueries: Int,
+                 k: Int): DataFrame = {
+    val all = emb(s, dir).withColumn("tb",
+      explode(lshTableBuckets(col("v"), tables = 8, planesPerTable = 6, dim = 64)))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tb"))
+    val candIds = broadcast(q).join(all.select(col("vec_id"), col("tb")), Seq("tb"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
+    val base = emb(s, dir)
+    val scored = candIds
+      .join(base.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(base, Seq("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+    OrderedOps.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Brute-force exact top-k (test baseline for recall measurements). */
+  def bruteForceTopK(s: SparkSession, dir: String, nQueries: Int,
+                     k: Int): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(all, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+    OrderedOps.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
 }

@@ -47,8 +47,11 @@ object EventsStreaming {
   def runTumbling(spark: SparkSession, dir: String,
                   queryName: String): StreamingQuery = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source wants a directory; glob-filter to the events
+    // table within it
     val stream = spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "1 hour")
     tumblingHourly(stream)

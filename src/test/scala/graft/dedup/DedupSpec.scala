@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+/** Planted-duplicate semantics for the sketch-based dedup operators (the
+  * hash-dependent paths the DuckDB oracle can't express). */
+class DedupSpec extends SparkSpec {
+
+  private def planted: DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill in the afternoon sun light"
+    val nearDup = base.replace("afternoon", "evening") // tiny edit
+    val nearDup2 = base.replace("quick", "swift")
+    val unrelated1 = "completely different content about spark shuffle " +
+      "partitions and catalyst optimizer rules for distributed queries"
+    val unrelated2 = "yet another text on battery cycling capacity fade " +
+      "and coulombic efficiency measured over many charge cycles"
+    Seq((0L, base), (1L, nearDup), (2L, nearDup2), (3L, unrelated1),
+      (4L, unrelated2))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds every pair whose exact jaccard clears the threshold") {
+    val got = minhashLshPairs(planted, numHashes = 128, bands = 32,
+      shingleLen = 5, threshold = 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact jaccard ground truth via the posting-list join
+    val sh = planted.select(col("doc_id"), shingles(col("text"), 5).as("s"))
+    val truth = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+        size(array_union(col("a.s"), col("b.s"))))
+      .filter(col("j") >= 0.6)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain high-jaccard pairs")
+    assert(got == truth, s"got $got want $truth")
+  }
+
+  test("simhash: near-dups collide at small hamming distance, unrelated don't") {
+    val pairs = simhashPairs(planted, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"near-dup pair missing from $pairs")
+    assert(!pairs.contains((3L, 4L)), "unrelated docs must not collide")
+  }
+
+  test("simhash of identical text is identical; single-token flip is close") {
+    import spark.implicits._
+    val d = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), simhash("text").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(0L) == d(1L))
+    assert(java.lang.Long.bitCount(d(0L) ^ d(2L)) <= 24)
+  }
+}

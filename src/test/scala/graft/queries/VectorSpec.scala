@@ -1,0 +1,25 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** ANN quality: LSH results are a subset of correct cosine scores, and
+  * multi-table banding recalls a useful fraction of the true top-k. */
+class VectorSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("LSH ANN recall@3 vs brute force, and scores agree on shared pairs") {
+    val brute = VectorOps.bruteForceTopK(spark, dir, nQueries = 50, k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ann = VectorOps.lshAnnTopK(spark, dir, nQueries = 50, k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(brute.nonEmpty)
+    // every ANN hit that is also a true top-3 hit must carry the same score
+    for ((k, v) <- ann if brute.contains(k))
+      assert(math.abs(brute(k) - v) < 1e-9, s"score mismatch at $k")
+    val recall = brute.keySet.count(ann.contains).toDouble / brute.size
+    // deterministic planes + deterministic data → recall is a fixed number;
+    // assert a conservative floor (measured ≈ 0.4+ on seed-42 data)
+    assert(recall >= 0.2, s"recall@3 = $recall")
+  }
+}
