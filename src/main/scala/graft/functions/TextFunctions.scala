@@ -101,8 +101,14 @@ object TextFunctions {
                       shingleLen: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
+    // Materialize the shingle-set and signature tables once (localCheckpoint
+    // truncates lineage): both feed multiple joins below, and recomputing
+    // them per join arm doubles the dominant cost. This mirrors how a
+    // production dedup pipeline persists its signature table — both are
+    // O(n_docs) rows, far smaller than the corpus.
     val sh = docs.select(col("doc_id"),
       shingles(col("text"), shingleLen).as("shset"))
+      .localCheckpoint()
     // Signature via explode + k min-aggregates: each shingle is hashed ONCE,
     // then one map-side-combined groupBy computes all k minima — no
     // per-permutation re-hash, no array allocation churn. Permutation i is
@@ -127,6 +133,7 @@ object TextFunctions {
       min(col("h") * lit(a) + lit(b)).as(s"mh_$i")
     }
     val signed = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .localCheckpoint()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until rows).map(r =>
@@ -174,10 +181,13 @@ object TextFunctions {
     s"transform(filter(split($colName, '\\\\s+'), t -> t != ''), t -> xxhash64(t))")
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // materialize the tiny (doc_id, sh64) table so the bucket self-join
+    // doesn't run the 64-bit vote loop twice
     val d = docs
       .select(col("doc_id"),
         transform(tokens(col("text")), t => xxhash64(t)).as("__hs"))
       .select(col("doc_id"), simhashOfHashes("__hs").as("sh64"))
+      .localCheckpoint()
     val chunks = (0 until 4).map { k =>
       struct(lit(k).as("k"),
         shiftright(col("sh64"), k * 16).bitwiseAND(0xFFFFL).as("chunk"))
