@@ -23,12 +23,23 @@ object BatteryPipeline {
   def run(spark: SparkSession, csvPath: String, cellId: String = "CELL01",
           ratedAh: Double = 3.0, dV: Double = 0.05,
           outDir: Option[String] = None): Result = {
-    val canonical = Normalize(spark, csvPath)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    outDir.foreach(d => Normalize.writeParquet(
-      canonical.orderBy("timestamp"), s"$d/${cellId}_timeseries.parquet"))
+    // Mirror the reference's normalize → parquet → features structure
+    // (/root/reference/pipeline.py:280-292), which is also the fast path
+    // here: the CSV is parsed once inside the sorted-parquet write, and the
+    // feature pass reads the columnar parquet back instead of re-parsing or
+    // caching row data. Without a sink directory the features run straight
+    // off the lazy canonical plan.
+    val normalized = Normalize(spark, csvPath)
+    val canonical = outDir.map { d =>
+      val p = s"$d/${cellId}_timeseries.parquet"
+      Normalize.writeParquet(normalized.orderBy("timestamp"), p)
+      spark.read.parquet(p)
+    }.getOrElse(normalized)
 
+    // per-cycle features are tiny (one row per cycle) but feed several sinks
+    // (CSV, summary, report) — persist to compute the feature DAG once
     val features = Features.all(canonical, ratedAh, dV)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val summary = FadeRul.summary(features)
       .select(lit(cellId).as("cell_id"), col("Q0_Ah"),
         col("fade_slope_pct_per_cycle"), col("cycles_to_80pct"))

@@ -156,17 +156,108 @@ object Features {
       .drop("vref")
   }
 
-  /** Assemble the full per-cycle feature table: cap ⟕ energy ⟕ IR ⟕ dQ/dV on
-    * the group keys (/root/reference/pipeline.py:294-296). Per-cycle tables
-    * are small relative to the time series, and all four sides share the same
-    * key partitioning, so these joins do not reshuffle the big table.
+  /** Assemble the full per-cycle feature table via separate extractors +
+    * key-partitioned joins (/root/reference/pipeline.py:294-296). Prefer
+    * [[all]], which fuses everything into one pass; this form exists for
+    * à-la-carte composition and as the semantic reference for tests.
     */
-  def all(canonical: DataFrame, ratedAh: Double, dV: Double = 0.05,
-          keys: Seq[String] = Seq("cycle_index")): DataFrame = {
+  def allJoined(canonical: DataFrame, ratedAh: Double, dV: Double = 0.05,
+                keys: Seq[String] = Seq("cycle_index")): DataFrame = {
     val k = keys
     capacityCe(canonical, k)
       .join(energy(canonical, k), k, "left")
       .join(irC2(canonical, ratedAh, k), k, "left")
       .join(dqdvPeak(canonical, dV, k), k, "left")
+  }
+
+  /** The full per-cycle feature table in ONE shuffle + ONE aggregation pass.
+    *
+    * The reference makes four sequential per-cycle passes over the frame
+    * (/root/reference/pipeline.py:283-296); here every per-row input the four
+    * features need (row number, target-row index, previous-discharge power/
+    * time, shifted capacity) comes from windows over the SAME key
+    * partitioning, so Spark plans a single exchange, one window stage, and
+    * one hash aggregate — no joins over the big table at all. The per-cycle
+    * q_norm / vref windows then run over the tiny aggregated table.
+    *
+    * "Previous discharge row" across charge-row gaps is the running
+    * last-non-null window (pandas gets it by slicing the discharge subframe).
+    */
+  def all(canonical: DataFrame, ratedAh: Double, dV: Double = 0.05,
+          keys: Seq[String] = Seq("cycle_index"), w: Int = 1): DataFrame = {
+    val cellKeys = keys.dropRight(1)
+    val target = 0.5 * ratedAh
+    val wOrd = ordered(keys)
+    val wAll = whole(keys)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+
+    val isDis = dis
+    val t = col(Canonical.TimestampCol).cast(DoubleType)
+    val p = col("voltage_v") * col("current_a")
+    val metric = abs(abs(col("current_a")) - target)
+
+    val rowed = canonical
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("tidx",
+        min_by(when(isDis, col("rn")),
+          when(isDis && metric.isNotNull, struct(metric, col("rn")))).over(wAll))
+      .withColumn("prev_p", last(when(isDis, p), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_t", last(when(isDis, t), ignoreNulls = true).over(wPrev))
+      .withColumn("qshift",
+        col("discharge_ah") - min(when(isDis && col("voltage_v").isNotNull,
+          col("discharge_ah"))).over(wAll))
+
+    val pre = isDis && col("rn").between(col("tidx") - w, col("tidx") - 1)
+    val post = isDis && col("rn").between(col("tidx"), col("tidx") + w)
+    val seg = when(isDis && col("prev_p").isNotNull,
+      (p + col("prev_p")) / 2 * (t - col("prev_t")))
+
+    val perCycle = rowed.groupBy(keys.map(col): _*).agg(
+      // A1: last non-null in time order
+      max_by(col("discharge_ah"),
+        when(col("discharge_ah").isNotNull, col("rn"))).as("Q_dis_Ah"),
+      max_by(col("charge_ah"),
+        when(col("charge_ah").isNotNull, col("rn"))).as("Q_chg_Ah"),
+      // A4 inputs
+      sum(when(isDis, 1).otherwise(0)).as("n_dis"),
+      sum(when(isDis && (p.isNull || t.isNull), 1).otherwise(0)).as("n_bad"),
+      sum(seg).as("e_ws"),
+      // A5 inputs
+      median(when(pre, col("voltage_v"))).as("pre_v"),
+      median(when(post, col("voltage_v"))).as("post_v"),
+      median(when(pre, col("current_a"))).as("pre_i"),
+      median(when(post, col("current_a"))).as("post_i"),
+      // A6 input: V-sorted (voltage, shifted capacity) pairs of discharge rows
+      sort_array(collect_list(when(isDis && col("voltage_v").isNotNull &&
+        col("qshift").isNotNull,
+        struct(col("voltage_v").as("v"), col("qshift").as("q"))))).as("pairs"))
+
+    val wFirst = Window.partitionBy(cellKeys.map(col): _*)
+      .orderBy(col("cycle_index"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val dVc = col("post_v") - col("pre_v")
+    val dIc = col("post_i") - col("pre_i")
+    perCycle
+      .withColumn("CE",
+        when(col("Q_chg_Ah").isNull || col("Q_chg_Ah") === 0,
+          lit(null).cast(DoubleType))
+          .otherwise(col("Q_dis_Ah") / col("Q_chg_Ah")))
+      .withColumn("q_norm", col("Q_dis_Ah") / first(col("Q_dis_Ah")).over(wFirst))
+      .withColumn("E_dis_Wh",
+        when(col("n_dis") < 2 || col("n_bad") > 0, lit(null).cast(DoubleType))
+          .otherwise(abs(col("e_ws")) / 3600.0))
+      .withColumn("IR_C2_ohm",
+        when(dIc.isNull || dIc === 0 || dVc.isNull, lit(null).cast(DoubleType))
+          .otherwise(abs(dVc / dIc)))
+      .withColumn("dQdV_peak_V", GridInterpolate.peakUdf(lit(dV),
+        expr("transform(pairs, x -> x.v)"), expr("transform(pairs, x -> x.q)")))
+      .withColumn("vref",
+        first(col("dQdV_peak_V"), ignoreNulls = true).over(wFirst))
+      .withColumn("dQdV_shift_mV",
+        when(col("dQdV_peak_V").isNotNull && col("vref").isNotNull,
+          (col("dQdV_peak_V") - col("vref")) * 1000.0))
+      .select((keys ++ Seq("Q_dis_Ah", "Q_chg_Ah", "CE", "q_norm", "E_dis_Wh",
+        "IR_C2_ohm", "dQdV_peak_V", "dQdV_shift_mV")).map(col): _*)
   }
 }

@@ -93,13 +93,37 @@ object Normalize {
       else acc
     }
 
+  /** Canonical numeric targets — columns that, after header-mapping, are
+    * always numeric. Used to type the CSV scan directly (permissive mode
+    * nulls malformed fields — same `errors="coerce"` semantics, without an
+    * all-strings intermediate). */
+  private val numericTargets = Set("cycle_index", "step_index", "current_a",
+    "current_mA", "voltage_v", "voltage_mV", "temp_c", "charge_ah",
+    "charge_mAh", "discharge_ah", "discharge_mAh", "test_time_s")
+
   /** Normalize a raw vendor CSV into the canonical table. The result carries
     * the 9 canonical columns plus `row_seq` (deterministic order tiebreak). */
   def apply(spark: SparkSession, csvPath: String): DataFrame = {
     val sep = probeDelimiter(spark, csvPath)
+    // type the scan from the header: headers whose mapped target is numeric
+    // parse as double at read time (faster than string→cast, same NULL-on-
+    // junk semantics); everything else stays string
+    val header = spark.read.option("header", "true").option("sep", sep)
+      .csv(csvPath).schema.fieldNames
+    val mapping = (arbinMap ++ newareMap ++
+      cycleCandidates.map(_ -> "cycle_index") ++
+      stepCandidates.map(_ -> "step_index")).toMap
+    val schema = org.apache.spark.sql.types.StructType(header.map { h =>
+      val tgt = mapping.getOrElse(h.trim, h.trim)
+      val dt = if (numericTargets.contains(tgt)) DoubleType
+        else org.apache.spark.sql.types.StringType
+      org.apache.spark.sql.types.StructField(h, dt)
+    })
     val raw = spark.read
       .option("header", "true")
       .option("sep", sep)
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
       .csv(csvPath)
     fromRaw(raw)
   }
@@ -179,7 +203,9 @@ object Normalize {
       .withColumn("discharge_ah", num(col("discharge_ah")))
 
     // discharge-negative sign convention (/root/reference/pipeline.py:131-135):
-    // needs a data-dependent scalar → one small aggregate action.
+    // needs a data-dependent scalar → one small aggregate action. The agg
+    // plan prunes to (step_type, current_a), so the CSV parser materializes
+    // only those fields; the flip itself is a lazy projection.
     val dis = col("step_type").contains("DIS")
     val frac = df.filter(dis)
       .agg(avg(when(col("current_a") > 0, 1.0).otherwise(0.0)))
