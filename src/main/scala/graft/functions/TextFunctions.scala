@@ -181,12 +181,25 @@ object TextFunctions {
     s"transform(filter(split($colName, '\\\\s+'), t -> t != ''), t -> xxhash64(t))")
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    // materialize the tiny (doc_id, sh64) table so the bucket self-join
-    // doesn't run the 64-bit vote loop twice
-    val d = docs
-      .select(col("doc_id"),
-        transform(tokens(col("text")), t => xxhash64(t)).as("__hs"))
-      .select(col("doc_id"), simhashOfHashes("__hs").as("sh64"))
+    // Bulk simhash via explode + 64 codegen'd vote sums (one token-hash per
+    // row, no nested per-bit HOF re-scan), then a tiny (doc_id, sh64) table
+    // is materialized so the bucket self-join doesn't recompute votes.
+    // Token-less docs keep sh64 = 0 via the left join (vote sums absent ⇒
+    // no bit set), matching the HOF form on empty inputs.
+    val exploded = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v_$b")
+    }
+    val votes = exploded.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sh64 = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val d = docs.select(col("doc_id"))
+      .join(votes, Seq("doc_id"), "left")
+      .select(col("doc_id"), sh64.as("sh64"))
       .localCheckpoint()
     val chunks = (0 until 4).map { k =>
       struct(lit(k).as("k"),

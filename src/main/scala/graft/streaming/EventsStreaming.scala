@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{Dataset}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured-Streaming surface over `events` (SURVEY.md §2b E7).
   *
@@ -40,6 +41,38 @@ object EventsStreaming {
   def distinctKeyCounts(events: DataFrame): DataFrame =
     events.dropDuplicates("user_id", "event_type")
       .groupBy("user_id").agg(count(lit(1)).as("n_types"))
+
+  /** Custom per-key state (E7 / SURVEY.md §2a.10): a running per-user
+    * accumulator maintained with flatMapGroupsWithState — count, sum, and
+    * last-seen ns timestamp survive across micro-batches; each batch emits
+    * the updated snapshot per touched user. Works identically in batch mode
+    * (full group, empty initial state). */
+  case class UserAcc(n: Long, total: Double, lastTs: Long)
+  case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double,
+                          last_ts: Long)
+
+  def runningUserState(events: DataFrame): Dataset[UserSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"),
+        col("ts").cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserAcc, UserSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var acc = state.getOption.getOrElse(UserAcc(0L, 0.0, Long.MinValue))
+          var touched = false
+          rows.foreach { case (_, v, ts) =>
+            acc = UserAcc(acc.n + 1, acc.total + v, math.max(acc.lastTs, ts))
+            touched = true
+          }
+          if (touched) {
+            state.update(acc)
+            Iterator.single(UserSnapshot(user, acc.n, acc.total, acc.lastTs))
+          } else Iterator.empty
+      }
+  }
 
   /** Streaming runner: file source → watermarked tumbling agg → memory sink.
     * Returns the started query; callers drive it with processAllAvailable().

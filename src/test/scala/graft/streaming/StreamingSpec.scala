@@ -21,4 +21,20 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState running accumulator matches batch aggregates") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val got = EventsStreaming.runningUserState(ev)
+      .collect().map(u => u.user_id -> ((u.n_events, u.total_value, u.last_ts))).toMap
+    val want = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"), max("ts").as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (n, s, m)) <- want) {
+      assert(got(k)._1 == n && got(k)._3 == m)
+      assert(math.abs(got(k)._2 - s) < 1e-6, s"user $k sum")
+    }
+  }
 }
