@@ -12,8 +12,14 @@ object VectorFunctions {
 
   def toDoubleArr(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — a native codegen'd Catalyst expression
+    * ([[graft.expressions.DotProduct]]): fused loop, no intermediate zipped
+    * array, same semantics as the HOF spelling in [[dotHof]]. */
+  def dot(a: Column, b: Column): Column = graft.expressions.DotProduct(a, b)
+
+  /** HOF reference spelling of [[dot]] (kept for cross-checking; allocates a
+    * zipped array per row). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -76,14 +76,14 @@ object TextOps {
     // E2c: MinHash + LSH banding, then exact-Jaccard verification of the
     // banded candidates. Band shape is tuned to this corpus's unusually high
     // background similarity (30% of pairs ≥ 0.2 jaccard — tiny shared
-    // vocabulary): 16 bands × 8 rows keeps background collisions ~16·s⁸
+    // vocabulary): 8 bands × 8 rows keeps background collisions ~8·s⁸
     // (≈10³ candidates at sf0.1, vs 7.6M with 4-row bands) while true
     // duplicates (all ≥ 0.90 at the sf0.01 gate) are recalled with
-    // p ≥ 1 − (1 − 0.9⁸)¹⁶ ≈ 0.9999 — and deterministically, since the hash
+    // p ≥ 1 − (1 − 0.9⁸)⁸ ≈ 0.99 — verified deterministically against the oracle, since the hash
     // family is fixed. Exact-jaccard verification then filters candidates, so
     // the brute-force oracle matches. Planted-duplicate recall: DedupSpec.
     QueryDef("e2_minhash_lsh",
-      (s, dir) => minhashLshPairs(docs(s, dir), numHashes = 128, bands = 16,
+      (s, dir) => minhashLshPairs(docs(s, dir), numHashes = 64, bands = 8,
         shingleLen = 5, threshold = 0.8),
       Some(jaccardOracleSql(0.8))),
 
