@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm shared codegen/IO paths once (parquet scan, window, hash agg) so
+    // the first measured query doesn't absorb all JIT/compile cost
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$sfDir/events.parquet").limit(2000)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts")))
+        .groupBy("event_type").agg(count(lit(1)), sum("value"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column

@@ -43,6 +43,55 @@ object StreamShaped {
       Some("""SELECT user_id, count(DISTINCT event_type) AS n_types
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // E8a: deterministic train/val/test hash split (Knuth multiplicative
+    // hash — exact 64-bit integer arithmetic, portable to any SQL engine;
+    // the scalable, reproducible alternative to TABLESAMPLE)
+    QueryDef("e8_hash_split",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+        val split = when(pmod(h, lit(100L)) < 80, "train")
+          .when(pmod(h, lit(100L)) < 90, "val").otherwise("test")
+        Tables.documents(s, dir)
+          .withColumn("split", split)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+            min("doc_id").as("first_doc"))
+          .orderBy("split")
+      },
+      Some("""SELECT split, count(*) AS n, sum(n_chars) AS chars,
+        min(doc_id) AS first_doc FROM (
+          SELECT doc_id, n_chars,
+            CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+                 WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents) t
+        GROUP BY split ORDER BY split""")),
+
+    // E8b: greedy sequence packing — assign docs (in deterministic order) to
+    // ~4096-char training bins per language via a running-sum window; the
+    // shape of packing tokenized documents into fixed context windows
+    QueryDef("e8_pack_bins",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .withColumn("cum", sum("n_chars").over(w))
+          .withColumn("bin", floor((col("cum") - col("n_chars")) / 4096))
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+          .orderBy("lang", "bin")
+      },
+      Some("""SELECT lang, bin, count(*) AS n_docs, sum(n_chars) AS chars
+        FROM (SELECT lang, doc_id, n_chars,
+          CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+            / 4096) AS BIGINT) AS bin
+          FROM documents) t
+        GROUP BY lang, bin ORDER BY lang, bin""")),
+
     // E5: JSON property extraction from the event props column
     QueryDef("e5_json_props",
       (s, dir) => {

@@ -74,6 +74,24 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming key-dedup: watermark + dropDuplicatesWithinWatermark — the
+    * real streaming form of [[distinctKeyCounts]]; late duplicates beyond the
+    * watermark are dropped by state expiry at scale. */
+  def runDedupStream(spark: SparkSession, dir: String,
+                     queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   /** Streaming runner: file source → watermarked tumbling agg → memory sink.
     * Returns the started query; callers drive it with processAllAvailable().
     */

@@ -22,6 +22,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark emits each (user, event_type) once") {
+    val q = EventsStreaming.runDedupStream(spark, dir, "stream_dedup_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dedup_test")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(streamed.length == streamed.distinct.length)
+      val batchDistinct = Tables.events(spark, dir)
+        .select("user_id", "event_type").distinct().count()
+      assert(streamed.length == batchDistinct)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running accumulator matches batch aggregates") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)
