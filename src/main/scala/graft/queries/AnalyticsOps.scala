@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Engine-breadth analytics operators beyond the reference surface:
+  * grouping sets (ROLLUP), PIVOT, and as-of joins. The as-of join is the
+  * scalable window formulation — union the two event kinds, one shuffle on
+  * the key, running last-non-null over time order — not a range join, so it
+  * holds at any fact-table size.
+  */
+object AnalyticsOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("r1_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").as("qty"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+          col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS qty,
+        GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")),
+
+    QueryDef("r2_pivot",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click') AS click,
+        count(*) FILTER (WHERE event_type = 'view') AS view,
+        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        count(*) FILTER (WHERE event_type = 'error') AS error
+        FROM events WHERE user_id < 50
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // as-of join: each purchase matched to the latest PRIOR view of the same
+    // user — running last-non-null over one key-partitioned time order
+    QueryDef("e9_asof_join",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .withColumn("prior_view_ts_us",
+            last(when(col("event_type") === "view", expr("ts div 1000")),
+              ignoreNulls = true).over(w))
+          .withColumn("prior_view_id",
+            last(when(col("event_type") === "view", col("event_id")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("prior_view_id"),
+            (expr("ts div 1000") - col("prior_view_ts_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, prior_view_id,
+        epoch_us(ts) - prior_view_ts_us AS gap_us FROM (
+          SELECT event_id, user_id, event_type, ts,
+            last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+              IGNORE NULLS) OVER w AS prior_view_ts_us,
+            last_value(CASE WHEN event_type = 'view' THEN event_id END
+              IGNORE NULLS) OVER w AS prior_view_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
+        WHERE event_type = 'purchase' ORDER BY event_id"""))
+  )
+}
