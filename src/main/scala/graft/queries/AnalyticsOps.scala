@@ -21,8 +21,8 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,6)"))
             .cast("decimal(38,6)").as("qty"),
-          grouping(col("l_returnflag")).as("g_rf"),
-          grouping(col("l_linestatus")).as("g_ls"))
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
           col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -180,7 +180,7 @@ object RelationalOps {
           col("p_partkey"),
           upper(col("p_brand")).as("brand_up"),
           regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
-          length(col("p_name")).as("name_len"),
+          length(col("p_name")).cast(LongType).as("name_len"),
           substring(col("p_type"), 1, 4).as("type_prefix"),
           concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
           (col("p_size").cast(LongType) * 2 + 1).as("size_calc"),
@@ -200,9 +200,9 @@ object RelationalOps {
     // C2-C4: datetime extraction and truncation
     QueryDef("c2_datetime_parts",
       (s, dir) => Tables.orders(s, dir)
-        .select(year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"),
-          dayofmonth(col("o_orderdate")).as("d"),
+        .select(year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
           col("o_totalprice"))
         .groupBy("y", "m")
         .agg(count(lit(1)).as("n"),
@@ -231,7 +231,7 @@ object RelationalOps {
           Seq(col("o_orderdate"), col("o_orderkey")))
         Tables.orders(s, dir)
           .filter(col("o_custkey") < 100)
-          .withColumn("seq", row_number().over(w))
+          .withColumn("seq", row_number().over(w).cast(LongType))
           .withColumn("prev_diff",
             col("o_totalprice") - lag("o_totalprice", 1).over(w))
           .withColumn("run_total",
@@ -257,6 +257,7 @@ object RelationalOps {
           Tables.orders(s, dir).filter(col("o_custkey") < 200),
           Seq("o_custkey"),
           Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+        .withColumn("rank", col("rank").cast(LongType))
         .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rank"),
       Some("""SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (

@@ -34,7 +34,7 @@ object StreamShaped {
         g AS (SELECT user_id, sid, count(*) AS n_events
           FROM si GROUP BY user_id, sid)
         SELECT user_id, count(*) AS n_sessions,
-          max(n_events) AS max_session_events, sum(n_events) AS total_events
+          max(n_events) AS max_session_events, CAST(sum(n_events) AS BIGINT) AS total_events
         FROM g GROUP BY user_id ORDER BY user_id""")),
 
     QueryDef("e7_distinct_keys",
@@ -59,7 +59,7 @@ object StreamShaped {
             min("doc_id").as("first_doc"))
           .orderBy("split")
       },
-      Some("""SELECT split, count(*) AS n, sum(n_chars) AS chars,
+      Some("""SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
         min(doc_id) AS first_doc FROM (
           SELECT doc_id, n_chars,
             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
@@ -84,7 +84,7 @@ object StreamShaped {
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
           .orderBy("lang", "bin")
       },
-      Some("""SELECT lang, bin, count(*) AS n_docs, sum(n_chars) AS chars
+      Some("""SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         FROM (SELECT lang, doc_id, n_chars,
           CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
@@ -105,7 +105,7 @@ object StreamShaped {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS n,
-        sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max,
+        CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max,
         CAST(sum(k) AS DOUBLE) / count(k) AS k_avg
         FROM (SELECT event_type,
           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t

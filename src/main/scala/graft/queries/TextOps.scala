@@ -99,18 +99,18 @@ object TextOps {
         val toks = tokens(col("text"))
         docs(s, dir).select(
           col("doc_id"),
-          size(toks).as("n_tokens"),
-          size(array_distinct(toks)).as("n_unique"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_unique"),
           aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("char_sum"),
           (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType)
             / size(toks)).as("avg_token_len"),
-          size(bpeIsh(col("text"))).as("n_bpe_pieces"))
+          size(bpeIsh(col("text"))).cast("long").as("n_bpe_pieces"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
         len($tokensSql) AS n_tokens,
         len(list_distinct($tokensSql)) AS n_unique,
-        list_sum(list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))) AS char_sum,
+        CAST(list_sum(list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS char_sum,
         CAST(list_sum(list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
           / len($tokensSql) AS avg_token_len,
         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_pieces
@@ -201,7 +201,7 @@ object TextOps {
       (s, dir) => docs(s, dir)
         .withColumn("payload", col("text").cast("binary"))
         .select(col("doc_id"),
-          length(col("payload")).as("byte_len"),
+          length(col("payload")).cast("long").as("byte_len"),
           sha2(col("payload"), 256).as("digest"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,

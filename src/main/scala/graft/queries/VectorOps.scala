@@ -40,6 +40,7 @@ object VectorOps {
           .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
         OrderedOps.topKPerGroup(scored, Seq("q_id"),
             Seq(col("cos").desc, col("vec_id")), k = 5)
+          .withColumn("rank", col("rank").cast("long"))
           .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
             round(col("cos"), 6).as("cos_sim"))
           .orderBy("q_id", "rank")
