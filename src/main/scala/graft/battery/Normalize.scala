@@ -132,7 +132,7 @@ object Normalize {
     * logic serves CSV files and test fixtures). */
   def fromRaw(raw0: DataFrame): DataFrame = {
     // column-name whitespace trim (/root/reference/pipeline.py:26)
-    var df = raw0.toDF(raw0.columns.map(_.trim): _*)
+    var df = raw0.toDF(raw0.columns.toIndexedSeq.map(_.trim): _*)
       .withColumn(Canonical.RowSeq, monotonically_increasing_id())
     df = softRename(softRename(df, arbinMap), newareMap)
 
