@@ -5,29 +5,48 @@ Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir>
 
 Reads each <verify_out_dir>/<name>/ parquet dump (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB over the sf_dir tables,
-then compares: columns sorted by name, rows sorted, values hashed exactly
-(floats must match bit-for-bit after the engine-side rounding).
+then compares the way the driver does: the Spark side goes through
+pyarrow.parquet -> pandas, the oracle side through duckdb .df() -> pandas,
+columns sorted by name, rows sorted, and every cell compared
+REPRESENTATION-sensitively ((type, str) pairs, not Python == equality).
+
+This is deliberately stricter than value equality: a Spark DECIMAL(38,6)
+column arrives as Decimal('6743588.960000') objects while DuckDB's .df()
+yields float64 6743588.96 — equal values, different representations,
+different driver hashes. Round 1 shipped 10 such false-greens because the
+old gate compared values; this gate reproduces the driver's verdict.
 """
 import json, math, sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 
-def canon(rows, cols):
-    """Column-name-sorted, row-sorted canonical form."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float) and math.isnan(v):
-                v = "NaN"
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), \
-        [cols[i] for i in order]
+def cell(v):
+    """Representation-sensitive canonical form of one pandas cell."""
+    if v is None or v is pd.NaT:
+        return ("null", "")
+    if isinstance(v, float) and math.isnan(v):
+        return ("float", "NaN")
+    t = type(v).__name__
+    # numpy scalars stringify like python scalars; keep the dtype family in
+    # the key so int32 vs int64 or Decimal vs float64 can never collide.
+    if t in ("float", "float32", "float64"):
+        return ("float:" + t, repr(float(v)))
+    if t in ("int", "int8", "int16", "int32", "int64", "uint32", "uint64"):
+        return ("int:" + t, str(int(v)))
+    return (t, str(v))
+
+
+def canon(df):
+    """Column-name-sorted, row-sorted canonical form of a pandas frame."""
+    cols = sorted(df.columns)
+    rows = []
+    for r in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(cell(v) for v in r))
+    return sorted(rows), cols
 
 
 def main():
@@ -41,21 +60,19 @@ def main():
     n_match = n_mismatch = n_noracle = 0
     for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
         name = qdir.name
-        got_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        got_rows, got_cols = got_rel.fetchall(), [d[0] for d in got_rel.description]
+        got_df = pq.read_table(qdir).to_pandas()
         if name not in oracle:
             n_noracle += 1
-            print(f"  [rows-only] {name}: {len(got_rows)} rows")
+            print(f"  [rows-only] {name}: {len(got_df)} rows")
             continue
         try:
-            rel = con.sql(oracle[name])
-            want_rows, want_cols = rel.fetchall(), [d[0] for d in rel.description]
+            want_df = con.sql(oracle[name]).df()
         except Exception as e:
             n_mismatch += 1
             print(f"✗ {name}: oracle SQL failed: {e}")
             continue
-        g, gc = canon(got_rows, got_cols)
-        w, wc = canon(want_rows, want_cols)
+        g, gc = canon(got_df)
+        w, wc = canon(want_df)
         if gc != wc:
             n_mismatch += 1
             print(f"✗ {name}: column mismatch spark={gc} duckdb={wc}")
@@ -65,7 +82,7 @@ def main():
             print(f"✓ {name}: MATCH ({len(g)} rows)")
             continue
         n_mismatch += 1
-        print(f"✗ {name}: VALUE MISMATCH (spark {len(g)} rows, duckdb {len(w)} rows, cols {gc})")
+        print(f"✗ {name}: REPR MISMATCH (spark {len(g)} rows, duckdb {len(w)} rows, cols {gc})")
         shown = 0
         for i in range(max(len(g), len(w))):
             a = g[i] if i < len(g) else None

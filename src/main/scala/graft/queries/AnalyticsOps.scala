@@ -19,14 +19,14 @@ object AnalyticsOps {
       (s, dir) => Tables.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,6)"))
-            .cast("decimal(38,6)").as("qty"),
+          graft.functions.Carriers.micros(
+            sum(col("l_quantity").cast("decimal(18,6)"))).as("qty_micros"),
           grouping(col("l_returnflag")).cast("long").as("g_rf"),
           grouping(col("l_linestatus")).cast("long").as("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
           col("l_linestatus")),
-      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS qty,
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        ${graft.functions.Carriers.microsSql("sum(CAST(l_quantity AS DECIMAL(18,6)))")} AS qty_micros,
         GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")),

@@ -45,16 +45,16 @@ object EventOps {
           sum(when(col("event_type") === "view",
             col("value").cast("decimal(18,6)"))).as("v"))
         d.select(col("user_id"),
-            col("p").cast("decimal(38,6)").as("purchase_total"),
-            col("v").cast("decimal(38,6)").as("view_total"),
+            graft.functions.Carriers.micros(col("p")).as("purchase_total_micros"),
+            graft.functions.Carriers.micros(col("v")).as("view_total_micros"),
             when(col("v").isNull || col("v") === 0, lit(null).cast(DoubleType))
               .otherwise(round(col("p").cast(DoubleType) / col("v").cast(DoubleType), 6))
               .as("ratio"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id,
-        CAST(p AS DECIMAL(38,6)) AS purchase_total,
-        CAST(v AS DECIMAL(38,6)) AS view_total,
+      Some(s"""SELECT user_id,
+        ${graft.functions.Carriers.microsSql("p")} AS purchase_total_micros,
+        ${graft.functions.Carriers.microsSql("v")} AS view_total_micros,
         CASE WHEN v IS NULL OR v = 0 THEN NULL
              ELSE round(CAST(p AS DOUBLE) / CAST(v AS DOUBLE), 6) END AS ratio
         FROM (SELECT user_id,

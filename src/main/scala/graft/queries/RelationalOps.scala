@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
+import graft.functions.Carriers.{micros, microsSql}
 import graft.operators.OrderedOps
 
 /** Relational operator coverage over the TPC-H-ish tables: scans, projection/
@@ -14,7 +15,8 @@ import graft.operators.OrderedOps
   *
   * Float policy: every SUM over data-sized inputs goes through
   * DECIMAL(18,6) — exact in both engines regardless of partial-aggregation
-  * order — then casts back to double for output (SURVEY.md §7.4 risk 4).
+  * order — and is emitted as hash-stable BIGINT micro-units
+  * ([[graft.functions.Carriers]]; SURVEY.md §7.4 risk 4).
   */
 object RelationalOps {
 
@@ -28,22 +30,22 @@ object RelationalOps {
         .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec("l_quantity")).cast("decimal(38,6)").as("sum_qty"),
-          sum(dec("l_extendedprice")).cast("decimal(38,6)").as("sum_base_price"),
-          sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-            .cast("decimal(28,12)")).cast("decimal(38,12)").as("sum_disc_price"),
+          micros(sum(dec("l_quantity"))).as("sum_qty_micros"),
+          micros(sum(dec("l_extendedprice"))).as("sum_base_price_micros"),
+          micros(sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+            .cast("decimal(28,12)"))).as("sum_disc_price_micros"),
           round(sum(dec("l_quantity")).cast(DoubleType) / count(lit(1)), 6)
             .as("avg_qty"),
           round(sum(dec("l_discount")).cast(DoubleType) / count(lit(1)), 6)
             .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
-             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12))) AS DECIMAL(38,12))
-          AS sum_disc_price,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${microsSql("sum(CAST(l_quantity AS DECIMAL(18,6)))")} AS sum_qty_micros,
+        ${microsSql("sum(CAST(l_extendedprice AS DECIMAL(18,6)))")} AS sum_base_price_micros,
+        ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+          AS sum_disc_price_micros,
         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
         round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
         count(*) AS count_order
@@ -62,10 +64,10 @@ object RelationalOps {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec("o_totalprice")).cast("decimal(38,6)").as("revenue"))
+          micros(sum(dec("o_totalprice"))).as("revenue_micros"))
         .orderBy("r_name"),
-      Some("""SELECT r_name, count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+      Some(s"""SELECT r_name, count(*) AS n_orders,
+        ${microsSql("sum(CAST(o_totalprice AS DECIMAL(18,6)))")} AS revenue_micros
         FROM orders JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -82,21 +84,21 @@ object RelationalOps {
             .filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast("decimal(28,12)")).cast("decimal(38,12)").as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .agg(micros(sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(28,12)"))).as("revenue_micros"))
+        .orderBy(col("revenue_micros").desc, col("l_orderkey"))
         .limit(10),
-      Some("""SELECT l_orderkey, o_orderdate,
-        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
-             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12))) AS DECIMAL(38,12))
-          AS revenue
+      Some(s"""SELECT l_orderkey, o_orderdate,
+        ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+          AS revenue_micros
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         WHERE l_shipdate > TIMESTAMP '1997-06-01'
           AND o_orderdate < TIMESTAMP '1997-06-01'
           AND c_mktsegment = 'BUILDING'
         GROUP BY l_orderkey, o_orderdate
-        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+        ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""")),
 
     // semi/anti joins (EXISTS / NOT EXISTS)
     QueryDef("j3_semi_anti",
@@ -133,18 +135,18 @@ object RelationalOps {
         c.unionByName(p, allowMissingColumns = true)
           .groupBy("src")
           .agg(count(lit(1)).as("n"),
-            sum(dec("acctbal")).cast("decimal(38,6)").as("total_bal"),
+            micros(sum(dec("acctbal"))).as("total_bal_micros"),
             sum(when(col("segment").isNull, 1).otherwise(0)).as("n_null_segment"))
           .orderBy("src")
       },
-      Some("""WITH u AS (
+      Some(s"""WITH u AS (
         SELECT c_custkey AS id, c_acctbal AS acctbal, 'customer' AS src,
                c_mktsegment AS segment FROM customer
         UNION ALL BY NAME
         SELECT s_suppkey AS id, s_acctbal AS acctbal, 'supplier' AS src
         FROM supplier)
         SELECT src, count(*) AS n,
-          CAST(sum(CAST(acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_bal,
+          ${microsSql("sum(CAST(acctbal AS DECIMAL(18,6)))")} AS total_bal_micros,
           count(*) FILTER (WHERE segment IS NULL) AS n_null_segment
         FROM u GROUP BY src ORDER BY src""")),
 
@@ -159,15 +161,15 @@ object RelationalOps {
             .otherwise("high"))
         .groupBy("l_returnflag", "qty_band")
         .agg(count(lit(1)).as("n"),
-          sum(dec("l_extendedprice")).cast("decimal(38,6)").as("total_price"),
+          micros(sum(dec("l_extendedprice"))).as("total_price_micros"),
           round(min("l_discount"), 2).as("min_disc"),
           round(max("l_tax"), 2).as("max_tax"))
         .orderBy("l_returnflag", "qty_band"),
-      Some("""SELECT l_returnflag,
+      Some(s"""SELECT l_returnflag,
         CASE WHEN l_quantity < 10 THEN 'low'
              WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
         count(*) AS n,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price,
+        ${microsSql("sum(CAST(l_extendedprice AS DECIMAL(18,6)))")} AS total_price_micros,
         round(min(l_discount), 2) AS min_disc, round(max(l_tax), 2) AS max_tax
         FROM lineitem
         WHERE l_returnflag IN ('A','N') AND contains(l_linestatus, 'F')
@@ -206,12 +208,12 @@ object RelationalOps {
           col("o_totalprice"))
         .groupBy("y", "m")
         .agg(count(lit(1)).as("n"),
-          sum(dec("o_totalprice")).cast("decimal(38,6)").as("monthly_total"),
+          micros(sum(dec("o_totalprice"))).as("monthly_total_micros"),
           max("d").as("max_day"))
         .orderBy("y", "m"),
-      Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      Some(s"""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
         count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS monthly_total,
+        ${microsSql("sum(CAST(o_totalprice AS DECIMAL(18,6)))")} AS monthly_total_micros,
         max(day(o_orderdate)) AS max_day
         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
 
@@ -234,19 +236,18 @@ object RelationalOps {
           .withColumn("seq", row_number().over(w).cast(LongType))
           .withColumn("prev_diff",
             col("o_totalprice") - lag("o_totalprice", 1).over(w))
-          .withColumn("run_total",
-            sum(dec("o_totalprice"))
-              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("decimal(38,6)"))
-          .select("o_orderkey", "o_custkey", "seq", "prev_diff", "run_total")
+          .withColumn("run_total_micros",
+            micros(sum(dec("o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .select("o_orderkey", "o_custkey", "seq", "prev_diff", "run_total_micros")
           .orderBy("o_custkey", "seq")
       },
-      Some("""SELECT o_orderkey, o_custkey,
+      Some(s"""SELECT o_orderkey, o_custkey,
         row_number() OVER w AS seq,
         o_totalprice - lag(o_totalprice) OVER w AS prev_diff,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        ${microsSql("""sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS run_total
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")} AS run_total_micros
         FROM orders WHERE o_custkey < 100
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, seq""")),

@@ -14,9 +14,9 @@ object StreamShaped {
     QueryDef("e7_tumbling_hourly",
       (s, dir) => EventsStreaming.tumblingHourly(Tables.events(s, dir))
         .orderBy("hour_id", "event_type"),
-      Some("""SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour_id,
+      Some(s"""SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour_id,
         event_type, count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+        ${graft.functions.Carriers.microsSql("sum(CAST(value AS DECIMAL(18,6)))")} AS total_value_micros
         FROM events GROUP BY 1, 2 ORDER BY hour_id, event_type""")),
 
     // session_window(gap=30min): a new session starts when the gap from the

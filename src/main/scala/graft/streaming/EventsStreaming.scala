@@ -18,14 +18,16 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQ
   */
 object EventsStreaming {
 
-  /** Tumbling 1-hour aggregate: (hour, event_type) → count + exact sum. */
+  /** Tumbling 1-hour aggregate: (hour, event_type) → count + exact sum,
+    * emitted as hash-stable BIGINT micros ([[graft.functions.Carriers]]). */
   def tumblingHourly(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"))
+        graft.functions.Carriers.micros(
+          sum(col("value").cast("decimal(18,6)"))).as("total_value_micros"))
       .select(expr("unix_micros(window.start) div 3600000000").as("hour_id"),
-        col("event_type"), col("n"), col("total_value"))
+        col("event_type"), col("n"), col("total_value_micros"))
 
   /** Session windows (30-min inactivity gap) → per-user session stats. */
   def sessionStats(events: DataFrame): DataFrame =
