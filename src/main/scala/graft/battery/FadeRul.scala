@@ -15,28 +15,37 @@ import org.apache.spark.sql.types.DoubleType
 object FadeRul {
 
   /** Per-cell summary: Q0 (first-cycle capacity), fade slope (%/cycle), and
-    * cycles to the EOL threshold. NULL when <2 points (regr_* yields NULL) or
-    * zero slope (/root/reference/pipeline.py:234-238).
+    * cycles to the EOL threshold. NULL when <2 usable points or zero slope
+    * (/root/reference/pipeline.py:234-238). The point guard counts the
+    * non-null (cycle, q_norm) pairs the regression actually uses
+    * (`regr_count`), and a NULL q_norm anywhere nulls the fit outputs — the
+    * reference's `np.polyfit` propagates NaN, while `regr_*` would silently
+    * skip those rows and report a confident fit the reference doesn't.
     */
   def summary(features: DataFrame, eol: Double = 0.80,
               cellKeys: Seq[String] = Seq.empty): DataFrame = {
     val grouped =
       if (cellKeys.isEmpty) features.groupBy()
       else features.groupBy(cellKeys.map(col): _*)
-    val m = regr_slope(col("q_norm"), col("cycle_index").cast(DoubleType))
-    val b = regr_intercept(col("q_norm"), col("cycle_index").cast(DoubleType))
+    val cyc = col("cycle_index").cast(DoubleType)
+    val m = regr_slope(col("q_norm"), cyc)
+    val b = regr_intercept(col("q_norm"), cyc)
     grouped
       .agg(
         min_by(col("Q_dis_Ah"), col("cycle_index")).as("Q0_Ah"),
         m.as("m"),
         b.as("b"),
-        count(lit(1)).as("n"))
+        regr_count(col("q_norm"), cyc).as("n_pairs"),
+        sum(when(col("q_norm").isNull || col("cycle_index").isNull, 1)
+          .otherwise(0)).as("n_missing"))
       .select(
         cellKeys.map(col) ++ Seq(
           col("Q0_Ah"),
-          when(col("n") < 2, lit(null).cast(DoubleType))
+          when(col("n_pairs") < 2 || col("n_missing") > 0,
+            lit(null).cast(DoubleType))
             .otherwise(col("m") * 100.0).as("fade_slope_pct_per_cycle"),
-          when(col("n") < 2 || col("m").isNull || col("m") === 0,
+          when(col("n_pairs") < 2 || col("n_missing") > 0 ||
+            col("m").isNull || col("m") === 0,
             lit(null).cast(DoubleType))
             .otherwise((lit(eol) - col("b")) / col("m")).as("cycles_to_80pct")): _*)
   }

@@ -196,7 +196,14 @@ object Features {
     val p = col("voltage_v") * col("current_a")
     val metric = abs(abs(col("current_a")) - target)
 
-    val rowed = canonical
+    // pandas groupby drops NaN keys; Spark would keep a null-key group whose
+    // row sorts FIRST in wFirst (nulls-first asc) and silently become the
+    // q_norm / vref anchor for the whole cell. Drop such rows up front —
+    // every window below partitions by the same keys, so no other group sees
+    // them.
+    val keyed = canonical.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+
+    val rowed = keyed
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("tidx",
         min_by(when(isDis, col("rn")),

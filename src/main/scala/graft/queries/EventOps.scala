@@ -105,8 +105,11 @@ object EventOps {
 
     QueryDef("a6_grid_peak",
       // grid-interpolated derivative peak of cumulative value vs time — the
-      // dQ/dV kernel shape; not SQL-expressible, rows-only driver check
-      // (semantic tests live in GridInterpolateSpec / BatterySpec)
+      // dQ/dV kernel shape (semantic tests in GridInterpolateSpec /
+      // BatterySpec). The oracle replays the NumPy kernel with DuckDB list
+      // lambdas; output is rounded to 4 dp on both sides, which absorbs the
+      // np.arange accumulation-vs-multiplication ulp drift (the grid point is
+      // v0 + k·24h either way at 4 dp).
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(ord: _*)
         ev(s, dir)
@@ -116,9 +119,51 @@ object EventOps {
           .agg(sort_array(collect_list(struct(col("th"), col("cum")))).as("pairs"))
           .withColumn("peak_th", GridInterpolate.peakUdf(lit(24.0),
             expr("transform(pairs, x -> x.th)"), expr("transform(pairs, x -> x.cum)")))
-          .select("user_id", "peak_th").orderBy("user_id")
+          .select(col("user_id"), round(col("peak_th"), 4).as("peak_th"))
+          .orderBy("user_id")
       },
-      None),
+      Some("""WITH o AS (
+        SELECT user_id, epoch_us(ts)/3600e6 AS th,
+          sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM events),
+      g AS (
+        SELECT user_id, list(th ORDER BY th ASC, cum ASC NULLS FIRST) AS vs,
+               list(cum ORDER BY th ASC, cum ASC NULLS FIRST) AS qs,
+               count(*) AS n
+        FROM o GROUP BY user_id),
+      p AS (
+        SELECT user_id, vs, qs,
+          CASE WHEN n >= 3 AND vs[-1] - vs[1] >= 24.0
+               THEN CAST(ceil((vs[-1] - vs[1]) / 24.0) AS BIGINT) END AS m
+        FROM g),
+      idx AS (
+        SELECT user_id, vs, qs, m, i, vs[1] + 24.0 * i AS x
+        FROM p, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) t
+        WHERE m IS NOT NULL AND m >= 2),
+      q AS (
+        SELECT user_id, m, i, x,
+          CASE WHEN len(list_filter(vs, v -> v <= x)) = 0 THEN qs[1]
+               WHEN len(list_filter(vs, v -> v <= x)) >= len(vs) THEN qs[-1]
+               ELSE qs[len(list_filter(vs, v -> v <= x))]
+                  + (qs[len(list_filter(vs, v -> v <= x)) + 1] - qs[len(list_filter(vs, v -> v <= x))])
+                  / (vs[len(list_filter(vs, v -> v <= x)) + 1] - vs[len(list_filter(vs, v -> v <= x))])
+                  * (x - vs[len(list_filter(vs, v -> v <= x))]) END AS qg
+        FROM idx),
+      d AS (
+        SELECT user_id, i, x,
+          CASE WHEN i = 0 THEN (lead(qg) OVER w - qg) / 24.0
+               WHEN i = m - 1 THEN (qg - lag(qg) OVER w) / 24.0
+               ELSE (lead(qg) OVER w - lag(qg) OVER w) / 48.0 END AS grad
+        FROM q WINDOW w AS (PARTITION BY user_id ORDER BY i)),
+      pk AS (
+        SELECT user_id, x, row_number() OVER (PARTITION BY user_id
+            ORDER BY isnan(grad) DESC, CASE WHEN isnan(grad) THEN i END ASC,
+                     grad DESC, i ASC) AS rn
+        FROM d)
+      SELECT g.user_id, round(pk.x, 4) AS peak_th
+      FROM g LEFT JOIN (SELECT user_id, x FROM pk WHERE rn = 1) pk USING (user_id)
+      ORDER BY user_id""")),
 
     QueryDef("a7_delta_from_first_valid",
       (s, dir) => OrderedOps.deltaFromFirstValid(ev(s, dir), Seq("user_id"),

@@ -69,16 +69,34 @@ object StreamShaped {
         GROUP BY split ORDER BY split""")),
 
     // E8b: greedy sequence packing — assign docs (in deterministic order) to
-    // ~4096-char training bins per language via a running-sum window; the
-    // shape of packing tokenized documents into fixed context windows
+    // ~4096-char training bins per language via a running sum; the shape of
+    // packing tokenized documents into fixed context windows.
+    //
+    // Two-phase distributed prefix sum, NOT one window partition per
+    // language (which would force a whole language's corpus through a single
+    // task): docs are sliced into bounded doc_id chunks, per-(lang, chunk)
+    // subtotals roll up to cumulative chunk offsets on the tiny subtotal
+    // table (one row per chunk), and the final running sum is local to a
+    // (lang, chunk) partition plus its broadcast-scale offset. The subtotal
+    // join key equals the local window's partition key, so the plan reuses
+    // one (lang, chunk) exchange.
     QueryDef("e8_pack_bins",
       (s, dir) => {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("lang").orderBy("doc_id")
+        val d = Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("chunk", expr("doc_id div 8192")) // exact at any id width
+        val offsets = d.groupBy("lang", "chunk")
+          .agg(sum("n_chars").as("chunk_chars"))
+          .withColumn("off", coalesce(
+            sum("chunk_chars").over(Window.partitionBy("lang").orderBy("chunk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("lang", "chunk", "off")
+        val wLocal = Window.partitionBy("lang", "chunk").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, dir)
-          .withColumn("cum", sum("n_chars").over(w))
+        d.join(offsets, Seq("lang", "chunk"))
+          .withColumn("cum", col("off") + sum("n_chars").over(wLocal))
           .withColumn("bin", floor((col("cum") - col("n_chars")) / 4096))
           .groupBy("lang", "bin")
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))

@@ -179,14 +179,19 @@ object TextOps {
       },
       Some(langIdOracleSql)),
 
-    // E4e: document fingerprint — min/max over the shingle-hash set
-    // (rolling-hash fingerprint; content-defined, order-independent)
+    // E4e: document fingerprint — min over the shingle-hash set
+    // (rolling-hash fingerprint; content-defined, order-independent).
+    // Pure per-row HOF: array_min(transform(...)) keeps the whole computation
+    // inside one codegen stage — no explode, no shuffle, unlike the
+    // explode+groupBy formulation which pushed ~(len-7) rows/doc through an
+    // exchange.
     QueryDef("e4_fingerprint",
       (s, dir) => docs(s, dir)
-        .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
-        .withColumn("h", sha2(col("sh"), 256))
-        .groupBy("doc_id")
-        .agg(min("h").as("fingerprint"), count(lit(1)).as("n_shingles"))
+        .select(col("doc_id"), shingles(col("text"), 8).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          array_min(transform(col("sh"), sh => sha2(sh, 256))).as("fingerprint"),
+          size(col("sh")).cast("long").as("n_shingles"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, min(h) AS fingerprint, count(*) AS n_shingles
         FROM (SELECT doc_id, sha256(unnest(list_distinct(list_transform(
