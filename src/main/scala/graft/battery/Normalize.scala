@@ -1,6 +1,7 @@
 package graft.battery
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -125,7 +126,37 @@ object Normalize {
       .option("mode", "PERMISSIVE")
       .schema(schema)
       .csv(csvPath)
-    fromRaw(raw)
+    fromRaw(withScanRowSeq(raw))
+  }
+
+  /** Scan-deterministic global row number in file order.
+    *
+    * A bare `monotonically_increasing_id()` encodes the partition INDEX, so
+    * its order silently changes if anything re-splits or repartitions the
+    * scan. This derivation is anchored to scan metadata instead: rows are
+    * numbered by (file path, block start, row-within-block), where the
+    * within-block position is reconstructed from the per-block minimum of the
+    * monotonic id (ids are consecutive inside a scan partition and a block is
+    * a contiguous run of one partition). Block offsets roll up via a prefix
+    * sum over the tiny one-row-per-block table (the single-partition window
+    * there holds ~1 row per 128 MB of input), and the data-sized side joins
+    * the offsets by broadcast — the big table itself is never shuffled.
+    * Must be applied directly to the scan frame, where `_metadata` resolves.
+    */
+  def withScanRowSeq(raw: DataFrame): DataFrame = {
+    val tagged = raw
+      .withColumn("_g_file", col("_metadata.file_path"))
+      .withColumn("_g_block", col("_metadata.file_block_start"))
+      .withColumn("_g_mid", monotonically_increasing_id())
+    val offs = tagged.groupBy("_g_file", "_g_block")
+      .agg(count(lit(1)).as("_g_n"), min("_g_mid").as("_g_mid0"))
+      .withColumn("_g_off", coalesce(sum("_g_n").over(
+        Window.orderBy(col("_g_file"), col("_g_block"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_g_file", "_g_block", "_g_mid0", "_g_off")
+    tagged.join(broadcast(offs), Seq("_g_file", "_g_block"))
+      .withColumn(Canonical.RowSeq, col("_g_off") + (col("_g_mid") - col("_g_mid0")))
+      .drop("_g_file", "_g_block", "_g_mid", "_g_mid0", "_g_off")
   }
 
   /** Normalization proper, starting from an all-string raw frame (so the same
@@ -133,7 +164,11 @@ object Normalize {
   def fromRaw(raw0: DataFrame): DataFrame = {
     // column-name whitespace trim (/root/reference/pipeline.py:26)
     var df = raw0.toDF(raw0.columns.toIndexedSeq.map(_.trim): _*)
-      .withColumn(Canonical.RowSeq, monotonically_increasing_id())
+    // file scans arrive with a scan-deterministic row_seq (withScanRowSeq);
+    // fixture frames (single-partition local relations) fall back to the
+    // monotonic id, which is deterministic there
+    df = if (df.columns.contains(Canonical.RowSeq)) df
+      else df.withColumn(Canonical.RowSeq, monotonically_increasing_id())
     df = softRename(softRename(df, arbinMap), newareMap)
 
     // timestamp (/root/reference/pipeline.py:79-85)
