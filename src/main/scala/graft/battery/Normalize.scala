@@ -72,12 +72,26 @@ object Normalize {
   private val cycleCandidates = Seq("Cycle_Index", "Cycle", "cycle", "CycleIndex")
   private val stepCandidates = Seq("Step_Index", "Step", "StepIndex", "Index")
 
-  /** Peek at the raw header line to choose the delimiter
-    * (/root/reference/pipeline.py:19-23 retries with `;` on failure; we probe
-    * instead — one driver-side line read, works on any Hadoop FS). */
+  /** Choose the delimiter the way the reference does
+    * (/root/reference/pipeline.py:19-23): pandas first comma-parses and
+    * retries with `;` only when the parse RAISES — which the C parser does
+    * when some row has MORE comma-fields than the header (e.g. EU exports
+    * with decimal commas under a `;` structure). We probe the header line
+    * driver-side, and when it chooses `,`, run a distributed raggedness
+    * check that early-exits on the first offending line (lines containing
+    * quotes are skipped — the C parser doesn't count quoted delimiters).
+    * The check is one text scan in the clean case; correctness parity with
+    * the reference's raise-then-retry is worth it at CSV-ingest sizes. */
   def probeDelimiter(spark: SparkSession, path: String): String = {
-    val first = spark.read.textFile(path).head(1).headOption.getOrElse("")
-    if (first.count(_ == ';') > first.count(_ == ',')) ";" else ","
+    val lines = spark.read.textFile(path)
+    val first = lines.head(1).headOption.getOrElse("")
+    if (first.count(_ == ';') > first.count(_ == ',')) ";"
+    else {
+      val nHeader = first.split(",", -1).length
+      val ragged = !lines.filter(l =>
+        !l.contains("\"") && l.split(",", -1).length > nHeader).isEmpty
+      if (ragged) ";" else ","
+    }
   }
 
   /** Lenient numeric cast: junk → NULL, and NaN literals → NULL

@@ -222,6 +222,60 @@ object EventOps {
           max(value) FILTER (WHERE rf = 1) AS first_value,
           max(value) FILTER (WHERE rl = 1) AS last_value,
           max(value) FILTER (WHERE rl = 1) - max(value) FILTER (WHERE rf = 1) AS trend
-        FROM r GROUP BY user_id ORDER BY user_id"""))
+        FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // Q1-Q6 QC predicate bundle (battery/Qc.scala shapes phrased over the
+    // events table so the QC aggregate gets a driver-checked row): null
+    // count, value range, first→last drift, positivity, median threshold,
+    // max-abs threshold — one multi-aggregate scan, one output row, each
+    // check emitted as a 0/1 BIGINT flag next to its measured aggregate.
+    QueryDef("q2_qc_bundle",
+      (s, dir) => {
+        val e = ev(s, dir)
+        e.agg(
+            sum(when(col("value").isNull, 1).otherwise(0)).as("n_null_value"),
+            round(min("value"), 6).as("v_min"),
+            round(max("value"), 6).as("v_max"),
+            round(min_by(col("value"), struct(ord: _*)), 6).as("first_v"),
+            round(max_by(col("value"), struct(ord: _*)), 6).as("last_v"),
+            sum(when(col("value") <= 0, 1).otherwise(0)).as("n_nonpos"),
+            round(median(col("value")), 6).as("v_med"),
+            round(max(abs(col("value"))), 6).as("v_max_abs"))
+          .select(col("*"),
+            (col("n_null_value") === 0).cast("long").as("ok_nulls"),
+            (col("v_min") >= -1e6 && col("v_max") <= 1e6).cast("long")
+              .as("ok_range"),
+            when(col("first_v").isNull || col("last_v").isNull ||
+              col("first_v") === 0, lit(1L))
+              .otherwise(((col("last_v") - col("first_v")) / col("first_v")
+                <= 0.02).cast("long")).as("ok_drift"),
+            (col("n_nonpos") === 0).cast("long").as("ok_positive"),
+            (col("v_med") <= 200.0).cast("long").as("ok_median"),
+            (col("v_max_abs") <= 1e6).cast("long").as("ok_shift"))
+      },
+      Some("""WITH r AS (SELECT value,
+          row_number() OVER (ORDER BY ts, event_id) rf,
+          row_number() OVER (ORDER BY ts DESC, event_id DESC) rl
+        FROM events),
+      a AS (SELECT
+          count(*) FILTER (WHERE value IS NULL) AS n_null_value,
+          round(min(value), 6) AS v_min,
+          round(max(value), 6) AS v_max,
+          round(max(value) FILTER (WHERE rf = 1), 6) AS first_v,
+          round(max(value) FILTER (WHERE rl = 1), 6) AS last_v,
+          count(*) FILTER (WHERE value <= 0) AS n_nonpos,
+          round(median(value), 6) AS v_med,
+          round(max(abs(value)), 6) AS v_max_abs
+        FROM r)
+      SELECT a.*,
+        CAST(n_null_value = 0 AS BIGINT) AS ok_nulls,
+        CAST(v_min >= -1e6 AND v_max <= 1e6 AS BIGINT) AS ok_range,
+        CASE WHEN first_v IS NULL OR last_v IS NULL OR first_v = 0 THEN 1
+             ELSE CAST((last_v - first_v) / first_v <= 0.02 AS BIGINT)
+        END AS ok_drift,
+        CAST(n_nonpos = 0 AS BIGINT) AS ok_positive,
+        CAST(v_med <= 200.0 AS BIGINT) AS ok_median,
+        CAST(v_max_abs <= 1e6 AS BIGINT) AS ok_shift
+      FROM a"""))
   )
 }

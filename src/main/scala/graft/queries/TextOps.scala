@@ -181,17 +181,21 @@ object TextOps {
 
     // E4e: document fingerprint — min over the shingle-hash set
     // (rolling-hash fingerprint; content-defined, order-independent).
-    // Pure per-row HOF: array_min(transform(...)) keeps the whole computation
-    // inside one codegen stage — no explode, no shuffle, unlike the
-    // explode+groupBy formulation which pushed ~(len-7) rows/doc through an
-    // exchange.
+    //
+    // Deliberately explode+groupBy, NOT array_min(transform(.., sha2)):
+    // higher-order-function lambdas are interpreted (no codegen), and the
+    // measured HOF variant ran 2.5x SLOWER (8.2 s vs 3.3 s at sf0.1) because
+    // ~50M sha2 calls paid interpreted-eval overhead. The explode pipeline
+    // stays inside whole-stage codegen, and the groupBy is NOT a data-sized
+    // shuffle: partial aggregation folds each partition's shingles to one
+    // (doc_id, min, count) row before the exchange, so ~1 row/doc crosses
+    // the wire at any scale.
     QueryDef("e4_fingerprint",
       (s, dir) => docs(s, dir)
-        .select(col("doc_id"), shingles(col("text"), 8).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"),
-          array_min(transform(col("sh"), sh => sha2(sh, 256))).as("fingerprint"),
-          size(col("sh")).cast("long").as("n_shingles"))
+        .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
+        .withColumn("h", sha2(col("sh"), 256))
+        .groupBy("doc_id")
+        .agg(min("h").as("fingerprint"), count(lit(1)).as("n_shingles"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, min(h) AS fingerprint, count(*) AS n_shingles
         FROM (SELECT doc_id, sha256(unnest(list_distinct(list_transform(
