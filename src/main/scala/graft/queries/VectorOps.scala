@@ -88,8 +88,83 @@ object VectorOps {
     // check; recall vs brute force asserted in VectorSpec.
     QueryDef("e3_lsh_ann",
       (s, dir) => lshAnnTopK(s, dir, nQueries = 50, k = 3),
-      None)
+      None),
+
+    // IVF-bucketed ANN (the inverted-file scale path): deterministic coarse
+    // quantizer → nearest-centroid inverted lists → probe nprobe lists →
+    // exact re-rank. Fully deterministic float math, so unlike LSH it gets a
+    // DuckDB oracle; recall vs brute force asserted in VectorSpec.
+    QueryDef("e3_ivf_ann",
+      (s, dir) => ivfAnnTopK(s, dir, nQueries = 50, k = 3),
+      Some(s"""$baseCte,
+        cd AS (SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+          FROM x a JOIN x b ON a.i = b.i WHERE b.vec_id < 16 GROUP BY 1, 2),
+        cs AS (SELECT vid, c_id, dot / (na.nrm * nb.nrm) AS c_cos
+          FROM cd JOIN norms na ON vid = na.vec_id
+          JOIN norms nb ON c_id = nb.vec_id),
+        assign AS (SELECT vid AS vec_id, c_id AS cluster FROM (
+          SELECT vid, c_id, row_number() OVER (
+            PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs) t
+          WHERE rn = 1),
+        probes AS (SELECT vid AS q_id, c_id AS cluster FROM (
+          SELECT vid, c_id, row_number() OVER (
+            PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs
+          WHERE vid < 50) t WHERE rn <= 4),
+        cand AS (SELECT DISTINCT q_id, vec_id
+          FROM probes JOIN assign USING (cluster) WHERE q_id <> vec_id),
+        dots AS (SELECT c.q_id, c.vec_id, sum(a.v * b.v) AS dot
+          FROM cand c JOIN x a ON a.vec_id = c.q_id
+          JOIN x b ON b.vec_id = c.vec_id AND a.i = b.i
+          GROUP BY 1, 2),
+        scored AS (SELECT q_id, dots.vec_id AS n_id, dot / (na.nrm * nb.nrm) AS cos
+          FROM dots JOIN norms na ON q_id = na.vec_id
+          JOIN norms nb ON dots.vec_id = nb.vec_id),
+        ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+        SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
+
+  /** IVF ANN: nlist lowest-id vectors act as the coarse quantizer (a
+    * deterministic stand-in for trained centroids — the plumbing, not the
+    * codebook, is what scales). Assignment is a broadcast nlist-way scored
+    * cross join collapsed by a partial-aggregating max_by, so exactly one
+    * row per vector crosses the assignment shuffle; queries probe the
+    * nprobe nearest centroids and exact-rerank only their inverted lists.
+    * At 100 TB: centroids stay broadcast-size (nlist ~ sqrt(n)), assignment
+    * is map-side, and the candidate join shuffles on `cluster`. */
+  def ivfAnnTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val all = emb(s, dir)
+    val cents = broadcast(all.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn")))
+    def centScored(df: DataFrame): DataFrame = df.crossJoin(cents)
+      .withColumn("c_cos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+    val assign = centScored(all)
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+        .as("cluster"))
+    val probeTop = OrderedOps.topKPerGroup(
+        centScored(all.filter(col("vec_id") < nQueries)),
+        Seq("vec_id"), Seq(col("c_cos").desc, col("c_id")), nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cluster"))
+    val candIds = probeTop.join(assign, Seq("cluster"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
+    val base = emb(s, dir)
+    val scored = candIds
+      .join(base.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(base, Seq("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+    OrderedOps.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
 
   /** Multi-table LSH ANN: candidates form only inside a (table, bucket) —
     * the shuffle key — then exact re-rank. */

@@ -22,4 +22,18 @@ class VectorSpec extends SparkSpec {
     // assert a conservative floor (measured ≈ 0.4+ on seed-42 data)
     assert(recall >= 0.2, s"recall@3 = $recall")
   }
+
+  test("IVF ANN recall@3 vs brute force, and scores agree on shared pairs") {
+    val brute = VectorOps.bruteForceTopK(spark, dir, nQueries = 50, k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivf = VectorOps.ivfAnnTopK(spark, dir, nQueries = 50, k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(brute.nonEmpty && ivf.nonEmpty)
+    for ((k, v) <- ivf if brute.contains(k))
+      assert(math.abs(brute(k) - v) < 1e-9, s"score mismatch at $k")
+    val recall = brute.keySet.count(ivf.contains).toDouble / brute.size
+    // nprobe=4 of nlist=16 inverted lists; deterministic → fixed number,
+    // assert a conservative floor
+    assert(recall >= 0.2, s"IVF recall@3 = $recall")
+  }
 }
