@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan invariants for the catalog's scale-critical queries —
+  * asserted, not assumed, so a refactor that silently degrades a plan (lost
+  * broadcast, lost pushdown, a data-sized single-partition window) fails CI
+  * the same way a wrong result would.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryCatalog.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter must reach the scan:\n$p")
+  }
+
+  test("j1 star join broadcasts every dimension, never sort-merges them") {
+    val p = plan("j1_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"dims are broadcast-sized; a sort-merge join means a lost hint:\n$p")
+  }
+
+  test("e6 top-k per group uses the WindowGroupLimit pushdown") {
+    val p = plan("e6_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k should prune inside the shuffle, not after it:\n$p")
+  }
+
+  test("e3 cosine top-k broadcasts the query side (no big-table shuffle join)") {
+    val p = plan("e3_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"query side must broadcast:\n$p")
+  }
+
+  test("e8 pack-bins has no data-sized single-partition window") {
+    val p = plan("e8_pack_bins")
+    // the doc-sized running sum must be partitioned by (lang, chunk); the
+    // only per-lang window runs over the tiny chunk-subtotal table
+    val dataWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(lang") && l.contains("doc_id")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("chunk")),
+      s"doc-sized window must include the chunk key:\n$p")
+  }
+
+  test("e4 fingerprint aggregates partially before its exchange") {
+    val p = plan("e4_fingerprint")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"shingle rows must collapse map-side, ~1 row/doc on the wire:\n$p")
+  }
+
+  test("e9 as-of join shuffles once on the key, no range join explosion") {
+    val p = plan("e9_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected a single key shuffle, saw $exchanges:\n$p")
+  }
+
+  test("scans prune columns: q1 reads only the columns it needs") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"projection pruning lost:\n$readSchema")
+  }
+}
