@@ -100,6 +100,28 @@ object RelationalOps {
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""")),
 
+    // skew-salted join (orders fact salted on o_orderkey, customer dim
+    // replicated ×8; join key becomes (custkey, salt) so one hot customer
+    // spreads over 8 shuffle partitions). The oracle is the PLAIN join —
+    // identical results are the correctness proof that salting is a pure
+    // physical rewrite. The broadcast hint is deliberately absent: the
+    // point is the shuffle-join shape.
+    QueryDef("j4_salted_join",
+      (s, dir) => {
+        val joined = graft.operators.SkewOps.saltedEquiJoin(
+          Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey"),
+          Tables.customer(s, dir).withColumnRenamed("c_custkey", "custkey"),
+          "custkey", col("o_orderkey"), buckets = 8)
+        joined.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            micros(sum(dec("o_totalprice"))).as("revenue_micros"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, count(*) AS n_orders,
+        ${microsSql("sum(CAST(o_totalprice AS DECIMAL(18,6)))")} AS revenue_micros
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // semi/anti joins (EXISTS / NOT EXISTS)
     QueryDef("j3_semi_anti",
       (s, dir) => {

@@ -63,6 +63,27 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected a single key shuffle, saw $exchanges:\n$p")
   }
 
+  test("j4 salted join shuffles on (key, salt) and matches the plain join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = QueryCatalog.queries("j4_salted_join")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("custkey") && p.contains("_salt"),
+        s"join must key on (custkey, _salt):\n$p")
+      // identical to the unsalted join: salting is a pure physical rewrite
+      import org.apache.spark.sql.functions._
+      val plain = graft.Tables.orders(spark, dir)
+        .join(graft.Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_orders"))
+        .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+      val salted = df.collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+      assert(salted == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
