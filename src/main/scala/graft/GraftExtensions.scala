@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProduct
+
+/** SparkSessionExtensions hook: registers the engine's native expressions in
+  * the SQL function registry, so `spark.sql("... vec_dot(a, b) ...")` works
+  * the same as the Column API. Install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (cluster-wide,
+  * no code change for SQL users) — `GraftSession.tune` does this by default.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b) takes exactly two arguments")
+        DotProduct(args.head, args(1))
+      }))
+  }
+}
