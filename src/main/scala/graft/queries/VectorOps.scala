@@ -90,6 +90,47 @@ object VectorOps {
       (s, dir) => lshAnnTopK(s, dir, nQueries = 50, k = 3),
       None),
 
+    // embedding-cosine near-DEDUP (the decision step on top of pair
+    // finding): every vector whose cosine to a LOWER-id vector exceeds the
+    // threshold is marked a duplicate of its best (then lowest-id) such
+    // keeper — the single-pass min-id keeper rule used by LSH dedup at
+    // scale. Same bounded pair base as e3_cosine_pairs at test scale; at
+    // 100 TB the pair source swaps to the LSH/IVF candidate join.
+    QueryDef("e3_embed_neardup",
+      (s, dir) => {
+        val bounded = emb(s, dir).filter(col("vec_id") < 300)
+        val a = bounded.select(col("vec_id").as("keeper_id"), col("v").as("av"),
+          col("nrm").as("an"))
+        val b = bounded.select(col("vec_id").as("dup_id"), col("v").as("bv"),
+          col("nrm").as("bn"))
+        a.join(b, col("keeper_id") < col("dup_id"))
+          .withColumn("cos", cosine(col("av"), col("bv"), col("an"), col("bn")))
+          .filter(col("cos") >= 0.4)
+          .groupBy("dup_id")
+          .agg(max_by(col("keeper_id"), struct(col("cos"), -col("keeper_id")))
+            .as("keeper_id"),
+            count(lit(1)).as("n_candidates"),
+            round(max("cos"), 6).as("best_cos"))
+          .orderBy("dup_id")
+      },
+      Some(s"""$baseCte,
+        dots AS (SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id,
+            sum(a.v * b.v) AS dot
+          FROM x a JOIN x b ON a.i = b.i
+          WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        scored AS (SELECT keeper_id, dup_id, dot / (na.nrm * nb.nrm) AS cos
+          FROM dots JOIN norms na ON keeper_id = na.vec_id
+          JOIN norms nb ON dup_id = nb.vec_id
+          WHERE dot / (na.nrm * nb.nrm) >= 0.4),
+        ranked AS (SELECT dup_id, keeper_id, cos, row_number() OVER (
+          PARTITION BY dup_id ORDER BY cos DESC, keeper_id) AS rn
+          FROM scored)
+        SELECT r.dup_id, r.keeper_id,
+          (SELECT count(*) FROM scored s WHERE s.dup_id = r.dup_id) AS n_candidates,
+          (SELECT round(max(cos), 6) FROM scored s WHERE s.dup_id = r.dup_id) AS best_cos
+        FROM ranked r WHERE rn = 1 ORDER BY dup_id""")),
+
     // IVF-bucketed ANN (the inverted-file scale path): deterministic coarse
     // quantizer → nearest-centroid inverted lists → probe nprobe lists →
     // exact re-rank. Fully deterministic float math, so unlike LSH it gets a
