@@ -162,15 +162,25 @@ object Normalize {
       .withColumn("_g_file", col("_metadata.file_path"))
       .withColumn("_g_block", col("_metadata.file_block_start"))
       .withColumn("_g_mid", monotonically_increasing_id())
-    val offs = tagged.groupBy("_g_file", "_g_block")
+    // one row per scan split — tiny. The scan underneath is column-pruned to
+    // metadata + the id, so this pass only line-splits the file.
+    val blocks = tagged.groupBy("_g_file", "_g_block")
       .agg(count(lit(1)).as("_g_n"), min("_g_mid").as("_g_mid0"))
-      .withColumn("_g_off", coalesce(sum("_g_n").over(
-        Window.orderBy(col("_g_file"), col("_g_block"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_g_file", "_g_block", "_g_mid0", "_g_off")
-    tagged.join(broadcast(offs), Seq("_g_file", "_g_block"))
-      .withColumn(Canonical.RowSeq, col("_g_off") + (col("_g_mid") - col("_g_mid0")))
-      .drop("_g_file", "_g_block", "_g_mid", "_g_mid0", "_g_off")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (f, b, _, _) => (f, b) }
+    val offsets = blocks.scanLeft(0L) { case (acc, (_, _, n, _)) => acc + n }
+    val key = concat_ws("#", col("_g_file"), col("_g_block"))
+    val offMap = typedLit(blocks.zip(offsets).map {
+      case ((f, b, _, mid0), off) => s"$f#$b" -> (off - mid0)
+    }.toMap)
+    // row_seq = blockOffset + (mid - blockMinMid), folded into one literal
+    // map lookup — no join, no extra exchange, stays in the scan's codegen
+    // stage. The driver-side collect is one row per ~128 MB split (the same
+    // magnitude as the driver's file listing), so it holds at cluster scale.
+    tagged
+      .withColumn(Canonical.RowSeq, element_at(offMap, key) + col("_g_mid"))
+      .drop("_g_file", "_g_block", "_g_mid")
   }
 
   /** Normalization proper, starting from an all-string raw frame (so the same
