@@ -109,35 +109,24 @@ object TextFunctions {
     val sh = docs.select(col("doc_id"),
       shingles(col("text"), shingleLen).as("shset"))
       .localCheckpoint()
-    // Signature via explode + k min-aggregates: each shingle is hashed ONCE,
-    // then one map-side-combined groupBy computes all k minima — no
-    // per-permutation re-hash, no array allocation churn. Permutation i is
-    // the universal hash a_i·h + b_i mod 2⁶⁴ (odd multiplier → bijection;
-    // Java long multiply wraps). NOTE: the tempting h1 + i·h2 double-hashing
+    // Signature via the per-row MinHashSig kernel: each shingle is hashed
+    // ONCE and all k universal-hash minima `a_i·h + b_i mod 2⁶⁴` fold in a
+    // compiled loop inside the scan projection — bit-identical to (and
+    // measured ~2× faster than) the previous explode → xxhash64 → k×min-agg
+    // formulation, with no per-shingle rows, no k-buffer aggregation state,
+    // no signature shuffle. NOTE: the tempting h1 + i·h2 double-hashing
     // form is BROKEN for min-hashing when h2's range (int) is tiny relative
     // to h1's (long): every "permutation" then shares h1's argmin, all k
     // signature slots collapse to one, and banding degenerates to
     // shared-argmin buckets (measured: 7.6M candidate pairs instead of ~10³).
-    val exploded = sh
-      .select(col("doc_id"), explode(col("shset")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    def splitmix64(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val sigAggs = (0 until numHashes).map { i =>
-      val a = splitmix64(2L * i) | 1L
-      val b = splitmix64(2L * i + 1)
-      min(col("h") * lit(a) + lit(b)).as(s"mh_$i")
-    }
-    val signed = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val signed = sh
+      .select(col("doc_id"),
+        graft.expressions.MinHashSig(col("shset"), numHashes).as("mh"))
       .localCheckpoint()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until rows).map(r =>
-          col(s"mh_${b * rows + r}").as(s"r$r")): _*).as("sig"))
+          col("mh").getItem(b * rows + r).as(s"r$r")): _*).as("sig"))
     }
     val buckets = signed.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bucket"))
