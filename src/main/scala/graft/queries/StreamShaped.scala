@@ -19,6 +19,18 @@ object StreamShaped {
         ${graft.functions.Carriers.microsSql("sum(CAST(value AS DECIMAL(18,6)))")} AS total_value_micros
         FROM events GROUP BY 1, 2 ORDER BY hour_id, event_type""")),
 
+    // sliding windows: an event at µs-slot q contributes to the 4 hour-long
+    // windows starting at slots q-3..q (window length / slide = 4); the
+    // oracle replays that membership with an explicit 0..3 offset unnest
+    QueryDef("e7_sliding_quarters",
+      (s, dir) => EventsStreaming.slidingQuarters(Tables.events(s, dir))
+        .orderBy("slot_id", "event_type"),
+      Some("""SELECT (epoch_us(ts) // 900000000) - k AS slot_id,
+          event_type, count(*) AS n
+        FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) t
+        WHERE (epoch_us(ts) // 900000000) - k >= 0
+        GROUP BY 1, 2 ORDER BY slot_id, event_type""")),
+
     // session_window(gap=30min): a new session starts when the gap from the
     // previous event is >= the gap duration
     QueryDef("e7_session_stats",

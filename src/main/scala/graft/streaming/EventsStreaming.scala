@@ -29,6 +29,16 @@ object EventsStreaming {
       .select(expr("unix_micros(window.start) div 3600000000").as("hour_id"),
         col("event_type"), col("n"), col("total_value_micros"))
 
+  /** Sliding 1-hour windows every 15 min: each event lands in 4 overlapping
+    * windows (the distinct semantics vs tumbling — one row contributes to
+    * slide/length windows). Window identity is its start in 15-min slots. */
+  def slidingQuarters(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start) div 900000000").as("slot_id"),
+        col("event_type"), col("n"))
+
   /** Session windows (30-min inactivity gap) → per-user session stats. */
   def sessionStats(events: DataFrame): DataFrame =
     events
