@@ -108,7 +108,16 @@ object EventsStreaming {
     * Returns the started query; callers drive it with processAllAvailable().
     */
   def runTumbling(spark: SparkSession, dir: String,
-                  queryName: String): StreamingQuery = {
+                  queryName: String): StreamingQuery =
+    runWindowed(spark, dir, queryName, tumblingHourly)
+
+  /** Streaming runner for the sliding-window aggregate. */
+  def runSliding(spark: SparkSession, dir: String,
+                 queryName: String): StreamingQuery =
+    runWindowed(spark, dir, queryName, slidingQuarters)
+
+  private def runWindowed(spark: SparkSession, dir: String, queryName: String,
+                          transform: DataFrame => DataFrame): StreamingQuery = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source wants a directory; glob-filter to the events
     // table within it
@@ -117,7 +126,7 @@ object EventsStreaming {
       .parquet(dir)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "1 hour")
-    tumblingHourly(stream)
+    transform(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .start()

@@ -22,6 +22,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding-quarters equals the batch transform") {
+    val q = EventsStreaming.runSliding(spark, dir, "stream_sliding_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sliding_test")
+        .collect().map(_.toSeq).toSet
+      val batch = EventsStreaming.slidingQuarters(Tables.events(spark, dir))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each (user, event_type) once") {
     val q = EventsStreaming.runDedupStream(spark, dir, "stream_dedup_test")
     try {
