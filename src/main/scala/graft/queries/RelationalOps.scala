@@ -172,6 +172,31 @@ object RelationalOps {
           count(*) FILTER (WHERE segment IS NULL) AS n_null_segment
         FROM u GROUP BY src ORDER BY src""")),
 
+    // U2: INTERSECT / EXCEPT set semantics (distinct-based, like SQL):
+    // customers active in BOTH halves of 1997 vs ONLY the first half
+    QueryDef("u2_intersect_except",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val h1 = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+          .select("o_custkey")
+        val h2 = o.filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_custkey")
+        val both = h1.intersect(h2).agg(count(lit(1)).as("n_both"))
+        val onlyH1 = h1.except(h2).agg(count(lit(1)).as("n_only_h1"))
+        both.crossJoin(onlyH1)
+      },
+      Some("""WITH h1 AS (SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-07-01'),
+        h2 AS (SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT
+          (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2) t) AS n_both,
+          (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2) t) AS n_only_h1""")),
+
     // P6-P10 + C6-C11: filters, conditional bands, scalar string/number funcs
     QueryDef("p1_case_bands",
       (s, dir) => Tables.lineitem(s, dir)
