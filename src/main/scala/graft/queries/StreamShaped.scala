@@ -9,6 +9,33 @@ import graft.streaming.EventsStreaming
   */
 object StreamShaped {
 
+  /** Two-phase distributed prefix-sum packing (see the e8_pack_bins entry).
+    * `chunkDocs` bounds the largest window partition; tests shrink it to
+    * force multi-chunk offsets on small data. */
+  def packBins(documents: org.apache.spark.sql.DataFrame,
+               chunkDocs: Long = 8192L,
+               binChars: Long = 4096L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = documents
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("chunk", expr(s"doc_id div $chunkDocs")) // exact at any id width
+    val offsets = d.groupBy("lang", "chunk")
+      .agg(sum("n_chars").as("chunk_chars"))
+      .withColumn("off", coalesce(
+        sum("chunk_chars").over(Window.partitionBy("lang").orderBy("chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "chunk", "off")
+    val wLocal = Window.partitionBy("lang", "chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(offsets, Seq("lang", "chunk"))
+      .withColumn("cum", col("off") + sum("n_chars").over(wLocal))
+      .withColumn("bin", floor((col("cum") - col("n_chars")) / binChars))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .orderBy("lang", "bin")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("e7_tumbling_hourly",
@@ -93,27 +120,7 @@ object StreamShaped {
     // join key equals the local window's partition key, so the plan reuses
     // one (lang, chunk) exchange.
     QueryDef("e8_pack_bins",
-      (s, dir) => {
-        import org.apache.spark.sql.functions._
-        import org.apache.spark.sql.expressions.Window
-        val d = Tables.documents(s, dir)
-          .select(col("lang"), col("doc_id"), col("n_chars"))
-          .withColumn("chunk", expr("doc_id div 8192")) // exact at any id width
-        val offsets = d.groupBy("lang", "chunk")
-          .agg(sum("n_chars").as("chunk_chars"))
-          .withColumn("off", coalesce(
-            sum("chunk_chars").over(Window.partitionBy("lang").orderBy("chunk")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("lang", "chunk", "off")
-        val wLocal = Window.partitionBy("lang", "chunk").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        d.join(offsets, Seq("lang", "chunk"))
-          .withColumn("cum", col("off") + sum("n_chars").over(wLocal))
-          .withColumn("bin", floor((col("cum") - col("n_chars")) / 4096))
-          .groupBy("lang", "bin")
-          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
-          .orderBy("lang", "bin")
-      },
+      (s, dir) => packBins(Tables.documents(s, dir)),
       Some("""SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         FROM (SELECT lang, doc_id, n_chars,
           CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
