@@ -85,7 +85,14 @@ object Normalize {
   def probeDelimiter(spark: SparkSession, path: String): String = {
     val lines = spark.read.textFile(path)
     val first = lines.head(1).headOption.getOrElse("")
-    if (first.count(_ == ';') > first.count(_ == ',')) ";"
+    val semis = first.count(_ == ';')
+    if (semis > first.count(_ == ',')) ";"
+    else if (semis == 0) ","
+    // Ambiguous header (has semicolons but commas win): only here can the
+    // pandas retry SUCCEED, so only here is the full raggedness scan spent.
+    // With a zero-semicolon header a `;`-retry would re-raise in pandas too
+    // (one header field vs many body fields), so the comma choice already
+    // matches the reference on every succeeding input.
     else {
       val nHeader = first.split(",", -1).length
       val ragged = !lines.filter(l =>
