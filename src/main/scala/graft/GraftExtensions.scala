@@ -8,13 +8,16 @@ import graft.expressions.DotProduct
 
 /** SparkSessionExtensions hook: registers the engine's native expressions in
   * the SQL function registry, so `spark.sql("... vec_dot(a, b) ...")` works
-  * the same as the Column API. Install with
+  * the same as the Column API, and installs the optimizer rule that rewrites
+  * the HOF dot-product spelling to the fused kernel
+  * ([[graft.plans.RewriteHofDotProduct]]). Install with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (cluster-wide,
   * no code change for SQL users) — `GraftSession.tune` does this by default.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
