@@ -48,6 +48,37 @@ object AnalyticsOps {
         FROM events WHERE user_id < 50
         GROUP BY user_id ORDER BY user_id""")),
 
+    // range (interval) join via the chunk-bucketed equi-join form
+    // (graft.operators.RangeJoin): intervals are the first 12 h of each of
+    // the first 20 users; every event falling inside any interval counts
+    // toward it. The oracle is the plain BETWEEN theta join — identical
+    // results prove the bucketing is a pure physical rewrite.
+    QueryDef("r3_range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(expr("ts div 1000").as("ts_us"), col("event_id"),
+            col("user_id"))
+        val iv = ev.filter(col("user_id") < 20)
+          .groupBy(col("user_id").as("iv_id"))
+          .agg(min("ts_us").as("start_us"))
+          .withColumn("end_us", col("start_us") + lit(43200000000L)) // +12 h
+        graft.operators.RangeJoin.bucketed(ev, iv, "ts_us", "start_us",
+            "end_us", chunk = 3600000000L) // 1 h chunks
+          .groupBy("iv_id")
+          .agg(count(lit(1)).as("n_events"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy("iv_id")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS ts_us, event_id, user_id
+          FROM events),
+        iv AS (SELECT user_id AS iv_id, min(ts_us) AS start_us,
+            min(ts_us) + 43200000000 AS end_us
+          FROM e WHERE user_id < 20 GROUP BY user_id)
+        SELECT iv_id, count(*) AS n_events,
+          count(DISTINCT e.user_id) AS n_users
+        FROM iv JOIN e ON e.ts_us >= iv.start_us AND e.ts_us < iv.end_us
+        GROUP BY iv_id ORDER BY iv_id""")),
+
     // as-of join: each purchase matched to the latest PRIOR view of the same
     // user — running last-non-null over one key-partitioned time order
     QueryDef("e9_asof_join",
