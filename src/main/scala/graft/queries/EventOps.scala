@@ -224,6 +224,22 @@ object EventOps {
           max(value) FILTER (WHERE rl = 1) - max(value) FILTER (WHERE rf = 1) AS trend
         FROM r GROUP BY user_id ORDER BY user_id""")),
 
+    // A9's scale path: sketch-based distinct counting. exact
+    // count_distinct shuffles every distinct key; the HLL sketch carries a
+    // fixed-size register array through map-side partial aggregation and
+    // merges order-insensitively, so the estimate is deterministic for a
+    // given dataset at any partitioning. DuckDB has no DataSketches-
+    // compatible HLL → rows-only driver check; ApproxSpec pins the
+    // estimate's relative error and partitioning-invariance instead.
+    QueryDef("a11_approx_distinct",
+      (s, dir) => ev(s, dir).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+            .as("approx_users"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type"),
+      None),
+
     // Q1-Q6 QC predicate bundle (battery/Qc.scala shapes phrased over the
     // events table so the QC aggregate gets a driver-checked row): null
     // count, value range, first→last drift, positivity, median threshold,
