@@ -299,6 +299,30 @@ object RelationalOps {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, seq""")),
 
+    // rank-family window functions over a unique ordering (ties impossible
+    // → cross-engine deterministic): quartiles, relative ranks
+    QueryDef("w2_rank_family",
+      (s, dir) => {
+        val w = OrderedOps.ordered(Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") < 50)
+          .select(col("o_orderkey"), col("o_custkey"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            dense_rank().over(w).cast(LongType).as("drank"),
+            round(percent_rank().over(w), 6).as("prank"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        ntile(4) OVER w AS quartile,
+        dense_rank() OVER w AS drank,
+        round(percent_rank() OVER w, 6) AS prank,
+        round(cume_dist() OVER w, 6) AS cdist
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
     // E6: top-k per group
     QueryDef("e6_topk_per_group",
       (s, dir) => OrderedOps.topKPerGroup(
