@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Source/sink format breadth: the engine's tables must round-trip through
+  * JSON lines and ORC with schema and values intact (parquet and CSV are
+  * exercised throughout the battery layer and driver dumps). */
+class FormatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("documents round-trip through JSON lines") {
+    val docs = Tables.documents(spark, dir).orderBy("doc_id")
+    val out = "/tmp/graft_fmt/docs_json"
+    docs.write.mode("overwrite").json(out)
+    val back = spark.read.schema(docs.schema).json(out).orderBy("doc_id")
+    assert(back.collect().map(_.toSeq).toSeq ==
+      docs.collect().map(_.toSeq).toSeq)
+  }
+
+  test("lineitem aggregates identically from an ORC round-trip") {
+    val li = Tables.lineitem(spark, dir)
+    val out = "/tmp/graft_fmt/li_orc"
+    li.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == li.schema)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,6)")),
+        min("l_shipdate"), max("l_shipdate")).head().toSeq
+    assert(agg(back) == agg(li))
+    // and filters still push down to the ORC scan
+    val p = back.filter(col("l_orderkey") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_orderkey"), p)
+  }
+}
