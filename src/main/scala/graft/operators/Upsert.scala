@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert (SCD-1 merge): apply an updates table onto a base table —
+  * update rows whose keys match, insert the rest, keep everything else.
+  *
+  * One-shuffle formulation: union both sides tagged by precedence and keep
+  * the highest-precedence row per key with a window keeper — the same
+  * single hash-partition pass at any scale (no join, no broadcast
+  * requirement on either side). Both inputs must share the key columns;
+  * non-key columns are aligned by name (missing ones null-fill). Contract:
+  * each side carries at most one row per key (the standard MERGE
+  * precondition — pre-dedup updates otherwise), and an update row replaces
+  * the base row wholesale (columns absent from the updates frame become
+  * null, SCD-1 style).
+  */
+object Upsert {
+
+  def apply(base: DataFrame, updates: DataFrame,
+            keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty)
+    val tagged = base.withColumn("_ups_pri", lit(0))
+      .unionByName(updates.withColumn("_ups_pri", lit(1)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ups_pri").desc)
+    tagged.withColumn("_ups_rn", row_number().over(w))
+      .filter(col("_ups_rn") === 1)
+      .drop("_ups_pri", "_ups_rn")
+  }
+}

@@ -197,6 +197,41 @@ object RelationalOps {
           (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2) t) AS n_both,
           (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2) t) AS n_only_h1""")),
 
+    // M1: keyed upsert (SCD-1 merge) — updates override matching keys
+    // (doubled price for orderkey%5=0), new keys insert (shifted ids for
+    // orderkey%7=3). One-shuffle union+keeper in the engine; the oracle is
+    // the textbook FULL OUTER JOIN + COALESCE merge — identical results
+    // prove the window-keeper formulation.
+    QueryDef("m1_upsert",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val updates = o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(o.filter(col("o_orderkey") % 7 === 3)
+            .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+        graft.operators.Upsert(o, updates, Seq("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            micros(sum(dec("o_totalprice"))).as("total_micros"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH b AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders),
+        upd AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+          FROM b WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+          FROM b WHERE o_orderkey % 7 = 3),
+        merged AS (SELECT
+            coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+            coalesce(u.o_totalprice, b.o_totalprice) AS tp
+          FROM b FULL OUTER JOIN upd u USING (o_orderkey))
+        SELECT o_orderpriority, count(*) AS n,
+          ${microsSql("sum(CAST(tp AS DECIMAL(18,6)))")} AS total_micros
+        FROM merged GROUP BY 1 ORDER BY 1""")),
+
     // P6-P10 + C6-C11: filters, conditional bands, scalar string/number funcs
     QueryDef("p1_case_bands",
       (s, dir) => Tables.lineitem(s, dir)
