@@ -15,7 +15,9 @@ object GraftSession {
     * driver-owned `Verify`/`Bench` mains, which construct their own sessions).
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.extensions", "graft.GraftExtensions")
+    // withExtensions COMPOSES with any caller-configured
+    // spark.sql.extensions (a bare .config here would clobber them)
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

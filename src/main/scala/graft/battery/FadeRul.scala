@@ -36,17 +36,20 @@ object FadeRul {
         m.as("m"),
         b.as("b"),
         regr_count(col("q_norm"), cyc).as("n_pairs"),
-        sum(when(col("q_norm").isNull || col("cycle_index").isNull, 1)
-          .otherwise(0)).as("n_missing"))
+        count(lit(1)).as("n_rows"))
       .select(
-        cellKeys.map(col) ++ Seq(
-          col("Q0_Ah"),
-          when(col("n_pairs") < 2 || col("n_missing") > 0,
-            lit(null).cast(DoubleType))
-            .otherwise(col("m") * 100.0).as("fade_slope_pct_per_cycle"),
-          when(col("n_pairs") < 2 || col("n_missing") > 0 ||
-            col("m").isNull || col("m") === 0,
-            lit(null).cast(DoubleType))
-            .otherwise((lit(eol) - col("b")) / col("m")).as("cycles_to_80pct")): _*)
+        cellKeys.map(col) ++ {
+          // rows with a null in either regression input = total minus the
+          // non-null pairs the regression used
+          val anyMissing = col("n_rows") - col("n_pairs") > 0
+          Seq(
+            col("Q0_Ah"),
+            when(col("n_pairs") < 2 || anyMissing, lit(null).cast(DoubleType))
+              .otherwise(col("m") * 100.0).as("fade_slope_pct_per_cycle"),
+            when(col("n_pairs") < 2 || anyMissing ||
+              col("m").isNull || col("m") === 0,
+              lit(null).cast(DoubleType))
+              .otherwise((lit(eol) - col("b")) / col("m")).as("cycles_to_80pct"))
+        }: _*)
   }
 }

@@ -85,14 +85,15 @@ object Normalize {
   def probeDelimiter(spark: SparkSession, path: String): String = {
     val lines = spark.read.textFile(path)
     val first = lines.head(1).headOption.getOrElse("")
-    val semis = first.count(_ == ';')
-    if (semis > first.count(_ == ',')) ";"
-    else if (semis == 0) ","
-    // Ambiguous header (has semicolons but commas win): only here can the
-    // pandas retry SUCCEED, so only here is the full raggedness scan spent.
-    // With a zero-semicolon header a `;`-retry would re-raise in pandas too
-    // (one header field vs many body fields), so the comma choice already
-    // matches the reference on every succeeding input.
+    if (first.count(_ == ';') > first.count(_ == ',')) ";"
+    // Header chose comma: pandas would raise on any mid-file row with more
+    // comma-fields than the header and retry with `;` — and that retry
+    // (almost) always SUCCEEDS, because under sep=';' a line without extra
+    // semicolons is a single field, never ragged. So raggedness anywhere in
+    // the body must flip the delimiter here too. The scan early-exits on
+    // the first offending line; clean files pay one line-split pass.
+    // Quoted lines are skipped (the C parser doesn't count quoted
+    // delimiters; vendor cycler exports are unquoted).
     else {
       val nHeader = first.split(",", -1).length
       val ragged = !lines.filter(l =>

@@ -106,8 +106,13 @@ object TextFunctions {
     // them per join arm doubles the dominant cost. This mirrors how a
     // production dedup pipeline persists its signature table — both are
     // O(n_docs) rows, far smaller than the corpus.
+    // Docs too short to shingle are dropped here — the explode formulation
+    // dropped them implicitly (nothing to explode); the per-row kernel must
+    // do it explicitly or every short doc would share the all-MaxValue
+    // signature, bucket together, and emit NaN-jaccard pairs.
     val sh = docs.select(col("doc_id"),
       shingles(col("text"), shingleLen).as("shset"))
+      .filter(size(col("shset")) > 0)
       .localCheckpoint()
     // Signature via the per-row MinHashSig kernel: each shingle is hashed
     // ONCE and all k universal-hash minima `a_i·h + b_i mod 2⁶⁴` fold in a

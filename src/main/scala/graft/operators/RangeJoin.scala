@@ -27,9 +27,13 @@ object RangeJoin {
                startCol: String, endCol: String, chunk: Long): DataFrame = {
     require(chunk > 0)
     val f = facts.withColumn("_rj_chunk", expr(s"$pointCol div $chunk"))
-    val iv = intervals.withColumn("_rj_chunk",
-      explode(sequence(expr(s"$startCol div $chunk"),
-        expr(s"($endCol - 1) div $chunk"))))
+    // empty/inverted intervals can match nothing under [start, end), but a
+    // descending sequence() would silently explode them into junk chunk
+    // rows — drop them up front
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("_rj_chunk",
+        explode(sequence(expr(s"$startCol div $chunk"),
+          expr(s"($endCol - 1) div $chunk"))))
     f.join(iv, Seq("_rj_chunk"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_rj_chunk")

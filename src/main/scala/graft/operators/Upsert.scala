@@ -25,10 +25,17 @@ object Upsert {
     val tagged = base.withColumn("_ups_pri", lit(0))
       .unionByName(updates.withColumn("_ups_pri", lit(1)),
         allowMissingColumns = true)
+    // SQL MERGE semantics: a NULL key never matches, so NULL-key rows from
+    // either side pass through untouched (a window partition would lump
+    // them into one group and silently "merge" them)
+    val hasNullKey = keys.map(col(_).isNull).reduce(_ || _)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ups_pri").desc)
-    tagged.withColumn("_ups_rn", row_number().over(w))
+    val merged = tagged.filter(!hasNullKey)
+      .withColumn("_ups_rn", row_number().over(w))
       .filter(col("_ups_rn") === 1)
-      .drop("_ups_pri", "_ups_rn")
+      .drop("_ups_rn")
+    merged.unionByName(tagged.filter(hasNullKey))
+      .drop("_ups_pri")
   }
 }

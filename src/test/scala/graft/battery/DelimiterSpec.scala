@@ -19,6 +19,13 @@ class DelimiterSpec extends SparkSpec {
     assert(Normalize.probeDelimiter(spark, res("mixed_eu_ragged.csv")) == ";")
   }
 
+  test("zero-semicolon header with a ragged comma body also falls back") {
+    // pandas: comma parse raises ('Expected 2 fields in line 4, saw 3');
+    // the ';' retry SUCCEEDS with each line as a single field — so the
+    // probe must flip even though the header contains no semicolons
+    assert(Normalize.probeDelimiter(spark, res("comma_ragged.csv")) == ";")
+  }
+
   test("clean comma and semicolon files keep their probed delimiter") {
     assert(Normalize.probeDelimiter(spark, res("arbin_small.csv")) == ",")
     assert(Normalize.probeDelimiter(spark, res("neware_small.csv")) == ";")

@@ -17,6 +17,7 @@ class RowSeqSpec extends SparkSpec {
 
   private def seqOf(maxPartitionBytes: String): Seq[(Long, String)] = {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
     try {
@@ -28,7 +29,10 @@ class RowSeqSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1)))
         .sortBy(_._1)
         .toSeq
-    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
   }
 
   test("row_seq is dense file order and survives scan re-splitting") {
@@ -54,6 +58,9 @@ class RowSeqSpec extends SparkSpec {
           .orderBy("cycle_index").collect()
       }
       assert(feats.toSeq == single.toSeq)
-    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
   }
 }

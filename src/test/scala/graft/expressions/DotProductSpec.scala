@@ -34,15 +34,9 @@ class DotProductSpec extends SparkSpec {
     assert(out.drop(1).forall(_.isNullAt(0)))
   }
 
-  test("vec_dot registers for SQL via GraftExtensions") {
-    new GraftExtensions().apply(
-      // simulate the injection path against the live session registry
-      new org.apache.spark.sql.SparkSessionExtensions {
-        // no-op: injectFunction collects; easier to register directly below
-      })
-    // direct registry registration (what the extension does at session build)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  test("vec_dot is SQL-callable via the session's GraftExtensions") {
+    // graft.GraftExtensions (installed by GraftSession) registers the
+    // function; no manual registry poke needed
     val r = spark.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(r.getDouble(0) == 11.0)
