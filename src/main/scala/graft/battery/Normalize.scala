@@ -95,9 +95,22 @@ object Normalize {
     // Quoted lines are skipped (the C parser doesn't count quoted
     // delimiters; vendor cycler exports are unquoted).
     else {
+      // raggedness ⇔ a line has MORE comma-fields than the header ⇔ its
+      // comma count ≥ the header's field count. Single allocation-free char
+      // scan per line (a per-line split() measured ~3 s on a 500k-row file)
       val nHeader = first.split(",", -1).length
-      val ragged = !lines.filter(l =>
-        !l.contains("\"") && l.split(",", -1).length > nHeader).isEmpty
+      val ragged = !lines.filter { l =>
+        var commas = 0
+        var quoted = false
+        var i = 0
+        while (i < l.length) {
+          val c = l.charAt(i)
+          if (c == '"') quoted = true
+          else if (c == ',') commas += 1
+          i += 1
+        }
+        !quoted && commas >= nHeader
+      }.isEmpty
       if (ragged) ";" else ","
     }
   }
