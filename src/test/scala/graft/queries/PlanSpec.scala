@@ -84,6 +84,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("m1 upsert merges with one key shuffle, no join") {
+    val p = plan("m1_upsert")
+    assert(!p.contains("Join"), s"union+keeper must not plan a join:\n$p")
+    val keyExchanges =
+      "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).size
+    assert(keyExchanges == 1,
+      s"expected exactly one key shuffle, saw $keyExchanges:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
