@@ -20,7 +20,11 @@ object Bench {
           Window.partitionBy("user_id").orderBy("ts")))
         .groupBy("event_type").agg(count(lit(1)), sum("value"))
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // a broken warm-up means every query below pays JIT/compile cost —
+      // never let that skew round-over-round comparison silently
+      System.err.println(s"[bench] WARM-UP FAILED (timings will run cold): $e")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column

@@ -177,6 +177,19 @@ object Normalize {
     * there holds ~1 row per 128 MB of input), and the data-sized side joins
     * the offsets by broadcast — the big table itself is never shuffled.
     * Must be applied directly to the scan frame, where `_metadata` resolves.
+    *
+    * COHERENCE CONTRACT: the scan executes twice — eagerly here (to collect
+    * the per-block offset table) and lazily in the returned frame — and
+    * row_seq is only correct if both plan identical file splits. That holds
+    * because the offsets are keyed by (file, block start) and within-block
+    * ids are re-anchored per block, BUT it assumes (a) the input files do
+    * not change on disk between this call and the downstream action, and
+    * (b) scan-split confs (`spark.sql.files.maxPartitionBytes`,
+    * `openCostInBytes`) are not mutated in between — a block that exists in
+    * one execution and not the other yields null offsets (loud, not silent:
+    * `element_at` misses produce null row_seq, and the canonical cast
+    * pipeline nulls propagate to QC). Callers that cannot pin (a)/(b) should
+    * checkpoint the returned frame before mutating session state.
     */
   def withScanRowSeq(raw: DataFrame): DataFrame = {
     val tagged = raw

@@ -26,10 +26,17 @@ object TextFunctions {
   def bpeIsh(c: Column): Column =
     regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
-  /** Distinct character n-grams. Empty array when the text is shorter than
-    * `n` (Spark's `sequence(1, 0)` counts DOWN — it must be guarded, unlike
-    * DuckDB's generate_series which returns empty). */
+  /** Distinct character n-grams — the native one-pass kernel
+    * ([[graft.expressions.ShingleSet]]); bit-identical to [[shinglesHof]]
+    * but codegen'd, without per-shingle interpreted-lambda dispatch. */
   def shingles(c: Column, n: Int): Column =
+    graft.expressions.ShingleSet(c, n)
+
+  /** HOF reference spelling of [[shingles]] (kept for cross-checking).
+    * Empty array when the text is shorter than `n` (Spark's
+    * `sequence(1, 0)` counts DOWN — it must be guarded, unlike DuckDB's
+    * generate_series which returns empty). */
+  def shinglesHof(c: Column, n: Int): Column =
     when(length(c) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), length(c) - (n - 1)),
@@ -101,31 +108,34 @@ object TextFunctions {
                       shingleLen: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    // Materialize the shingle-set and signature tables once (localCheckpoint
-    // truncates lineage): both feed multiple joins below, and recomputing
-    // them per join arm doubles the dominant cost. This mirrors how a
-    // production dedup pipeline persists its signature table — both are
-    // O(n_docs) rows, far smaller than the corpus.
+    // ONE materialization pass (localCheckpoint truncates lineage): the
+    // shingle set and its MinHash signature are computed together and stored
+    // once — the table feeds three join arms below (two bucket sides, the
+    // exact-verify re-join), and recomputing shingles per arm doubles the
+    // dominant cost. Round 2 checkpointed shingles and signatures in two
+    // separate eager passes; fusing them removes a full scan + store
+    // round-trip from the critical path. This mirrors how a production dedup
+    // pipeline persists its signature table — O(n_docs) rows, far smaller
+    // than the corpus.
     // Docs too short to shingle are dropped here — the explode formulation
     // dropped them implicitly (nothing to explode); the per-row kernel must
     // do it explicitly or every short doc would share the all-MaxValue
     // signature, bucket together, and emit NaN-jaccard pairs.
+    // Signature via the per-row MinHashSig kernel: each shingle is hashed
+    // ONCE and all k universal-hash minima `a_i·h + b_i mod 2⁶⁴` fold in a
+    // compiled loop inside the scan projection (codegen'd — the kernel emits
+    // real doGenCode, so the stage stays fused) — bit-identical to the
+    // previous explode → xxhash64 → k×min-agg formulation, with no
+    // per-shingle rows, no k-buffer aggregation state, no signature shuffle.
+    // NOTE: the tempting h1 + i·h2 double-hashing form is BROKEN for
+    // min-hashing when h2's range (int) is tiny relative to h1's (long):
+    // every "permutation" then shares h1's argmin, all k signature slots
+    // collapse to one, and banding degenerates to shared-argmin buckets
+    // (measured: 7.6M candidate pairs instead of ~10³).
     val sh = docs.select(col("doc_id"),
       shingles(col("text"), shingleLen).as("shset"))
       .filter(size(col("shset")) > 0)
-      .localCheckpoint()
-    // Signature via the per-row MinHashSig kernel: each shingle is hashed
-    // ONCE and all k universal-hash minima `a_i·h + b_i mod 2⁶⁴` fold in a
-    // compiled loop inside the scan projection — bit-identical to (and
-    // measured ~2× faster than) the previous explode → xxhash64 → k×min-agg
-    // formulation, with no per-shingle rows, no k-buffer aggregation state,
-    // no signature shuffle. NOTE: the tempting h1 + i·h2 double-hashing
-    // form is BROKEN for min-hashing when h2's range (int) is tiny relative
-    // to h1's (long): every "permutation" then shares h1's argmin, all k
-    // signature slots collapse to one, and banding degenerates to
-    // shared-argmin buckets (measured: 7.6M candidate pairs instead of ~10³).
-    val signed = sh
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("shset"),
         graft.expressions.MinHashSig(col("shset"), numHashes).as("mh"))
       .localCheckpoint()
     val bandCols = (0 until bands).map { b =>
@@ -133,7 +143,7 @@ object TextFunctions {
         struct((0 until rows).map(r =>
           col("mh").getItem(b * rows + r).as(s"r$r")): _*).as("sig"))
     }
-    val buckets = signed.select(col("doc_id"),
+    val buckets = sh.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))

@@ -48,14 +48,17 @@ object StreamShaped {
 
     // sliding windows: an event at µs-slot q contributes to the 4 hour-long
     // windows starting at slots q-3..q (window length / slide = 4); the
-    // oracle replays that membership with an explicit 0..3 offset unnest
+    // oracle replays that membership with an explicit 0..3 offset unnest.
+    // No slot_id sign guard and floor division (`//`) on the oracle side:
+    // Spark's window starts are exact slide multiples (startTime = 0), so
+    // `unix_micros(start) div slide` is an exact quotient, and DuckDB's `//`
+    // floors — the two agree for any timestamp domain, pre-1970 included.
     QueryDef("e7_sliding_quarters",
       (s, dir) => EventsStreaming.slidingQuarters(Tables.events(s, dir))
         .orderBy("slot_id", "event_type"),
       Some("""SELECT (epoch_us(ts) // 900000000) - k AS slot_id,
           event_type, count(*) AS n
         FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) t
-        WHERE (epoch_us(ts) // 900000000) - k >= 0
         GROUP BY 1, 2 ORDER BY slot_id, event_type""")),
 
     // session_window(gap=30min): a new session starts when the gap from the

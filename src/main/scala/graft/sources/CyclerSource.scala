@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.battery.Normalize
@@ -23,8 +23,11 @@ import graft.battery.Normalize
   * qualified class name works too.)
   *
   * The relation stays declarative: `buildScan` hands Catalyst the
-  * normalized plan's RDD and schema; filters and projections compose on
-  * top as usual.
+  * normalized plan's RDD and schema; filters compose on top as usual, and
+  * requested projections are pushed INTO the normalized plan
+  * ([[PrunedScan]]) — a `SELECT two, cols` over the source converts only
+  * those columns to external rows instead of materializing all ten
+  * canonical columns per row.
   */
 class CyclerSource extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "cycler"
@@ -38,9 +41,13 @@ class CyclerSource extends RelationProvider with DataSourceRegister {
 }
 
 private[sources] class CyclerRelation(spark: SparkSession, path: String)
-    extends BaseRelation with TableScan {
+    extends BaseRelation with PrunedScan {
   private lazy val df: DataFrame = Normalize(spark, path)
   override def sqlContext: SQLContext = spark.sqlContext
   override def schema: StructType = df.schema
-  override def buildScan(): RDD[Row] = df.rdd
+  // prune BEFORE .rdd: the row conversion (the expensive step — external
+  // Row allocation outside codegen) then carries only the requested columns
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] =
+    if (requiredColumns.isEmpty) df.select().rdd
+    else df.select(requiredColumns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*).rdd
 }

@@ -18,6 +18,24 @@ class CyclerSourceSpec extends SparkSpec {
       direct.orderBy("row_seq").collect().map(_.toSeq).toSeq)
   }
 
+  test("projection is pruned into the relation (PrunedScan)") {
+    val viaSource = spark.read.format("cycler").option("path", csv).load()
+    val two = viaSource.select("cycle_index", "voltage_v")
+    // the data-source scan node itself must carry only the requested
+    // columns — i.e. the prune happened INSIDE buildScan (before external
+    // Row conversion), not as a Project above a 10-column scan
+    val scans = two.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a RowDataSourceScanExec for the source")
+    assert(scans.head.output.map(_.name).toSet == Set("cycle_index", "voltage_v"),
+      s"scan materialized ${scans.head.output.map(_.name)}")
+    // and values still match the direct path
+    val direct = Normalize(spark, csv).select("cycle_index", "voltage_v")
+    assert(two.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      direct.collect().map(_.toSeq).toSeq.sortBy(_.toString))
+  }
+
   test("SQL: CREATE TABLE ... USING cycler") {
     spark.sql("DROP TABLE IF EXISTS cycler_sql_test")
     spark.sql(
