@@ -184,7 +184,20 @@ object TextFunctions {
   def simhash(colName: String): Column = simhashOfHashes(
     s"transform(filter(split($colName, '\\\\s+'), t -> t != ''), t -> xxhash64(t))")
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** Portable 60-bit token hash: the first 15 hex digits of md5, parsed as
+    * an integer — deterministic AND replayable by any SQL engine with md5
+    * (DuckDB: `CAST('0x' || substring(md5(t),1,15) AS BIGINT)`), unlike
+    * xxhash64 whose family only Spark implements. Used by the simhash
+    * companion query so the banding/vote/hamming plumbing gets a
+    * hash-checked driver row. */
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  val md5Hash60Sql: String =
+    "CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)"
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // Bulk simhash via explode + 64 codegen'd vote sums (one token-hash per
     // row, no nested per-bit HOF re-scan), then a tiny (doc_id, sh64) table
     // is materialized so the bucket self-join doesn't recompute votes.
@@ -192,7 +205,7 @@ object TextFunctions {
     // no bit set), matching the HOF form on empty inputs.
     val exploded = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
     val bitAggs = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"v_$b")
@@ -216,9 +229,36 @@ object TextFunctions {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sh64").as("ha"), col("b.sh64").as("hb"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** DuckDB replay of [[simhashPairs]] over [[md5Hash60]] token hashes:
+    * per-bit ±1 votes via a 0..63 offset unnest, bit set where votes are
+    * positive, 4×16-bit chunk banding, hamming = bit_count(xor). */
+  def simhashMd5OracleSql(maxHamming: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+      h AS (SELECT doc_id, $md5Hash60Sql AS h FROM tok),
+      votes AS (SELECT doc_id, b,
+          sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, LATERAL (SELECT unnest(generate_series(0, 63)) AS b) g
+        GROUP BY 1, 2),
+      sh AS (SELECT doc_id,
+          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS sh64
+        FROM votes GROUP BY 1),
+      d AS (SELECT doc_id, COALESCE(sh64, 0) AS sh64
+        FROM documents LEFT JOIN sh USING (doc_id)),
+      chunks AS (SELECT doc_id, sh64, k, (sh64 >> (k * 16)) & 65535 AS chunk
+        FROM d, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) g),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.sh64 AS ha, b.sh64 AS hb
+        FROM chunks a JOIN chunks b
+          ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM pairs WHERE bit_count(xor(ha, hb)) <= $maxHamming
+      ORDER BY doc_a, doc_b"""
 }

@@ -240,6 +240,28 @@ object EventOps {
         .orderBy("event_type"),
       None),
 
+    // A11 companion: the deterministic columns of the sketch query, plus an
+    // accuracy GATE the driver can hash-check — the oracle asserts the HLL
+    // estimate lands within 5% of the exact count (constant 1); Spark
+    // computes the bound honestly, so a drifting sketch flips the flag to 0
+    // and fails the row. (ApproxSpec additionally pins relative error and
+    // partitioning-invariance.)
+    QueryDef("a11_distinct_portable",
+      (s, dir) => {
+        val est = expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+        val exact = count_distinct(col("user_id"))
+        ev(s, dir).groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            exact.as("exact_users"),
+            (abs(est - exact.cast("double")) <= exact.cast("double") * 0.05)
+              .cast("long").as("hll_within_5pct"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        count(DISTINCT user_id) AS exact_users,
+        CAST(1 AS BIGINT) AS hll_within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Q1-Q6 QC predicate bundle (battery/Qc.scala shapes phrased over the
     // events table so the QC aggregate gets a driver-checked row): null
     // count, value range, first→last drift, positivity, median threshold,

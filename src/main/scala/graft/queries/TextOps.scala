@@ -87,11 +87,21 @@ object TextOps {
         shingleLen = 5, threshold = 0.8),
       Some(jaccardOracleSql(0.8))),
 
-    // E2d: SimHash hamming-distance near-dup (hash-dependent → rows-only
+    // E2d: SimHash hamming-distance near-dup (xxhash64 family → rows-only
     // driver check; semantics verified on planted dups in DedupSpec)
     QueryDef("e2_simhash",
       (s, dir) => simhashPairs(docs(s, dir), maxHamming = 3),
       None),
+
+    // E2d companion: the SAME simhash pipeline (votes, chunk banding,
+    // hamming join) over a portable md5-derived 60-bit token hash, which
+    // DuckDB can replay — so the plumbing around the sketch gets a full
+    // hash-checked driver row; only the xxhash64 family itself stays
+    // rows-only above.
+    QueryDef("e2_simhash_md5",
+      (s, dir) => simhashPairs(docs(s, dir), maxHamming = 3,
+        tokenHash = md5Hash60),
+      Some(simhashMd5OracleSql(3))),
 
     // E4a: tokenization stats (HOF-only — no explode/shuffle per token)
     QueryDef("e4_token_stats",

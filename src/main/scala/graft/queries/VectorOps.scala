@@ -84,11 +84,15 @@ object VectorOps {
 
     // LSH-bucketed ANN (the 100 TB scale path): multi-table hyperplane sign
     // signatures → same-(table,bucket) candidates → exact cosine re-rank of
-    // the deduped candidate set. Probabilistic recall → rows-only driver
-    // check; recall vs brute force asserted in VectorSpec.
+    // the deduped candidate set. The hash family is deterministic float math
+    // (splitmix64-derived plane weights), so — like e3_ivf_ann — it gets a
+    // full DuckDB oracle: the planes are emitted as a literal table
+    // (E-notation so DuckDB types them DOUBLE, not DECIMAL) and the
+    // bucket → candidate → re-rank pipeline is replayed in SQL. Recall vs
+    // brute force is additionally asserted in VectorSpec.
     QueryDef("e3_lsh_ann",
       (s, dir) => lshAnnTopK(s, dir, nQueries = 50, k = 3),
-      None),
+      Some(lshAnnOracleSql)),
 
     // embedding-cosine near-DEDUP (the decision step on top of pair
     // finding): every vector whose cosine to a LOWER-id vector exceeds the
@@ -226,9 +230,49 @@ object VectorOps {
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
     OrderedOps.topKPerGroup(scored, Seq("q_id"),
         Seq(col("cos").desc, col("vec_id")), k)
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB replay of [[lshAnnTopK]] (nQueries=50, k=3, 8 tables × 6
+    * planes × 64 dims): the splitmix64 hyperplanes are a VALUES literal
+    * (every weight rendered in E-notation — a bare decimal literal would be
+    * typed DECIMAL and quantized), signatures are per-(vec, table) bit sums
+    * with plane p contributing bit p%6 of table p//6, and candidates form
+    * only on an exact (table, bucket) match — the same pipeline, so the
+    * driver hash-compares it like any deterministic query. */
+  private[queries] lazy val lshAnnOracleSql: String = {
+    def fmtD(d: Double): String = {
+      val s = java.lang.Double.toString(d) // shortest round-trip repr
+      if (s.indexOf('E') >= 0) s else s + "E0"
+    }
+    val planeRows = hyperplanes(8 * 6, 64).zipWithIndex.map { case (w, p) =>
+      s"($p, [${w.map(fmtD).mkString(",")}])"
+    }.mkString(",\n          ")
+    s"""$baseCte,
+        planes AS (SELECT * FROM (VALUES $planeRows) pl(p, w)),
+        pw AS (SELECT p, CAST(unnest(w) AS DOUBLE) AS wv,
+          unnest(generate_series(1, len(w))) AS i FROM planes),
+        proj AS (SELECT x.vec_id, pw.p, sum(x.v * pw.wv) AS proj
+          FROM x JOIN pw ON x.i = pw.i GROUP BY 1, 2),
+        sig AS (SELECT vec_id, p // 6 AS t,
+          CAST(sum(CASE WHEN proj > 0 THEN 1 << (p % 6) ELSE 0 END) AS BIGINT) AS b
+          FROM proj GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS q_id, s.vec_id
+          FROM sig q JOIN sig s ON q.t = s.t AND q.b = s.b AND s.vec_id <> q.vec_id
+          WHERE q.vec_id < 50),
+        dots AS (SELECT c.q_id, c.vec_id, sum(a.v * b.v) AS dot
+          FROM cand c JOIN x a ON a.vec_id = c.q_id
+          JOIN x b ON b.vec_id = c.vec_id AND a.i = b.i GROUP BY 1, 2),
+        scored AS (SELECT q_id, dots.vec_id AS n_id, dot / (na.nrm * nb.nrm) AS cos
+          FROM dots JOIN norms na ON q_id = na.vec_id
+          JOIN norms nb ON dots.vec_id = nb.vec_id),
+        ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+        SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
   }
 
   /** Brute-force exact top-k (test baseline for recall measurements). */
