@@ -54,6 +54,9 @@ object BatteryPipeline {
     outDir.foreach { d =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$d/${cellId}_report.md"), report)
+      // S8 quick plots (reference's plot_capacity/plot_ce PNGs, emitted as
+      // SVG): driver-side from the already-persisted per-cycle features
+      QuickPlots.write(features, cellId, d)
     }
     Result(canonical, features, summary, report)
   }
