@@ -36,6 +36,24 @@ class CyclerSourceSpec extends SparkSpec {
       direct.collect().map(_.toSeq).toSeq.sortBy(_.toString))
   }
 
+  test("filters push into the relation and results stay correct") {
+    val viaSource = spark.read.format("cycler").option("path", csv).load()
+    val q = viaSource.filter("cycle_index > 1 AND voltage_v IS NOT NULL")
+      .select("cycle_index", "voltage_v")
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the scan node must report pushed filters (translation happened)
+    assert(scans.head.metadata.getOrElse("PushedFilters", "[]") != "[]",
+      s"no filters pushed: ${scans.head.metadata}")
+    val direct = Normalize(spark, csv)
+      .filter("cycle_index > 1 AND voltage_v IS NOT NULL")
+      .select("cycle_index", "voltage_v")
+    assert(q.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      direct.collect().map(_.toSeq).toSeq.sortBy(_.toString))
+  }
+
   test("SQL: CREATE TABLE ... USING cycler") {
     spark.sql("DROP TABLE IF EXISTS cycler_sql_test")
     spark.sql(
