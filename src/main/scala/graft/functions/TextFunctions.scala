@@ -62,20 +62,43 @@ object TextFunctions {
        generate_series(1, greatest(length(text) - ${n - 1}, 0)),
        i -> substring(text, CAST(i AS INT), $n)))"""
 
-  /** Brute-force exact n-gram Jaccard oracle (5-grams), same output schema as
-    * the engine's posting-list and MinHash queries. */
-  def jaccardOracleSql(threshold: Double, where: String = "TRUE"): String =
-    s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(5)}) AS s
+  /** Shared CTE chain ending in `jp(doc_a, doc_b, jaccard)` — the exact
+    * 5-gram Jaccard pairs of `documents WHERE where` at `threshold`. */
+  private def jaccardPairsCte(threshold: Double, where: String): String =
+    s"""sh AS (SELECT doc_id, unnest(${shinglesSql(5)}) AS s
         FROM documents WHERE $where),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-        round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-      FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold
-      ORDER BY doc_a, doc_b"""
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      jp AS (SELECT doc_a, doc_b,
+          CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold)"""
+
+  /** Brute-force exact n-gram Jaccard oracle (5-grams), same output schema as
+    * the engine's posting-list and MinHash queries. */
+  def jaccardOracleSql(threshold: Double, where: String = "TRUE"): String =
+    s"""WITH ${jaccardPairsCte(threshold, where)}
+      SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+      FROM jp ORDER BY doc_a, doc_b"""
+
+  /** DuckDB replay of the connected-components cluster query: transitive
+    * closure of the Jaccard pair graph via a recursive CTE (labels = every
+    * id reachable from a vertex; component id = the min), sizes joined on.
+    * Matches [[graft.operators.ConnectedComponents.clusters]]'s fixpoint. */
+  def ccClustersOracleSql(threshold: Double, where: String): String =
+    s"""WITH RECURSIVE ${jaccardPairsCte(threshold, where)},
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        UNION ALL SELECT doc_b, doc_a FROM jp),
+      reach AS (SELECT DISTINCT a AS id, a AS label FROM edges
+        UNION
+        SELECT e.b AS id, r.label FROM reach r JOIN edges e ON r.id = e.a),
+      lab AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+        GROUP BY cluster_id)
+      SELECT l.id AS doc_id, l.cluster_id, sz.cluster_size
+      FROM lab l JOIN sz USING (cluster_id) ORDER BY doc_id"""
 
   /** Language-ID oracle: same stopword scoring + same argmax chain. */
   val langIdOracleSql: String = {

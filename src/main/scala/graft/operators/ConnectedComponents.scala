@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the transitive-closure
+  * step a dedup pipeline needs on top of pair finding: near-dup PAIRS (from
+  * MinHash/LSH banding, SimHash, or exact Jaccard) chain into CLUSTERS
+  * (a~b, b~c ⇒ {a,b,c}), and the keeper rule ("keep the min-id doc per
+  * cluster") must act on the cluster, not the pair, or chained duplicates
+  * survive. The reference has no graph step (its dedup is single-table
+  * `drop_duplicates`, /root/reference/pipeline.py:107); this is the
+  * corpus-scale generalization.
+  *
+  * Algorithm: iterative min-label propagation to a fixpoint.
+  * `label(v) ← min(label(v), min over neighbors' labels)`, repeated until no
+  * label changes. Each round is ONE shuffle (a groupBy on the destination
+  * id); lineage is truncated per round with `localCheckpoint` so the plan
+  * stays O(1) deep regardless of iteration count — without it the plan
+  * doubles per round and Catalyst analysis time explodes by round ~10.
+  *
+  * 100 TB posture: rounds = graph diameter, and near-dup graphs are
+  * star-like (duplicate families chain through a hub), so convergence is
+  * 2-4 rounds in practice. The state that shuffles is (id, label) — two
+  * longs per vertex in the PAIR GRAPH (docs that matched at least one other
+  * doc), typically orders of magnitude smaller than the corpus. For
+  * adversarial long-chain graphs the standard fix is pointer doubling
+  * (large-star/small-star, O(log n) rounds); the hook here is the same loop
+  * with a label→label self-join added, which this deliberately omits until a
+  * workload needs it.
+  */
+object ConnectedComponents {
+
+  /** Min-id component label per vertex of the undirected graph given by
+    * `(src, dst)` pairs. Returns `(id, label)` — `label` = the smallest
+    * vertex id in the component. Deterministic: the fixpoint is unique.
+    *
+    * @param maxIter hard cap on propagation rounds (safety valve — the loop
+    *                exits early the first round nothing changes)
+    */
+  def minLabel(edges: DataFrame, src: String, dst: String,
+               maxIter: Int = 25): DataFrame = {
+    // materialize the (possibly expensive) edge pipeline ONCE before
+    // mirroring: a union of two selects over the same subtree executes that
+    // subtree twice — for a pair-finding input that doubles the dominant cost
+    val e = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    // both directions, so "neighbor min" sees the full undirected adjacency
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // vertex init fused with round 1: label₀ = min(id, min neighbor) costs
+    // the same shuffle a plain distinct-vertices init would, but already
+    // carries labels one hop
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
+      .localCheckpoint()
+    var it = 1
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("a") === labels("id"))
+        .groupBy(col("b").as("nid"))
+        .agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      // convergence = an aggregate over the label table (no data collect)
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
+      it += 1
+    }
+    labels
+  }
+
+  /** [[minLabel]] plus per-cluster size — the direct input to a
+    * cluster-keeper dedup decision (`keep id == label`, drop the rest). */
+  def clusters(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val labeled = minLabel(edges, src, dst)
+    val sizes = labeled.groupBy(col("label").as("l"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, labeled("label") === sizes("l"))
+      .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+}

@@ -31,6 +31,26 @@ object AnalyticsOps {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")),
 
+    // full CUBE (every grouping-set combination): the general grouping-sets
+    // surface next to r1's ROLLUP. Spark expands the cube before the
+    // aggregate, so partial aggregation still applies per grouping set and
+    // the shuffle carries ~|sets| × |groups| rows, not the fact table.
+    QueryDef("r4_cube",
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Carriers.micros(
+            sum(col("l_extendedprice").cast("decimal(18,6)"))).as("price_micros"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+          col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        ${graft.functions.Carriers.microsSql("sum(CAST(l_extendedprice AS DECIMAL(18,6)))")} AS price_micros,
+        GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")),
+
     QueryDef("r2_pivot",
       (s, dir) => Tables.events(s, dir)
         .filter(col("user_id") < 50)

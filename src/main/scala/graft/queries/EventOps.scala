@@ -262,6 +262,33 @@ object EventOps {
         CAST(1 AS BIGINT) AS hll_within_5pct
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // A9's other scale path: sketch-based QUANTILES. Exact percentile holds
+    // every value per group in memory; approx_percentile carries a
+    // fixed-size Greenwald-Khanna summary through map-side partial
+    // aggregation with a guaranteed rank error (≤ 1/accuracy = 0.1% here).
+    // Gate pattern as a11_distinct_portable: the deterministic columns are
+    // exact percentiles the oracle replays; the sketch's estimate is checked
+    // against a rank-error band far looser than its guarantee (exact p88 ≤
+    // approx p90 ≤ exact p92), emitted as a flag the oracle asserts is 1 —
+    // a drifting sketch flips the flag and fails the driver hash.
+    QueryDef("a12_quantile_portable",
+      (s, dir) => {
+        val ap = expr("approx_percentile(value, 0.9, 1000)")
+        ev(s, dir).groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+            round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+            (ap >= expr("percentile(value, 0.88)") &&
+              ap <= expr("percentile(value, 0.92)"))
+              .cast("long").as("approx_in_rank_band"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        round(quantile_cont(value, 0.9), 6) AS p90_exact,
+        CAST(1 AS BIGINT) AS approx_in_rank_band
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Q1-Q6 QC predicate bundle (battery/Qc.scala shapes phrased over the
     // events table so the QC aggregate gets a driver-checked row): null
     // count, value range, first→last drift, positivity, median threshold,

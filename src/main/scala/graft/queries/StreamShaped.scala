@@ -132,6 +132,33 @@ object StreamShaped {
           FROM documents) t
         GROUP BY lang, bin ORDER BY lang, bin""")),
 
+    // E8c: deterministic STRATIFIED sampling — per-stratum rates via a
+    // portable md5-derived hash threshold (same md5Hash60 family as the
+    // simhash companion, so DuckDB replays it bit-for-bit). Fully map-side:
+    // no shuffle, no TABLESAMPLE nondeterminism, reproducible across runs
+    // and engines, and the per-stratum keep rate is exact in expectation at
+    // any scale. Salting the hash input with the stratum decorrelates
+    // sampling decisions across strata for ids that repeat.
+    QueryDef("e8_stratified_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val h = graft.functions.TextFunctions.md5Hash60(
+          concat(col("lang"), lit(":"), col("doc_id").cast("string")))
+        val permille = when(col("lang") === "en", 500L).otherwise(200L)
+        Tables.documents(s, dir)
+          .withColumn("bucket", h % 1000)
+          .filter(col("bucket") < permille)
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, h % 1000 AS bucket FROM (
+          SELECT doc_id, lang,
+            CAST('0x' || substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) AS h
+          FROM documents) t
+        WHERE h % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        ORDER BY doc_id""")),
+
     // E5: JSON property extraction from the event props column
     QueryDef("e5_json_props",
       (s, dir) => {

@@ -21,6 +21,28 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** Exact 5-gram Jaccard pairs over `bounded` via the shingle posting-list
+    * join (pairs only materialize for docs sharing a shingle). Shared by the
+    * pair query (e2_ngram_jaccard) and the cluster query (e2_cc_clusters).
+    * Returns (doc_a, doc_b, jaccard) unrounded, filtered at `threshold`. */
+  private def jaccardPairs(bounded: DataFrame, threshold: Double): DataFrame = {
+    val sh = bounded
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // E1: exact dedup with deterministic keeper (min doc_id per key)
@@ -52,26 +74,27 @@ object TextOps {
     // Exact join-based Jaccard is therefore the bounded-bucket verifier here;
     // the corpus-scale candidate path is e2_minhash_lsh.
     QueryDef("e2_ngram_jaccard",
-      (s, dir) => {
-        val sh = docs(s, dir).filter(col("doc_id") < 500)
-          .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sizes.withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("n", "na"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("n", "nb"), "doc_b")
-          .withColumn("jaccard",
-            col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= 0.3)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => jaccardPairs(docs(s, dir).filter(col("doc_id") < 500), 0.3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
       Some(jaccardOracleSql(0.3, where = "doc_id < 500"))),
+
+    // E2e: near-dup CLUSTERS — connected components over the exact-Jaccard
+    // pair graph (same bounded slice as e2_ngram_jaccard). Pair finding alone
+    // under-dedups: a~b and b~c chain into {a,b,c} even when (a,c) never
+    // matched, and the keeper decision must act on the whole cluster. The
+    // min-label-propagation fixpoint is unique, so the driver hash-checks it
+    // against a DuckDB recursive-CTE transitive closure of the same pairs.
+    QueryDef("e2_cc_clusters",
+      (s, dir) => {
+        val pairs = jaccardPairs(docs(s, dir).filter(col("doc_id") < 500), 0.3)
+          .select("doc_a", "doc_b")
+        graft.operators.ConnectedComponents.clusters(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(ccClustersOracleSql(0.3, where = "doc_id < 500"))),
 
     // E2c: MinHash + LSH banding, then exact-Jaccard verification of the
     // banded candidates. Band shape is tuned to this corpus's unusually high
@@ -213,6 +236,41 @@ object TextOps {
             i -> substring(text, CAST(i AS INT), 8))))) AS h
           FROM documents) t
         GROUP BY doc_id ORDER BY doc_id""")),
+
+    // E4f: TF-IDF top-3 terms per document. tf and df are shuffle-light
+    // (both groupBys partial-aggregate map-side; ~1 row per (doc, term) and
+    // per term cross the wire), the corpus size is a broadcast 1-row
+    // aggregate, and the per-doc top-k is WindowGroupLimit — no sort of the
+    // full scored table. Smoothed idf: ln((N+1)/(df+1)) + 1.
+    QueryDef("e4_tfidf",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "t")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", col("tf") *
+            (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+        graft.operators.OrderedOps.topKPerGroup(scored, Seq("doc_id"),
+            Seq(col("tfidf").desc, col("t")), k = 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("t").as("term"), round(col("tfidf"), 6).as("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, t,
+            tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+          FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+        ranked AS (SELECT doc_id, t, tfidf, row_number() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rank FROM scored)
+        SELECT doc_id, rank, t AS term, round(tfidf, 6) AS tfidf
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
     // E5-adjacent: opaque binary payload plumbing (multimodal column model):
     // text → binary column, byte length + content digest

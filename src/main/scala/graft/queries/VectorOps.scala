@@ -167,7 +167,44 @@ object VectorOps {
         ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
           PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
         SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim
-        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // per-cluster centroid embeddings (k-means-style update step / cluster
+    // summarization): nearest-centroid assignment (broadcast quantizer, one
+    // row per vector through the shuffle), then a per-(cluster, dim) mean.
+    // Dimension sums ride a DECIMAL carrier so they are exact and
+    // order-independent — a plain double sum would make the result depend on
+    // partition merge order at scale. Output is one row per (cluster, dim):
+    // ~nlist × dim rows, tiny at any corpus size.
+    QueryDef("e3_centroids",
+      (s, dir) => {
+        val all = emb(s, dir)
+        val assign = nearestCentroid(all, centroidSet(all, 16))
+        all.join(assign, "vec_id")
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("x").cast("decimal(27,10)")).cast("double")
+              / count(lit(1)), 6).as("centroid"))
+          .select(col("cluster"), col("pos").cast("long").as("pos"),
+            col("n"), col("centroid"))
+          .orderBy("cluster", "pos")
+      },
+      Some(s"""$baseCte,
+        cd AS (SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+          FROM x a JOIN x b ON a.i = b.i WHERE b.vec_id < 16 GROUP BY 1, 2),
+        cs AS (SELECT vid, c_id, dot / (na.nrm * nb.nrm) AS c_cos
+          FROM cd JOIN norms na ON vid = na.vec_id
+          JOIN norms nb ON c_id = nb.vec_id),
+        assign AS (SELECT vid AS vec_id, c_id AS cluster FROM (
+          SELECT vid, c_id, row_number() OVER (
+            PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs) t
+          WHERE rn = 1)
+        SELECT cluster, i - 1 AS pos, count(*) AS n,
+          round(CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+            AS centroid
+        FROM x JOIN assign USING (vec_id)
+        GROUP BY 1, 2 ORDER BY cluster, pos"""))
   )
 
   /** IVF ANN: nlist lowest-id vectors act as the coarse quantizer (a
@@ -178,20 +215,32 @@ object VectorOps {
     * nprobe nearest centroids and exact-rerank only their inverted lists.
     * At 100 TB: centroids stay broadcast-size (nlist ~ sqrt(n)), assignment
     * is map-side, and the candidate join shuffles on `cluster`. */
-  def ivfAnnTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
-                 nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val all = emb(s, dir)
-    val cents = broadcast(all.filter(col("vec_id") < nlist)
+  /** The broadcast coarse quantizer: the `nlist` lowest-id vectors. */
+  private def centroidSet(all: DataFrame, nlist: Int): DataFrame =
+    broadcast(all.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nrm").as("cn")))
-    def centScored(df: DataFrame): DataFrame = df.crossJoin(cents)
+
+  /** Score every row of `df` against every broadcast centroid. */
+  private def centScored(df: DataFrame, cents: DataFrame): DataFrame =
+    df.crossJoin(cents)
       .withColumn("c_cos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
-    val assign = centScored(all)
+
+  /** Nearest-centroid assignment `(vec_id, cluster)` — a partial-aggregating
+    * max_by, so exactly one row per vector crosses the shuffle. */
+  private def nearestCentroid(all: DataFrame, cents: DataFrame): DataFrame =
+    centScored(all, cents)
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
         .as("cluster"))
+
+  def ivfAnnTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val all = emb(s, dir)
+    val cents = centroidSet(all, nlist)
+    val assign = nearestCentroid(all, cents)
     val probeTop = OrderedOps.topKPerGroup(
-        centScored(all.filter(col("vec_id") < nQueries)),
+        centScored(all.filter(col("vec_id") < nQueries), cents),
         Seq("vec_id"), Seq(col("c_cos").desc, col("c_id")), nprobe)
       .select(col("vec_id").as("q_id"), col("c_id").as("cluster"))
     val candIds = probeTop.join(assign, Seq("cluster"))
