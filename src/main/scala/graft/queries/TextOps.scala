@@ -66,6 +66,32 @@ object TextOps {
         count(*) AS n, min(doc_id) AS keeper_doc
         FROM documents GROUP BY 1 ORDER BY h""")),
 
+    // E1b: INCREMENTAL dedup — the arriving-batch form every production
+    // pipeline actually runs: new docs (id ≥ 400 here) are dropped when
+    // their content signature already exists in the historical corpus
+    // (id < 400), then self-deduped within the batch. The corpus side is
+    // exactly the persisted signature table (one hash column), the batch
+    // anti-joins against it on the hash — one key shuffle, no text moves —
+    // and at 100 TB the signature store is bucketed on h so the anti join
+    // co-locates without a corpus-side shuffle at all.
+    QueryDef("e1_dedup_incremental",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("h", md5(normText(col("text"))))
+        val corpus = d.filter(col("doc_id") < 400).select("h").distinct()
+        val batch = d.filter(col("doc_id") >= 400)
+        batch.join(corpus, Seq("h"), "left_anti")
+          .groupBy("h")
+          .agg(min("doc_id").as("keeper_doc"), count(lit(1)).as("n_in_batch"))
+          .orderBy("keeper_doc")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+          FROM documents)
+        SELECT h, min(doc_id) AS keeper_doc, count(*) AS n_in_batch
+        FROM d WHERE doc_id >= 400
+          AND h NOT IN (SELECT DISTINCT h FROM d WHERE doc_id < 400)
+        GROUP BY h ORDER BY keeper_doc""")),
+
     // E2b: exact n-gram Jaccard via shingle posting-list join. Bounded to a
     // fixed doc slice: this synthetic corpus draws from a ~31-word vocabulary,
     // so its ~2000-shingle space makes posting lists pathologically hot (sum
@@ -237,6 +263,41 @@ object TextOps {
           FROM documents) t
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // E2f: benchmark DECONTAMINATION — the eval-leakage check run before
+    // training: a doc is contaminated when it shares any 8-gram with the
+    // benchmark set (docs 0-9 stand in for the eval corpus). The benchmark
+    // shingle set is tiny at any corpus size → it broadcasts, the overlap
+    // join is map-side against the broadcast, and only matching (doc,
+    // shingle) rows reach the per-doc count shuffle (~hits, not corpus
+    // rows). ShingleSet emits distinct shingles, so the count is the number
+    // of distinct shared 8-grams with no extra dedup pass.
+    QueryDef("e2_decontaminate",
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
+        val bench = broadcast(
+          sh.filter(col("doc_id") < 10).select("sh").distinct())
+        val hits = sh.filter(col("doc_id") >= 10).join(bench, "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        docs(s, dir).filter(col("doc_id") >= 10).select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_shared_8grams"),
+            (coalesce(col("n_hits"), lit(0L)) > 0).cast("long")
+              .as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(8)}) AS s
+          FROM documents),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+        hits AS (SELECT doc_id, count(*) AS n_hits FROM sh
+          WHERE doc_id >= 10 AND s IN (SELECT s FROM bench)
+          GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_shared_8grams,
+          CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id >= 10 ORDER BY d.doc_id""")),
+
     // E4f: TF-IDF top-3 terms per document. tf and df are shuffle-light
     // (both groupBys partial-aggregate map-side; ~1 row per (doc, term) and
     // per term cross the wire), the corpus size is a broadcast 1-row
@@ -271,6 +332,26 @@ object TextOps {
           PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rank FROM scored)
         SELECT doc_id, rank, t AS term, round(tfidf, 6) AS tfidf
         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // E4g: PII-style redaction — the rewrite form of text cleaning (numbers
+    // → a placeholder token here; the same shape carries email/phone/ID
+    // patterns). Pure per-row map, no shuffle; emitted as deterministic
+    // counts + the redacted length so the driver hash-checks the rewrite
+    // without embedding full text in the result.
+    QueryDef("e4_redact",
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          length(regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+            .cast("long").as("redacted_len"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_redactions"),
+          length(col("text")).cast("long").as("orig_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_len,
+        len(regexp_extract_all(text, '[0-9]+')) AS n_redactions,
+        length(text) AS orig_len
+        FROM documents ORDER BY doc_id""")),
 
     // E5-adjacent: opaque binary payload plumbing (multimodal column model):
     // text → binary column, byte length + content digest
