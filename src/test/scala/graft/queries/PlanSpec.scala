@@ -93,6 +93,40 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one key shuffle, saw $keyExchanges:\n$p")
   }
 
+  test("e2 decontamination probes a broadcast benchmark set (map-side)") {
+    val p = plan("e2_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast — a shuffled overlap join would " +
+        s"move the corpus:\n$p")
+  }
+
+  test("e8 stratified sample plans no exchange (pure map-side filter)") {
+    val p = plan("e8_stratified_sample")
+    // orderBy plans a range Exchange for output ordering; the FILTER itself
+    // must not hash-shuffle anything
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash-threshold sampling must not shuffle:\n$p")
+  }
+
+  test("e4 tfidf prunes per-doc top-k inside the shuffle (WindowGroupLimit)") {
+    val p = plan("e4_tfidf")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must prune before the final sort:\n$p")
+  }
+
+  test("e3 centroids assignment aggregates partially (1 row/vector)") {
+    val p = plan("e3_centroids")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      s"nearest-centroid max_by must combine map-side:\n$p")
+  }
+
+  test("e1 incremental dedup anti-joins on the hash, never a loop join") {
+    val p = plan("e1_dedup_incremental")
+    assert(p.contains("LeftAnti"), s"must plan an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"anti join must be hash/broadcast-hash on h:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
