@@ -85,6 +85,21 @@ object StreamShaped {
       Some("""SELECT user_id, count(DISTINCT event_type) AS n_types
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // E7e: the stream-stream interval join's batch twin (purchase ⋈ views of
+    // the same user within the preceding hour). The streaming runner
+    // (EventsStreaming.runStreamJoin) executes this same function with
+    // watermarks on both sides; StreamingSpec pins stream/batch parity.
+    QueryDef("e7_stream_join",
+      (s, dir) => EventsStreaming.recentViewPairs(Tables.events(s, dir))
+        .orderBy("purchase_id", "view_id"),
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+          v.event_id AS view_id, epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        FROM events p JOIN events v ON p.user_id = v.user_id
+          AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+          AND epoch_us(v.ts) < epoch_us(p.ts)
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        ORDER BY purchase_id, view_id""")),
+
     // E8a: deterministic train/val/test hash split (Knuth multiplicative
     // hash — exact 64-bit integer arithmetic, portable to any SQL engine;
     // the scalable, reproducible alternative to TABLESAMPLE)

@@ -86,6 +86,43 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-stream interval join shape (purchase ⋈ views of the same user in
+    * the preceding hour): the equi-key (`user_id`) keeps it a hash join with
+    * a residual time predicate — state shuffles on the key, and the time
+    * bound is exactly what lets streaming state expire (each view is held at
+    * most 1 h past the watermark). Batch and stream run this same function.
+    * µs integer time math so the DuckDB oracle replays it exactly. */
+  def recentViewPairs(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_utc").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_utc").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  /** Streaming runner for [[recentViewPairs]]: one file source branched into
+    * two watermarked sides, joined stream-stream with the interval
+    * condition, appended to a memory sink. */
+  def runStreamJoin(spark: SparkSession, dir: String,
+                    queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+    recentViewPairs(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   /** Streaming key-dedup: watermark + dropDuplicatesWithinWatermark — the
     * real streaming form of [[distinctKeyCounts]]; late duplicates beyond the
     * watermark are dropped by state expiry at scale. */

@@ -48,6 +48,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch transform") {
+    val q = EventsStreaming.runStreamJoin(spark, dir, "stream_join_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_join_test")
+        .collect().map(_.toSeq).toSet
+      val batch = EventsStreaming.recentViewPairs(Tables.events(spark, dir))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running accumulator matches batch aggregates") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)
