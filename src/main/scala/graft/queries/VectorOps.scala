@@ -204,7 +204,33 @@ object VectorOps {
           round(CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
             AS centroid
         FROM x JOIN assign USING (vec_id)
-        GROUP BY 1, 2 ORDER BY cluster, pos"""))
+        GROUP BY 1, 2 ORDER BY cluster, pos""")),
+
+    // int8 scalar quantization — the embedding-compression step a
+    // corpus-scale ANN index runs before storage (4× memory cut, distance
+    // math on int8 with one per-vector rescale). Per-vector max-abs is a
+    // per-row array reduction (map-side, no shuffle); quantized codes are
+    // round(v / max_abs × 127). Deterministic double math → full oracle.
+    QueryDef("e3_quantize",
+      (s, dir) => {
+        val all = emb(s, dir).withColumn("max_abs",
+          array_max(transform(col("v"), x => abs(x))))
+        all.select(col("vec_id"), col("max_abs"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            when(col("max_abs") === 0, lit(0L))
+              .otherwise(round(col("x") / col("max_abs") * 127, 0)
+                .cast("long")).as("q"),
+            round(col("max_abs"), 6).as("scale"))
+          .orderBy("vec_id", "pos")
+      },
+      Some(s"""$baseCte,
+        ma AS (SELECT vec_id, max(abs(v)) AS max_abs FROM x GROUP BY vec_id)
+        SELECT x.vec_id, i - 1 AS pos,
+          CAST(CASE WHEN max_abs = 0 THEN 0
+            ELSE round(v / max_abs * 127) END AS BIGINT) AS q,
+          round(max_abs, 6) AS scale
+        FROM x JOIN ma USING (vec_id) ORDER BY vec_id, pos"""))
   )
 
   /** IVF ANN: nlist lowest-id vectors act as the coarse quantizer (a
