@@ -373,6 +373,80 @@ object RelationalOps {
         FROM orders WHERE o_custkey < 200) t
         WHERE rank <= 3 ORDER BY o_custkey, rank""")),
 
+    // TPC-H Q17 shape: correlated scalar subquery (rows below 20% of their
+    // group's average). Spark-first spelling is the DECORRELATED form — one
+    // per-key aggregate joined back on the key (a single key shuffle; at
+    // scale the stats side is tiny-per-key and AQE picks the join strategy)
+    // — while the oracle keeps the textbook correlated subqueries, proving
+    // the rewrite. The threshold compare is exact integer/decimal math
+    // (q·5·cnt < sum, not q < 0.2·avg) so no float boundary can flip a row
+    // between engines.
+    QueryDef("j5_correlated",
+      (s, dir) => {
+        val lq = Tables.lineitem(s, dir).select(col("l_partkey"),
+          dec("l_quantity").as("q"), col("l_extendedprice"))
+        val stats = lq.groupBy("l_partkey")
+          .agg(sum("q").as("sumq"), count(lit(1)).as("cnt"))
+        lq.join(stats, "l_partkey")
+          .filter(col("q") * 5 * col("cnt") < col("sumq"))
+          .agg(micros(sum(dec("l_extendedprice"))).as("total_micros"),
+            count(lit(1)).as("n_below"))
+      },
+      Some(s"""SELECT
+        ${microsSql("sum(CAST(l_extendedprice AS DECIMAL(18,6)))")} AS total_micros,
+        count(*) AS n_below
+        FROM lineitem l1
+        WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 *
+            (SELECT count(*) FROM lineitem l2
+             WHERE l2.l_partkey = l1.l_partkey)
+          < (SELECT sum(CAST(l_quantity AS DECIMAL(18,6))) FROM lineitem l2
+             WHERE l2.l_partkey = l1.l_partkey)""")),
+
+    // R5: unpivot/melt — wide metrics to (key, metric, value) long form, the
+    // inverse of r2_pivot. Map-side only (each input row emits k output
+    // rows, no shuffle). Oracle is the portable UNION ALL spelling.
+    QueryDef("r5_unpivot",
+      (s, dir) => Tables.part(s, dir)
+        .filter(col("p_partkey") <= 50)
+        .select(col("p_partkey"),
+          col("p_size").cast(DoubleType).as("size"),
+          col("p_retailprice").as("retail"),
+          length(col("p_name")).cast(DoubleType).as("name_len"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retail"), col("name_len")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, metric, value FROM (
+          SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+            FROM part WHERE p_partkey <= 50
+          UNION ALL SELECT p_partkey, 'retail', p_retailprice
+            FROM part WHERE p_partkey <= 50
+          UNION ALL SELECT p_partkey, 'name_len', CAST(length(p_name) AS DOUBLE)
+            FROM part WHERE p_partkey <= 50) t
+        ORDER BY p_partkey, metric""")),
+
+    // R6: explicit GROUPING SETS with grouping_id — the general form behind
+    // r1_rollup/r4_cube (one pass, Expand feeds a single partial-aggregated
+    // shuffle). gid disambiguates "grouped-out" from "genuinely NULL key".
+    QueryDef("r6_grouping_sets",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(LongType).as("gid"),
+          count(lit(1)).as("n"),
+          micros(sum(dec("l_quantity"))).as("qty_micros"))
+        .select("gid", "l_returnflag", "l_linestatus", "n", "qty_micros")
+        .orderBy("gid", "l_returnflag", "l_linestatus"),
+      Some(s"""SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        l_returnflag, l_linestatus, count(*) AS n,
+        ${microsSql("sum(CAST(l_quantity AS DECIMAL(18,6)))")} AS qty_micros
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus""")),
+
     // S6/C12: multi-source scan with per-file provenance
     QueryDef("s6_source_tagging",
       (s, dir) => {

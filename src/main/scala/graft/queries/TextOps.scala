@@ -353,6 +353,93 @@ object TextOps {
         length(text) AS orig_len
         FROM documents ORDER BY doc_id""")),
 
+    // E4h: repetition signals — the Gopher/RefinedWeb within-document
+    // quality gates (duplicate-token ratio, most-frequent-token fraction,
+    // most-frequent-bigram fraction). Both term tables partial-aggregate
+    // map-side, so ~1 row per (doc, term) crosses the wire and the per-doc
+    // rollup is ~1 row/doc — no corpus-sized shuffle. The `repetitive` flag
+    // is computed from the UNROUNDED fraction on both sides so a boundary
+    // value can't flip between engines.
+    QueryDef("e4_repetition",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(toks).as("t"))
+        val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val ts = tf.groupBy("doc_id").agg(
+          sum("tf").as("n_tokens"), count(lit(1)).as("n_unique"),
+          max("tf").as("top_tf"))
+        val bgArr = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val bg = docs(s, dir).select(col("doc_id"), explode(bgArr).as("b"))
+        val bf = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("bf"))
+        val bs = bf.groupBy("doc_id").agg(
+          sum("bf").as("n_bigrams"), max("bf").as("top_bf"))
+        val topBgFrac = coalesce(
+          col("top_bf").cast(DoubleType) / col("n_bigrams"), lit(0.0))
+        ts.join(bs, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            round(lit(1.0) - col("n_unique").cast(DoubleType) / col("n_tokens"), 6)
+              .as("dup_token_ratio"),
+            round(col("top_tf").cast(DoubleType) / col("n_tokens"), 6)
+              .as("top_token_frac"),
+            round(topBgFrac, 6).as("top_bigram_frac"),
+            (topBgFrac > 0.18).cast("long").as("repetitive"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        ts AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            count(*) AS n_unique, max(tf) AS top_tf FROM tf GROUP BY 1),
+        bg AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, len($tokensSql) - 1),
+            i -> ($tokensSql)[i] || ' ' || ($tokensSql)[i + 1])) AS b
+          FROM documents),
+        bf AS (SELECT doc_id, b, count(*) AS bf FROM bg GROUP BY 1, 2),
+        bs AS (SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+            max(bf) AS top_bf FROM bf GROUP BY 1)
+        SELECT ts.doc_id,
+          round(1.0 - CAST(n_unique AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+          round(CAST(top_tf AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+          round(coalesce(CAST(top_bf AS DOUBLE) / n_bigrams, 0.0), 6)
+            AS top_bigram_frac,
+          CAST(coalesce(CAST(top_bf AS DOUBLE) / n_bigrams, 0.0) > 0.18
+            AS BIGINT) AS repetitive
+        FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        ORDER BY ts.doc_id""")),
+
+    // E2g: corpus-duplicated n-gram coverage — for each doc, the fraction of
+    // its distinct 8-grams that also occur in ≥1 OTHER doc (the corpus-level
+    // repetition signal behind "remove docs made of boilerplate"). ShingleSet
+    // emits per-doc-distinct shingles, so document frequency is a plain
+    // count per shingle (map-side partial agg → ~1 row per distinct shingle
+    // on the wire); the posting-list join back is keyed on the shingle and
+    // the per-doc rollup ships ~1 row/doc. Same shape at 100 TB.
+    QueryDef("e2_dup_ngrams",
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        sh.join(dfreq, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum((col("df") >= 2).cast("long")).as("n_dup"),
+            round(sum((col("df") >= 2).cast("long")).cast(DoubleType)
+              / count(lit(1)), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(8)}) AS s
+          FROM documents),
+        dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        SELECT doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS dup_frac
+        FROM sh JOIN dfreq USING (s) GROUP BY doc_id ORDER BY doc_id""")),
+
     // E5-adjacent: opaque binary payload plumbing (multimodal column model):
     // text → binary column, byte length + content digest
     QueryDef("mm_binary_meta",
