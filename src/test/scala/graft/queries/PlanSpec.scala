@@ -127,6 +127,41 @@ class PlanSpec extends SparkSpec {
       s"anti join must be hash/broadcast-hash on h:\n$p")
   }
 
+  test("e4 repetition term tables aggregate partially before their exchange") {
+    val p = plan("e4_repetition")
+    assert(p.contains("partial_"),
+      s"term counts must collapse map-side, ~1 row/(doc,term) on the wire:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("e2 dup-ngram coverage joins postings on the shingle, never a loop join") {
+    val p = plan("e2_dup_ngrams")
+    assert(p.contains("partial_"),
+      s"df counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"posting-list join must be a hash join on sh:\n$p")
+  }
+
+  test("r6 grouping sets runs one Expand pass, not one scan per set") {
+    val p = plan("r6_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must plan an Expand:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single lineitem scan, saw $scans:\n$p")
+  }
+
+  test("j5 correlated-subquery rewrite joins once on the key (no subquery re-scan per row)") {
+    val p = plan("j5_correlated")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"decorrelated form scans lineitem at most twice:\n$p")
+  }
+
+  test("r5 unpivot is map-side (no hash exchange)") {
+    val p = plan("r5_unpivot")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"melt must not shuffle:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
