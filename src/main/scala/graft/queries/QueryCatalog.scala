@@ -10,7 +10,7 @@ object QueryCatalog {
 
   def all: Seq[QueryDef] =
     EventOps.defs ++ RelationalOps.defs ++ TextOps.defs ++ VectorOps.defs ++
-      StreamShaped.defs ++ AnalyticsOps.defs
+      StreamShaped.defs ++ AnalyticsOps.defs ++ MultimodalOps.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.query).toMap

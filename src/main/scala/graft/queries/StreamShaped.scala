@@ -174,6 +174,42 @@ object StreamShaped {
         WHERE h % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
         ORDER BY doc_id""")),
 
+    // E8d: Z-ORDER layout — the multi-column data-clustering write a 100 TB
+    // table runs so range predicates on EITHER key prune files (Delta/Iceberg
+    // OPTIMIZE ZORDER). The curve math is the operator: interleave the low
+    // 16 bits of both keys so near points on (partkey, suppkey) are near on
+    // the 1-D z line; at scale the z column feeds
+    // repartitionByRange(z).sortWithinPartitions(z) before the parquet write
+    // (boundary sampling makes the partition split nondeterministic, so the
+    // driver row checks the deterministic curve + bucket histogram instead).
+    // pow(2, i) is exact for i ≤ 31, so the double→BIGINT cast agrees across
+    // engines despite Spark truncating and DuckDB rounding.
+    QueryDef("e8_zorder",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.lineitem(s, dir)
+          .select((col("l_partkey") % 65536).as("x"),
+            (col("l_suppkey") % 65536).as("y"))
+          .withColumn("z", expr(
+            """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) ->
+               acc + ((x div CAST(pow(2, i) AS BIGINT)) % 2)
+                       * CAST(pow(2, 2*i) AS BIGINT)
+                   + ((y div CAST(pow(2, i) AS BIGINT)) % 2)
+                       * CAST(pow(2, 2*i+1) AS BIGINT))"""))
+          .groupBy((col("z") / 4096L).cast("long").as("z_bucket"))
+          .agg(count(lit(1)).as("n"), min("z").as("z_min"), max("z").as("z_max"))
+          .orderBy("z_bucket")
+      },
+      Some("""SELECT CAST(floor(z / 4096.0) AS BIGINT) AS z_bucket,
+          count(*) AS n, min(z) AS z_min, max(z) AS z_max
+        FROM (SELECT CAST(list_sum(list_transform(generate_series(0, 15), i ->
+            ((x // CAST(pow(2, i) AS BIGINT)) % 2) * CAST(pow(2, 2*i) AS BIGINT)
+            + ((y // CAST(pow(2, i) AS BIGINT)) % 2) * CAST(pow(2, 2*i+1) AS BIGINT)))
+            AS BIGINT) AS z
+          FROM (SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+            FROM lineitem) t) t2
+        GROUP BY 1 ORDER BY 1""")),
+
     // E5: JSON property extraction from the event props column
     QueryDef("e5_json_props",
       (s, dir) => {

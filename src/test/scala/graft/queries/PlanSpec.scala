@@ -162,6 +162,19 @@ class PlanSpec extends SparkSpec {
       s"melt must not shuffle:\n$p")
   }
 
+  test("mm frame sampling explodes map-side (no hash exchange)") {
+    val p = plan("mm_frame_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"frame explosion is per-row; a shuffle means a lost map-side shape:\n$p")
+  }
+
+  test("e8 z-order histogram aggregates partially over one key shuffle") {
+    val p = plan("e8_zorder")
+    assert(p.contains("partial_"), s"bucket counts must combine map-side:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected one bucket shuffle, saw $hashEx:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
