@@ -19,6 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Versioned (CDC-style) merge: keep, per key, the row with the highest
+    * `version` tuple across both sides — last-write-wins by a total order
+    * carried in the data (ts + a unique tiebreaker), not by which side a row
+    * arrived on. Unlike [[apply]], neither side needs the one-row-per-key
+    * precondition, and the result is independent of how the change feed was
+    * split into batches — exactly the property a foreachBatch streaming sink
+    * needs for its final state to equal the batch twin. Same one-shuffle
+    * union + window-keeper shape as [[apply]]; NULL keys pass through
+    * unmerged (SQL MERGE semantics).
+    */
+  def byVersion(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                version: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && version.nonEmpty)
+    val tagged = base.unionByName(updates, allowMissingColumns = true)
+    val hasNullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(version.map(col(_).desc): _*)
+    tagged.filter(!hasNullKey)
+      .withColumn("_ups_rn", row_number().over(w))
+      .filter(col("_ups_rn") === 1)
+      .drop("_ups_rn")
+      .unionByName(tagged.filter(hasNullKey))
+  }
+
   def apply(base: DataFrame, updates: DataFrame,
             keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty)

@@ -100,6 +100,36 @@ object StreamShaped {
         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         ORDER BY purchase_id, view_id""")),
 
+    // M2: versioned CDC merge — last-write-wins by (ts, event_id) across an
+    // arbitrarily split change feed (here: even event_ids as the base table,
+    // odd as the update stream). Unlike m1's SCD-1 upsert, precedence comes
+    // from a version tuple IN the data, so the result is independent of how
+    // the feed was batched — the property the foreachBatch streaming sink
+    // relies on (EventsStreaming.runForeachBatchUpsert runs this same
+    // operator per micro-batch; StreamingSpec pins the parity). One key
+    // shuffle, no join.
+    QueryDef("m2_cdc_merge",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        // µs version column on BOTH sides: DuckDB reads parquet ns
+        // timestamps at µs precision, so ns ordering would let the keeper
+        // diverge on sub-µs ties the oracle cannot see
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+        graft.operators.Upsert.byVersion(
+            e.filter(col("event_id") % 2 === 0),
+            e.filter(col("event_id") % 2 === 1),
+            keys = Seq("user_id", "event_type"),
+            version = Seq("ts_us", "event_id"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t
+        WHERE rn = 1 ORDER BY user_id, event_type""")),
+
     // E8a: deterministic train/val/test hash split (Knuth multiplicative
     // hash — exact 64-bit integer arithmetic, portable to any SQL engine;
     // the scalable, reproducible alternative to TABLESAMPLE)

@@ -141,6 +141,46 @@ object EventsStreaming {
       .start()
   }
 
+  /** Latest event per (user, event_type), ordered by (ts, event_id) — the
+    * batch twin of the foreachBatch merge sink's final state. */
+  def latestPerKey(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id", "event_type")
+      .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("event_type"), col("r.ts").as("ts"),
+        col("r.event_id").as("event_id"), col("r.value").as("value"))
+
+  /** foreachBatch MERGE sink — the operational pattern for maintaining a
+    * keyed serving table from a change stream: each micro-batch is merged
+    * into the running target with [[graft.operators.Upsert.byVersion]]
+    * (last-write-wins by (ts, event_id)), so the final state is independent
+    * of how the feed was split into batches and equals [[latestPerKey]] of
+    * everything processed. The target lives in a temp view here (a
+    * Delta/Iceberg MERGE slots into the same callback at scale);
+    * localCheckpoint truncates the per-batch lineage chain exactly like the
+    * CC fixpoint loop does. */
+  def runForeachBatchUpsert(spark: SparkSession, dir: String,
+                            viewName: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val cols = Seq("user_id", "event_type", "ts", "event_id", "value")
+    var target = spark.read.parquet(s"$dir/events.parquet")
+      .select(cols.map(col): _*).limit(0).localCheckpoint()
+    target.createOrReplaceTempView(viewName)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(cols.map(col): _*)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        target = graft.operators.Upsert.byVersion(target, batch,
+          keys = Seq("user_id", "event_type"),
+          version = Seq("ts", "event_id")).localCheckpoint()
+        target.createOrReplaceTempView(viewName)
+      }
+      .start()
+  }
+
   /** Streaming runner: file source → watermarked tumbling agg → memory sink.
     * Returns the started query; callers drive it with processAllAvailable().
     */

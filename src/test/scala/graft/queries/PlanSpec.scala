@@ -162,6 +162,15 @@ class PlanSpec extends SparkSpec {
       s"melt must not shuffle:\n$p")
   }
 
+  test("m2 cdc merge keeps the one-shuffle no-join shape") {
+    val p = plan("m2_cdc_merge")
+    assert(!p.contains("Join"), s"union+version-keeper must not plan a join:\n$p")
+    val keyExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(keyExchanges == 1,
+      s"expected exactly one key shuffle, saw $keyExchanges:\n$p")
+  }
+
   test("mm frame sampling explodes map-side (no hash exchange)") {
     val p = plan("mm_frame_sample")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -61,6 +61,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch versioned-merge sink converges to the batch latest-per-key") {
+    val q = EventsStreaming.runForeachBatchUpsert(spark, dir, "stream_upsert_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_upsert_test")
+        .collect().map(_.toSeq).toSet
+      val batch = EventsStreaming.latestPerKey(Tables.events(spark, dir)
+          .select("user_id", "event_type", "ts", "event_id", "value"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running accumulator matches batch aggregates") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)
