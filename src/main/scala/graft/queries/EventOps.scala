@@ -289,6 +289,46 @@ object EventOps {
         CAST(1 AS BIGINT) AS approx_in_rank_band
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // A13: key-skew profiler — the diagnostic that decides when a join needs
+    // j4's salting: per-key counts (map-side partial agg, ~1 row/key on the
+    // wire), then a one-row skew summary (hottest key, max/avg ratio).
+    // Deterministic hot key via max_by on (n, -key): ties resolve to the
+    // smallest key in both engines.
+    QueryDef("a13_key_skew",
+      (s, dir) => {
+        val counts = ev(s, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
+        counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum("n").as("n_rows"),
+          max("n").as("hot_n"),
+          max_by(col("user_id"), struct(col("n"), (-col("user_id")).as("nk")))
+            .as("hot_key"),
+          round(max("n").cast(DoubleType) * count(lit(1)) / sum("n"), 6)
+            .as("skew_ratio"))
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS n FROM events
+          GROUP BY user_id)
+        SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+          max(n) AS hot_n,
+          (SELECT user_id FROM c ORDER BY n DESC, user_id LIMIT 1) AS hot_key,
+          round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS skew_ratio
+        FROM c""")),
+
+    // A14: fixed-width histogram (binning) — floor(value/width) buckets with
+    // exact double division so both engines land identical bins; map-side
+    // partial-aggregated, one tiny bucket table on the wire.
+    QueryDef("a14_value_histogram",
+      (s, dir) => ev(s, dir)
+        .groupBy(floor(col("value") / 10.0d).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 6).as("v_min"),
+          round(max("value"), 6).as("v_max"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        count(*) AS n, round(min(value), 6) AS v_min,
+        round(max(value), 6) AS v_max
+        FROM events GROUP BY 1 ORDER BY bucket""")),
+
     // Q1-Q6 QC predicate bundle (battery/Qc.scala shapes phrased over the
     // events table so the QC aggregate gets a driver-checked row): null
     // count, value range, first→last drift, positivity, median threshold,
