@@ -427,15 +427,25 @@ object TextOps {
     // the per-doc rollup ships ~1 row/doc. Same shape at 100 TB.
     QueryDef("e2_dup_ngrams",
       (s, dir) => {
-        val sh = docs(s, dir)
-          .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
-        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        sh.join(dfreq, "sh")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum((col("df") >= 2).cast("long")).as("n_dup"),
-            round(sum((col("df") >= 2).cast("long")).cast(DoubleType)
-              / count(lit(1)), 6).as("dup_frac"))
+        // per-doc totals come from the array size (map-side, no join); only
+        // shingles that are actually duplicated (df >= 2) flow back through
+        // the posting-list join — on a real corpus most shingles are unique,
+        // so the join-back side is a small fraction of the shingle table
+        val base = docs(s, dir)
+          .select(col("doc_id"), shingles(col("text"), 8).as("arr"))
+          .filter(size(col("arr")) > 0)
+          .select(col("doc_id"), col("arr"),
+            size(col("arr")).cast("long").as("n_shingles"))
+        val sh = base.select(col("doc_id"), explode(col("arr")).as("sh"))
+        val dup = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select("sh")
+        val hits = sh.join(dup, "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        base.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType)
+              / col("n_shingles"), 6).as("dup_frac"))
           .orderBy("doc_id")
       },
       Some(s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(8)}) AS s
