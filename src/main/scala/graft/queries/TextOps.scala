@@ -457,6 +457,49 @@ object TextOps {
             / count(*), 6) AS dup_frac
         FROM sh JOIN dfreq USING (s) GROUP BY doc_id ORDER BY doc_id""")),
 
+    // E4i: unigram LM quality score — the CCNet-style perplexity gate with a
+    // corpus-trained unigram model standing in for the KenLM: per doc, the
+    // mean negative log-probability of its tokens under corpus frequencies
+    // (high = out-of-distribution / junk). Scale shape: the frequency table
+    // is vocabulary-sized (shuffle join on the token — posting-list shape,
+    // map-side partial-aggregated), the corpus total is a broadcast 1-row
+    // aggregate, the per-doc rollup ships ~1 row/doc. Each token's NLL is
+    // quantized to integer MICROS before summing (the Carriers trick), so
+    // the per-doc sum is exact integer math — immune to double
+    // summation-order differences between partitionings and engines; ln()
+    // itself is bit-compatible (same contract as e4_tfidf's ln, driver-
+    // proven there).
+    QueryDef("e4_unigram_logprob",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val freq = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+        val total = tok.agg(count(lit(1)).as("n_total"))
+        val nllMicros = round(
+          -log(col("cnt").cast(DoubleType) / col("n_total")) * 1e6, 0)
+          .cast("long")
+        tok.join(freq, "t").crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(nllMicros).as("nll_micros"))
+          .select(col("doc_id"), col("n_tokens"), col("nll_micros"),
+            round(col("nll_micros").cast(DoubleType) / col("n_tokens")
+              / 1e6, 6).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t
+          FROM documents),
+        freq AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        tot AS (SELECT count(*) AS n_total FROM tok)
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total) * 1000000)
+            AS BIGINT)) AS BIGINT) AS nll_micros,
+          round(CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total)
+              * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6)
+            AS avg_nll
+        FROM tok JOIN freq USING (t) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // E5-adjacent: opaque binary payload plumbing (multimodal column model):
     // text → binary column, byte length + content digest
     QueryDef("mm_binary_meta",
