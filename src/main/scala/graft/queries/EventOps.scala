@@ -289,6 +289,35 @@ object EventOps {
         CAST(1 AS BIGINT) AS approx_in_rank_band
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // W3: time-RANGE window frame — the rolling "last hour per key" metric.
+    // Semantically distinct from w1's ROWS frame: the frame is bounded by
+    // the ORDER-BY VALUE (all events within 3600s), not a row count, and
+    // ties on the order value are all in-frame. Same scale posture as any
+    // keyed window (one hash exchange, per-key partitions). Decimal-carrier
+    // sum for cross-engine hash stability.
+    QueryDef("w3_time_range_window",
+      (s, dir) => {
+        import graft.functions.Carriers.micros
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        ev(s, dir).filter(col("user_id") < 50)
+          .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+            col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h_micros",
+            micros(sum(col("value").cast("decimal(18,6)")).over(w)))
+          .select("user_id", "event_id", "ts_us", "n_1h", "sum_1h_micros")
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some(s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        count(*) OVER w AS n_1h,
+        ${graft.functions.Carriers.microsSql(
+          "sum(CAST(value AS DECIMAL(18,6))) OVER w")} AS sum_1h_micros
+        FROM events WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_us, event_id""")),
+
     // A13: key-skew profiler — the diagnostic that decides when a join needs
     // j4's salting: per-key counts (map-side partial agg, ~1 row/key on the
     // wire), then a one-row skew summary (hottest key, max/avg ratio).
