@@ -289,6 +289,32 @@ object EventOps {
         CAST(1 AS BIGINT) AS approx_in_rank_band
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // J6: FULL OUTER join — the one join type the rest of the catalog
+    // doesn't exercise (inner j1/j2, semi/anti j3, salted j4, as-of e9,
+    // range r3). Two sparse per-user aggregates (low-value and high-value
+    // event counts) genuinely miss users on both sides, so both unmatched
+    // directions appear in the result. Key-partitioned hash join.
+    QueryDef("j6_full_outer",
+      (s, dir) => {
+        val lo = ev(s, dir).filter(col("value") < 10)
+          .groupBy("user_id").agg(count(lit(1)).as("n_low"))
+        val hi = ev(s, dir).filter(col("value") >= 90)
+          .groupBy("user_id").agg(count(lit(1)).as("n_high"))
+        lo.join(hi, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("n_low"), lit(0L)).as("n_low"),
+            coalesce(col("n_high"), lit(0L)).as("n_high"))
+          .orderBy("user_id")
+      },
+      Some("""WITH lo AS (SELECT user_id, count(*) AS n_low FROM events
+          WHERE value < 10 GROUP BY user_id),
+        hi AS (SELECT user_id, count(*) AS n_high FROM events
+          WHERE value >= 90 GROUP BY user_id)
+        SELECT COALESCE(lo.user_id, hi.user_id) AS user_id,
+          COALESCE(n_low, 0) AS n_low, COALESCE(n_high, 0) AS n_high
+        FROM lo FULL OUTER JOIN hi ON lo.user_id = hi.user_id
+        ORDER BY user_id""")),
+
     // W3: time-RANGE window frame — the rolling "last hour per key" metric.
     // Semantically distinct from w1's ROWS frame: the frame is bounded by
     // the ORDER-BY VALUE (all events within 3600s), not a row count, and

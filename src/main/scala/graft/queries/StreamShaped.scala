@@ -252,6 +252,31 @@ object StreamShaped {
         FROM (SELECT a4 | (b4 << 1) AS z FROM s4) t
         GROUP BY 1 ORDER BY 1""")),
 
+    // E8e: overlapping chunk spans — splitting long documents into
+    // fixed-size windows with overlap (512-char chunks, 384 stride) before
+    // embedding/tokenization. Pure per-row explosion (map-side, no shuffle);
+    // span math is exact integers so the oracle replays it literally.
+    QueryDef("e8_chunk_spans",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.documents(s, dir)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"),
+            explode(sequence(lit(0L), col("n_chars") - 1, lit(384L)))
+              .as("start"))
+          .select(col("doc_id"),
+            (col("start") / 384).cast("long").as("chunk_id"),
+            col("start"),
+            least(col("start") + 512, col("n_chars")).as("end"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""SELECT doc_id, start // 384 AS chunk_id, start,
+          least(start + 512, n_chars) AS "end"
+        FROM (SELECT doc_id, n_chars,
+          unnest(generate_series(0, n_chars - 1, 384)) AS start
+          FROM documents WHERE n_chars > 0) t
+        ORDER BY doc_id, chunk_id""")),
+
     // E5: JSON property extraction from the event props column
     QueryDef("e5_json_props",
       (s, dir) => {

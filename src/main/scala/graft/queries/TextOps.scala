@@ -500,6 +500,40 @@ object TextOps {
         FROM tok JOIN freq USING (t) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // E4j: character-entropy gate — Shannon entropy of the per-doc character
+    // distribution, the classic gibberish/boilerplate detector (natural text
+    // sits in a narrow entropy band; random noise is high, repeated filler
+    // low). Same order-free micro-quantization as e4_unigram_logprob: each
+    // (doc, char) term −(p·ln p) is a deterministic per-row double quantized
+    // to integer micros before the exact integer sum. Char counts partial-
+    // aggregate map-side (≤ alphabet-size rows per doc on the wire).
+    QueryDef("e4_char_entropy",
+      (s, dir) => {
+        val ch = docs(s, dir).select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("c"))
+        val cf = ch.groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+        val lens = cf.groupBy("doc_id").agg(sum("cnt").as("len"))
+        val p = col("cnt").cast(DoubleType) / col("len")
+        cf.join(lens, "doc_id")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_distinct_chars"),
+            sum(round(-p * log(p) * 1e6, 0).cast("long")).as("ent_micros"))
+          .select(col("doc_id"), col("n_distinct_chars"),
+            round(col("ent_micros").cast(DoubleType) / 1e6, 6).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+          FROM documents),
+        cf AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        lens AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS len FROM cf
+          GROUP BY 1)
+        SELECT cf.doc_id, count(*) AS n_distinct_chars,
+          round(CAST(sum(CAST(round(-(CAST(cnt AS DOUBLE) / len)
+              * ln(CAST(cnt AS DOUBLE) / len) * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0, 6) AS entropy
+        FROM cf JOIN lens ON cf.doc_id = lens.doc_id
+        GROUP BY cf.doc_id ORDER BY cf.doc_id""")),
+
     // E5-adjacent: opaque binary payload plumbing (multimodal column model):
     // text → binary column, byte length + content digest
     QueryDef("mm_binary_meta",
