@@ -184,6 +184,32 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected one bucket shuffle, saw $hashEx:\n$p")
   }
 
+  test("e8 chunk spans explode map-side (no hash exchange)") {
+    val p = plan("e8_chunk_spans")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"span explosion is per-row; a shuffle means a lost map-side shape:\n$p")
+  }
+
+  test("e4 unigram logprob and char entropy aggregate partially before their exchanges") {
+    for (q <- Seq("e4_unigram_logprob", "e4_char_entropy")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: term counts must combine map-side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("j6 full outer is a hash join on the key, never a loop join") {
+    val p = plan("j6_full_outer")
+    assert(p.contains("FullOuter"), s"must plan a full outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("w3 time-range window shuffles once on the key") {
+    val p = plan("w3_time_range_window")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected one key exchange, saw $hashEx:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
