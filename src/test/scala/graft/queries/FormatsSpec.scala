@@ -20,6 +20,31 @@ class FormatsSpec extends SparkSpec {
       docs.collect().map(_.toSeq).toSeq)
   }
 
+  test("parquet mergeSchema unifies evolved schemas with null fill") {
+    // schema evolution — the at-scale reality that a 100 TB table's old
+    // files lack columns added later: a merged read must union the schemas
+    // and null-fill the missing column in old files, and a scan WITHOUT the
+    // new column must stay cheap (no merge needed to read shared columns)
+    val docs = Tables.documents(spark, dir)
+    val out = "/tmp/graft_fmt/docs_evolved"
+    docs.select("doc_id", "lang", "n_chars")
+      .filter(col("doc_id") < 100)
+      .write.mode("overwrite").parquet(s"$out/batch=old")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("source").as("added_col"))
+      .filter(col("doc_id") >= 100)
+      .write.mode("overwrite").parquet(s"$out/batch=new")
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.contains("added_col"))
+    val oldRows = merged.filter(col("doc_id") < 100)
+    assert(oldRows.filter(col("added_col").isNotNull).count() == 0,
+      "old files must null-fill the added column")
+    assert(merged.filter(col("doc_id") >= 100)
+      .filter(col("added_col").isNull).count() == 0)
+    assert(merged.count() == docs.count())
+  }
+
   test("lineitem aggregates identically from an ORC round-trip") {
     val li = Tables.lineitem(spark, dir)
     val out = "/tmp/graft_fmt/li_orc"
