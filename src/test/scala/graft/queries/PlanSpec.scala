@@ -210,6 +210,12 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected one key exchange, saw $hashEx:\n$p")
   }
 
+  test("o1 global top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("o1_top_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must use per-partition top-k + merge:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
