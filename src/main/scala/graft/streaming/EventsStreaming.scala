@@ -39,11 +39,22 @@ object EventsStreaming {
       .select(expr("unix_micros(window.start) div 900000000").as("slot_id"),
         col("event_type"), col("n"))
 
-  /** Session windows (30-min inactivity gap) → per-user session stats. */
-  def sessionStats(events: DataFrame): DataFrame =
+  /** Session windows (30-min inactivity gap): one row per (user, session)
+    * with its event count — the single stateful aggregation, so it runs AS IS
+    * under `readStream` (see [[runSession]]); [[sessionStats]] adds the
+    * per-user rollup, which streaming can't chain (one stateful agg per
+    * query) but batch composes freely. */
+  def sessionEvents(events: DataFrame): DataFrame =
     events
       .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("session_start_us"),
+        col("n_events"))
+
+  /** Per-user session stats (batch rollup over [[sessionEvents]]). */
+  def sessionStats(events: DataFrame): DataFrame =
+    sessionEvents(events)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         max("n_events").as("max_session_events"),
@@ -192,6 +203,12 @@ object EventsStreaming {
   def runSliding(spark: SparkSession, dir: String,
                  queryName: String): StreamingQuery =
     runWindowed(spark, dir, queryName, slidingQuarters)
+
+  /** Streaming runner for the session-window aggregate (watermarked
+    * session_window state; sessions merge as events arrive). */
+  def runSession(spark: SparkSession, dir: String,
+                 queryName: String): StreamingQuery =
+    runWindowed(spark, dir, queryName, sessionEvents)
 
   private def runWindowed(spark: SparkSession, dir: String, queryName: String,
                           transform: DataFrame => DataFrame): StreamingQuery = {

@@ -35,6 +35,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows equal the batch transform") {
+    val q = EventsStreaming.runSession(spark, dir, "stream_session_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_session_test")
+        .collect().map(_.toSeq).toSet
+      val batch = EventsStreaming.sessionEvents(Tables.events(spark, dir))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each (user, event_type) once") {
     val q = EventsStreaming.runDedupStream(spark, dir, "stream_dedup_test")
     try {
