@@ -206,6 +206,70 @@ object VectorOps {
         FROM x JOIN assign USING (vec_id)
         GROUP BY 1, 2 ORDER BY cluster, pos""")),
 
+    // Full Lloyd iteration on top of e3_centroids — the distributed k-means
+    // loop body: exact DECIMAL-carrier centroid update (bit-identical
+    // doubles on both engines), then broadcast reassignment of every vector
+    // to its nearest updated centroid (tiny nlist×dim centroid table on the
+    // map side; one row per vector through the final shuffle), emitted as
+    // per-cluster size + how many vectors moved — the convergence signal a
+    // driver loop would test. Iterating = repeating this same stage.
+    QueryDef("e3_kmeans_iter",
+      (s, dir) => {
+        val all = emb(s, dir)
+        val assign1 = nearestCentroid(all, centroidSet(all, 16))
+        val cent = all.join(assign1, "vec_id")
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos")
+          .agg((sum(col("x").cast("decimal(27,10)")).cast("double")
+            / count(lit(1))).as("c"))
+        val centArr = cent.groupBy("cluster")
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+          .select(col("cluster"),
+            transform(col("pc"), p => p.getField("c")).as("cv"))
+          .withColumn("cn", norm(col("cv")))
+        val scored = all.crossJoin(broadcast(centArr))
+          .withColumn("cs2", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+        val assign2 = scored.groupBy("vec_id")
+          .agg(max_by(col("cluster"),
+            struct(col("cs2"), (-col("cluster")).as("nc"))).as("cluster2"))
+        assign1.join(assign2, "vec_id")
+          .groupBy(col("cluster2").as("cluster"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("cluster") =!= col("cluster2")).cast("long"))
+              .as("n_moved"))
+          .orderBy("cluster")
+      },
+      Some(s"""$baseCte,
+        cd AS (SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+          FROM x a JOIN x b ON a.i = b.i WHERE b.vec_id < 16 GROUP BY 1, 2),
+        cs AS (SELECT vid, c_id, dot / (na.nrm * nb.nrm) AS c_cos
+          FROM cd JOIN norms na ON vid = na.vec_id
+          JOIN norms nb ON c_id = nb.vec_id),
+        assign AS (SELECT vid AS vec_id, c_id AS cluster FROM (
+          SELECT vid, c_id, row_number() OVER (
+            PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs) t
+          WHERE rn = 1),
+        cent AS (SELECT cluster, i,
+            CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS c
+          FROM x JOIN assign USING (vec_id) GROUP BY cluster, i),
+        cnorm AS (SELECT cluster, sqrt(sum(c * c)) AS cn FROM cent
+          GROUP BY cluster),
+        dot2 AS (SELECT x.vec_id, cent.cluster, sum(x.v * cent.c) AS dot
+          FROM x JOIN cent ON x.i = cent.i GROUP BY 1, 2),
+        cos2 AS (SELECT dot2.vec_id, dot2.cluster,
+            dot / (norms.nrm * cnorm.cn) AS cs2
+          FROM dot2 JOIN norms ON dot2.vec_id = norms.vec_id
+          JOIN cnorm ON dot2.cluster = cnorm.cluster),
+        assign2 AS (SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cs2 DESC, cluster) rn FROM cos2) t
+          WHERE rn = 1)
+        SELECT a2.cluster, count(*) AS n,
+          CAST(sum(CASE WHEN a1.cluster <> a2.cluster THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+        FROM assign2 a2 JOIN assign a1 USING (vec_id)
+        GROUP BY a2.cluster ORDER BY a2.cluster""")),
+
     // int8 scalar quantization — the embedding-compression step a
     // corpus-scale ANN index runs before storage (4× memory cut, distance
     // math on int8 with one per-vector rescale). Per-vector max-abs is a
