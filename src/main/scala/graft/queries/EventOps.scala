@@ -289,6 +289,60 @@ object EventOps {
         CAST(1 AS BIGINT) AS approx_in_rank_band
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // A15: gap fill / densification — join a generated calendar spine onto
+    // sparse daily counts so missing days materialize as explicit zeros (the
+    // step every time-series rollup needs before charting or diffing). The
+    // spine explodes from a broadcast 1-row min/max bound; the daily table
+    // partial-aggregates map-side; the fill join is keyed on the tiny day
+    // table. Day boundary math is ns-exact on the Spark side and immune to
+    // DuckDB's µs truncation (sub-µs truncation cannot cross a whole-µs day
+    // boundary).
+    QueryDef("a15_gap_fill",
+      (s, dir) => {
+        val daily = ev(s, dir)
+          .select(expr("ts div 86400000000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n"))
+        val spine = daily.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+            count(*) AS n FROM events GROUP BY 1),
+        b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b)
+        SELECT day, COALESCE(n, 0) AS n
+        FROM spine LEFT JOIN daily USING (day) ORDER BY day""")),
+
+    // C3x: null semantics — the null-safe equality operator (<=> /
+    // IS NOT DISTINCT FROM) the rest of the catalog never exercises, plus
+    // null counting vs SQL three-valued logic: a run is "repeated" when the
+    // value null-safely equals its predecessor (NULL repeats NULL; a plain
+    // = would drop those rows silently).
+    QueryDef("c3_null_semantics",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev(s, dir).filter(col("user_id") < 100)
+          .select(col("user_id"), col("value"),
+            lag("value", 1).over(w).as("prev"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("value").isNull.cast("long")).as("n_null_value"),
+            sum((col("value") <=> col("prev")).cast("long"))
+              .as("n_nullsafe_rep"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_rows,
+        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null_value,
+        CAST(sum(CASE WHEN value IS NOT DISTINCT FROM prev THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_nullsafe_rep
+        FROM (SELECT user_id, value, lag(value) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events WHERE user_id < 100) t
+        GROUP BY user_id ORDER BY user_id""")),
+
     // J6: FULL OUTER join — the one join type the rest of the catalog
     // doesn't exercise (inner j1/j2, semi/anti j3, salted j4, as-of e9,
     // range r3). Two sparse per-user aggregates (low-value and high-value

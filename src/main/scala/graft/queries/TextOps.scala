@@ -461,6 +461,32 @@ object TextOps {
             / count(*), 6) AS dup_frac
         FROM sh JOIN dfreq USING (s) GROUP BY doc_id ORDER BY doc_id""")),
 
+    // E2h: edit-distance near-dup — the string-level dedup family (titles,
+    // URLs, short fields) that shingle/token methods overshoot: classic
+    // Levenshtein over 30-char prefixes on a bounded slice (all-pairs is the
+    // verifier shape; the scale path blocks by length/prefix bucket first,
+    // exactly like e2's banding). Both engines implement unit-cost
+    // Levenshtein → exact integer oracle.
+    QueryDef("e2_edit_distance",
+      (s, dir) => {
+        val p = docs(s, dir).filter(col("doc_id") < 100)
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("s"))
+        p.as("a").join(p.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("dist", levenshtein(col("a.s"), col("b.s")))
+          .filter(col("dist") <= 16)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("dist").cast("long").as("dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(levenshtein(substring(a.text, 1, 30),
+            substring(b.text, 1, 30)) AS BIGINT) AS dist
+        FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 100 AND b.doc_id < 100
+          AND levenshtein(substring(a.text, 1, 30),
+            substring(b.text, 1, 30)) <= 16
+        ORDER BY doc_a, doc_b""")),
+
     // E4i: unigram LM quality score — the CCNet-style perplexity gate with a
     // corpus-trained unigram model standing in for the KenLM: per doc, the
     // mean negative log-probability of its tokens under corpus frequencies
