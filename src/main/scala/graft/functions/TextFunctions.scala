@@ -216,8 +216,10 @@ object TextFunctions {
   def md5Hash60(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
-  val md5Hash60Sql: String =
-    "CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)"
+  def md5Hash60Sql(e: String): String =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
+
+  val md5Hash60Sql: String = md5Hash60Sql("t")
 
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    tokenHash: Column => Column = xxhash64(_)): DataFrame = {

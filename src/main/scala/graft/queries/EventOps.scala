@@ -296,11 +296,16 @@ object EventOps {
     // partial-aggregates map-side; the fill join is keyed on the tiny day
     // table. Day boundary math is ns-exact on the Spark side and immune to
     // DuckDB's µs truncation (sub-µs truncation cannot cross a whole-µs day
-    // boundary).
+    // boundary); explicit FLOOR division because Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors — pre-1970 timestamps would
+    // land in different days otherwise.
     QueryDef("a15_gap_fill",
       (s, dir) => {
+        val n = 86400000000000L
         val daily = ev(s, dir)
-          .select(expr("ts div 86400000000000").as("day"))
+          .select(expr(
+            s"(ts div $n) - (CASE WHEN ts % $n < 0 THEN 1 ELSE 0 END)")
+            .as("day"))
           .groupBy("day").agg(count(lit(1)).as("n"))
         val spine = daily.agg(min("day").as("d0"), max("day").as("d1"))
           .select(explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -322,7 +327,10 @@ object EventOps {
     // = would drop those rows silently).
     QueryDef("c3_null_semantics",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        // µs window order per the module precision contract: ordering by
+        // raw ns here while DuckDB sees µs-truncated timestamps would let a
+        // sub-µs tie order differently in the two engines
+        val w = Window.partitionBy("user_id").orderBy(tsUs, col("event_id"))
         ev(s, dir).filter(col("user_id") < 100)
           .select(col("user_id"), col("value"),
             lag("value", 1).over(w).as("prev"))
@@ -339,7 +347,7 @@ object EventOps {
         CAST(sum(CASE WHEN value IS NOT DISTINCT FROM prev THEN 1 ELSE 0 END)
           AS BIGINT) AS n_nullsafe_rep
         FROM (SELECT user_id, value, lag(value) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
           FROM events WHERE user_id < 100) t
         GROUP BY user_id ORDER BY user_id""")),
 

@@ -39,8 +39,7 @@ object MultimodalOps {
       .as[Decoded]
   }
 
-  private val hSql =
-    "CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)"
+  private val hSql = graft.functions.TextFunctions.md5Hash60Sql("text")
 
   val defs: Seq[QueryDef] = Seq(
 

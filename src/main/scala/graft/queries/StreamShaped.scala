@@ -196,10 +196,10 @@ object StreamShaped {
           .select(col("doc_id"), col("lang"), col("bucket"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, lang, h % 1000 AS bucket FROM (
+      Some(s"""SELECT doc_id, lang, h % 1000 AS bucket FROM (
           SELECT doc_id, lang,
-            CAST('0x' || substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)),
-              1, 15) AS BIGINT) AS h
+            ${graft.functions.TextFunctions.md5Hash60Sql(
+              "lang || ':' || CAST(doc_id AS VARCHAR)")} AS h
           FROM documents) t
         WHERE h % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
         ORDER BY doc_id""")),

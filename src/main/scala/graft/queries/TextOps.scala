@@ -431,21 +431,23 @@ object TextOps {
     // the per-doc rollup ships ~1 row/doc. Same shape at 100 TB.
     QueryDef("e2_dup_ngrams",
       (s, dir) => {
-        // per-doc totals come from the array size (map-side, no join); only
-        // shingles that are actually duplicated (df >= 2) flow back through
-        // the posting-list join — on a real corpus most shingles are unique,
+        // the shingle pipeline runs ONCE (Spark shares no subtrees — the
+        // naive spelling re-shingled the corpus for each of its three
+        // consumers) and is pinned with localCheckpoint, the same pattern
+        // the minhash signature table uses; at corpus scale the (doc,
+        // shingle) table would persist to storage instead. Only shingles
+        // that are actually duplicated (df >= 2) flow back through the
+        // posting-list join — on a real corpus most shingles are unique,
         // so the join-back side is a small fraction of the shingle table
-        val base = docs(s, dir)
-          .select(col("doc_id"), shingles(col("text"), 8).as("arr"))
-          .filter(size(col("arr")) > 0)
-          .select(col("doc_id"), col("arr"),
-            size(col("arr")).cast("long").as("n_shingles"))
-        val sh = base.select(col("doc_id"), explode(col("arr")).as("sh"))
+        val sh = docs(s, dir)
+          .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
+          .localCheckpoint()
+        val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
         val dup = sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2).select("sh")
         val hits = sh.join(dup, "sh")
           .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-        base.join(hits, Seq("doc_id"), "left")
+        totals.join(hits, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_shingles"),
             coalesce(col("n_dup"), lit(0L)).as("n_dup"),
             round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType)
@@ -504,7 +506,9 @@ object TextOps {
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         val freq = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
-        val total = tok.agg(count(lit(1)).as("n_total"))
+        // corpus total from the (tiny) frequency table, not a third
+        // tokenization pass over the corpus
+        val total = freq.agg(sum("cnt").as("n_total"))
         val nllMicros = round(
           -log(col("cnt").cast(DoubleType) / col("n_total")) * 1e6, 0)
           .cast("long")
@@ -539,8 +543,12 @@ object TextOps {
     // aggregate map-side (≤ alphabet-size rows per doc on the wire).
     QueryDef("e4_char_entropy",
       (s, dir) => {
+        // [\s\S] rather than '.': Java regex '.' excludes \r and Unicode
+        // line separators while DuckDB's RE2 '.' excludes only \n — the
+        // explicit class matches EVERY character identically in both
         val ch = docs(s, dir).select(col("doc_id"),
-          explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("c"))
+          explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0)))
+            .as("c"))
         val cf = ch.groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
         val lens = cf.groupBy("doc_id").agg(sum("cnt").as("len"))
         val p = col("cnt").cast(DoubleType) / col("len")
@@ -552,7 +560,8 @@ object TextOps {
             round(col("ent_micros").cast(DoubleType) / 1e6, 6).as("entropy"))
           .orderBy("doc_id")
       },
-      Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      Some("""WITH ch AS (SELECT doc_id,
+            unnest(regexp_extract_all(text, '[\s\S]')) AS c
           FROM documents),
         cf AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
         lens AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS len FROM cf

@@ -28,6 +28,21 @@ object VectorOps {
         unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
       norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY vec_id)"""
 
+  /** Shared DuckDB CTE chain: nearest-centroid assignment against the
+    * lowest-16-id coarse quantizer. One definition serves the IVF, centroid,
+    * and Lloyd-iteration oracles so the assignment rule cannot drift apart
+    * between them. */
+  private val assignCte =
+    """cd AS (SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+          FROM x a JOIN x b ON a.i = b.i WHERE b.vec_id < 16 GROUP BY 1, 2),
+        cs AS (SELECT vid, c_id, dot / (na.nrm * nb.nrm) AS c_cos
+          FROM cd JOIN norms na ON vid = na.vec_id
+          JOIN norms nb ON c_id = nb.vec_id),
+        assign AS (SELECT vid AS vec_id, c_id AS cluster FROM (
+          SELECT vid, c_id, row_number() OVER (
+            PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs) t
+          WHERE rn = 1)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // exact brute-force cosine top-k: broadcast queries × stream candidates
@@ -142,15 +157,7 @@ object VectorOps {
     QueryDef("e3_ivf_ann",
       (s, dir) => ivfAnnTopK(s, dir, nQueries = 50, k = 3),
       Some(s"""$baseCte,
-        cd AS (SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
-          FROM x a JOIN x b ON a.i = b.i WHERE b.vec_id < 16 GROUP BY 1, 2),
-        cs AS (SELECT vid, c_id, dot / (na.nrm * nb.nrm) AS c_cos
-          FROM cd JOIN norms na ON vid = na.vec_id
-          JOIN norms nb ON c_id = nb.vec_id),
-        assign AS (SELECT vid AS vec_id, c_id AS cluster FROM (
-          SELECT vid, c_id, row_number() OVER (
-            PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs) t
-          WHERE rn = 1),
+        $assignCte,
         probes AS (SELECT vid AS q_id, c_id AS cluster FROM (
           SELECT vid, c_id, row_number() OVER (
             PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs
@@ -191,15 +198,7 @@ object VectorOps {
           .orderBy("cluster", "pos")
       },
       Some(s"""$baseCte,
-        cd AS (SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
-          FROM x a JOIN x b ON a.i = b.i WHERE b.vec_id < 16 GROUP BY 1, 2),
-        cs AS (SELECT vid, c_id, dot / (na.nrm * nb.nrm) AS c_cos
-          FROM cd JOIN norms na ON vid = na.vec_id
-          JOIN norms nb ON c_id = nb.vec_id),
-        assign AS (SELECT vid AS vec_id, c_id AS cluster FROM (
-          SELECT vid, c_id, row_number() OVER (
-            PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs) t
-          WHERE rn = 1)
+        $assignCte
         SELECT cluster, i - 1 AS pos, count(*) AS n,
           round(CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
             AS centroid
@@ -240,15 +239,7 @@ object VectorOps {
           .orderBy("cluster")
       },
       Some(s"""$baseCte,
-        cd AS (SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
-          FROM x a JOIN x b ON a.i = b.i WHERE b.vec_id < 16 GROUP BY 1, 2),
-        cs AS (SELECT vid, c_id, dot / (na.nrm * nb.nrm) AS c_cos
-          FROM cd JOIN norms na ON vid = na.vec_id
-          JOIN norms nb ON c_id = nb.vec_id),
-        assign AS (SELECT vid AS vec_id, c_id AS cluster FROM (
-          SELECT vid, c_id, row_number() OVER (
-            PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs) t
-          WHERE rn = 1),
+        $assignCte,
         cent AS (SELECT cluster, i,
             CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS c
           FROM x JOIN assign USING (vec_id) GROUP BY cluster, i),

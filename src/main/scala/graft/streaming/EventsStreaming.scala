@@ -167,7 +167,10 @@ object EventsStreaming {
     * into the running target with [[graft.operators.Upsert.byVersion]]
     * (last-write-wins by (ts, event_id)), so the final state is independent
     * of how the feed was split into batches and equals [[latestPerKey]] of
-    * everything processed. The target lives in a temp view here (a
+    * everything processed — for non-NULL keys: byVersion passes NULL-key
+    * rows through unmerged per SQL MERGE semantics, while latestPerKey's
+    * groupBy would lump them into one group, so a feed carrying NULL keys
+    * accumulates those rows rather than collapsing them. The target lives in a temp view here (a
     * Delta/Iceberg MERGE slots into the same callback at scale);
     * localCheckpoint truncates the per-batch lineage chain exactly like the
     * CC fixpoint loop does. */
@@ -184,9 +187,15 @@ object EventsStreaming {
       .select(cols.map(col): _*)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        target = graft.operators.Upsert.byVersion(target, batch,
+        val prev = target
+        target = graft.operators.Upsert.byVersion(prev, batch,
           keys = Seq("user_id", "event_type"),
           version = Seq("ts", "event_id")).localCheckpoint()
+        // the new checkpoint is eager, so the previous snapshot can be
+        // released — without this, every micro-batch pins one more full
+        // copy of the serving table in the block store (unbounded growth
+        // over a long-running stream)
+        prev.unpersist()
         target.createOrReplaceTempView(viewName)
       }
       .start()
