@@ -431,23 +431,28 @@ object TextOps {
     // the per-doc rollup ships ~1 row/doc. Same shape at 100 TB.
     QueryDef("e2_dup_ngrams",
       (s, dir) => {
-        // the shingle pipeline runs ONCE (Spark shares no subtrees — the
-        // naive spelling re-shingled the corpus for each of its three
-        // consumers) and is pinned with localCheckpoint, the same pattern
-        // the minhash signature table uses; at corpus scale the (doc,
-        // shingle) table would persist to storage instead. Only shingles
-        // that are actually duplicated (df >= 2) flow back through the
-        // posting-list join — on a real corpus most shingles are unique,
-        // so the join-back side is a small fraction of the shingle table
-        val sh = docs(s, dir)
-          .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
-          .localCheckpoint()
-        val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        // per-doc totals come from the array size (map-side, no join); only
+        // shingles that are actually duplicated (df >= 2) flow back through
+        // the posting-list join — on a real corpus most shingles are unique,
+        // so the join-back side is a small fraction of the shingle table.
+        // The shingle kernel IS evaluated once per consumer (Spark shares no
+        // subtrees), and that is deliberate: checkpointing the exploded
+        // posting table to share it was measured SLOWER (3.2 s vs 2.6 s
+        // warm at sf0.1) — materializing corpus-sized exploded rows costs
+        // more than re-running the codegen'd kernel over the columnar scan,
+        // and the same trade holds at scale where the posting table is
+        // larger than the source text.
+        val base = docs(s, dir)
+          .select(col("doc_id"), shingles(col("text"), 8).as("arr"))
+          .filter(size(col("arr")) > 0)
+          .select(col("doc_id"),
+            size(col("arr")).cast("long").as("n_shingles"), col("arr"))
+        val sh = base.select(col("doc_id"), explode(col("arr")).as("sh"))
         val dup = sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2).select("sh")
         val hits = sh.join(dup, "sh")
           .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-        totals.join(hits, Seq("doc_id"), "left")
+        base.drop("arr").join(hits, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_shingles"),
             coalesce(col("n_dup"), lit(0L)).as("n_dup"),
             round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType)
