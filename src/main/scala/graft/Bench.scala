@@ -25,18 +25,28 @@ object Bench {
       // never let that skew round-over-round comparison silently
       System.err.println(s"[bench] WARM-UP FAILED (timings will run cold): $e")
     }
+    // min of two runs per query: BENCH_r03 showed three queries "regressing"
+    // 4-7× that re-measured at normal speed in isolation (ProfileRegress) —
+    // first-run codegen compile + transient machine load inside an 88-query
+    // session. The min damps that noise; the first run still pays compile,
+    // the second is the steady-state cost a cluster would see.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full materialization of every output column
-      // (a bare count() lets Spark prune the projection work away)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full materialization of every output column
+        // (a bare count() lets Spark prune the projection work away)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val dt = times.map(_._1).min
+      val ok = times.forall(_._2)
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s  (min of $reps)")
       (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -46,7 +56,16 @@ object Bench {
     val total = results.map(_._2).sum
     // failed queries are listed explicitly so a fast-failing regression can
     // never masquerade as a speedup; the total is only comparable when empty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures a log TAIL — BENCH_r03 lost the first ~23 per-query
+    // timings to truncation. The file copy makes round-over-round comparison
+    // lossless regardless of how much of stdout survives.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: $e")
+    }
     spark.stop()
   }
 }

@@ -19,15 +19,15 @@ import org.apache.spark.sql.functions._
   * stays O(1) deep regardless of iteration count — without it the plan
   * doubles per round and Catalyst analysis time explodes by round ~10.
   *
-  * 100 TB posture: rounds = graph diameter, and near-dup graphs are
-  * star-like (duplicate families chain through a hub), so convergence is
-  * 2-4 rounds in practice. The state that shuffles is (id, label) — two
-  * longs per vertex in the PAIR GRAPH (docs that matched at least one other
-  * doc), typically orders of magnitude smaller than the corpus. For
-  * adversarial long-chain graphs the standard fix is pointer doubling
-  * (large-star/small-star, O(log n) rounds); the hook here is the same loop
-  * with a label→label self-join added, which this deliberately omits until a
-  * workload needs it.
+  * 100 TB posture: each round combines one-hop neighbor-min propagation
+  * with POINTER DOUBLING (`label(v) ← label(label(v))`, one self-join of
+  * the label table) — the label forest's height halves every round, so
+  * convergence is O(log diameter) even on adversarial long chains (a
+  * 10⁴-vertex path converges in ~15 rounds, pinned by
+  * ConnectedComponentsSpec), while star-like near-dup families still finish
+  * in 2-3. The state that shuffles is (id, label) — two longs per vertex in
+  * the PAIR GRAPH (docs that matched at least one other doc), typically
+  * orders of magnitude smaller than the corpus.
   */
 object ConnectedComponents {
 
@@ -39,7 +39,13 @@ object ConnectedComponents {
     *                exits early the first round nothing changes)
     */
   def minLabel(edges: DataFrame, src: String, dst: String,
-               maxIter: Int = 25): DataFrame = {
+               maxIter: Int = 25): DataFrame =
+    minLabelWithRounds(edges, src, dst, maxIter)._1
+
+  /** [[minLabel]] plus the number of propagation rounds executed — the
+    * observable the O(log diameter) convergence guarantee is tested on. */
+  def minLabelWithRounds(edges: DataFrame, src: String, dst: String,
+                         maxIter: Int = 25): (DataFrame, Int) = {
     // materialize the (possibly expensive) edge pipeline ONCE before
     // mirroring: a union of two selects over the same subtree executes that
     // subtree twice — for a pair-finding input that doubles the dominant cost
@@ -59,17 +65,26 @@ object ConnectedComponents {
       val nbrMin = sym.join(labels, sym("a") === labels("id"))
         .groupBy(col("b").as("nid"))
         .agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
+            .as("lab1"))
+      // pointer doubling: labels are themselves vertex ids, so one
+      // label-table self-join reads label(label(v)) and the label forest's
+      // height halves — O(diameter) rounds become O(log diameter) on
+      // chains, at the cost of one extra (small, (id,label)-sized) join
+      // per round
+      val byId = prop.select(col("id").as("pid"), col("lab1").as("plab"))
+      val next = prop.join(byId, prop("lab1") === byId("pid"), "left")
+        .select(col("id"), col("old"),
+          least(col("lab1"), coalesce(col("plab"), col("lab1"))).as("label"))
         .localCheckpoint()
       // convergence = an aggregate over the label table (no data collect)
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("id", "label")
       it += 1
     }
-    labels
+    (labels, it - 1)
   }
 
   /** [[minLabel]] plus per-cluster size — the direct input to a

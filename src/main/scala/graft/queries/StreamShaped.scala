@@ -100,6 +100,31 @@ object StreamShaped {
         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         ORDER BY purchase_id, view_id""")),
 
+    // E7f: the flatMapGroupsWithState custom-state path under driver check —
+    // runningUserState's batch twin (per-user running count/sum/last-seen
+    // snapshot; in batch each group emits exactly its final snapshot).
+    // `value` is quantized to integer micros BEFORE the accumulator, so the
+    // per-user total is exact integer arithmetic inside a double (< 2⁵³) —
+    // independent of the arbitrary row order flatMapGroupsWithState hands
+    // the group iterator, and of engine summation order. ts stays raw ns in
+    // the state (max is order-free) and exits as µs for oracle parity.
+    QueryDef("e7_user_state",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          round(col("value") * 1e6, 0).as("value"), col("ts"))
+        EventsStreaming.runningUserState(ev)
+          .select(col("user_id"), col("n_events"),
+            col("total_value").cast("long").as("total_micros"),
+            expr("last_ts div 1000").as("last_ts_us"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+          CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+            AS total_micros,
+          epoch_us(max(ts)) AS last_ts_us
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // M2: versioned CDC merge — last-write-wins by (ts, event_id) across an
     // arbitrarily split change feed (here: even event_ids as the base table,
     // odd as the update stream). Unlike m1's SCD-1 upsert, precedence comes

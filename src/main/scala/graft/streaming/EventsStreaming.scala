@@ -60,10 +60,15 @@ object EventsStreaming {
         max("n_events").as("max_session_events"),
         sum("n_events").as("total_events"))
 
-  /** Key dedup (batch analog of dropDuplicatesWithinWatermark). */
+  /** Distinct event types per user. The batch spelling is ONE aggregate
+    * (partial count-distinct folds map-side, a single key exchange); the
+    * former dropDuplicates-then-groupBy form paid a second shuffle for no
+    * semantic gain here — that two-step shape lives on only in
+    * [[runDedupStream]], where `dropDuplicatesWithinWatermark` is the
+    * load-bearing streaming-state operator. */
   def distinctKeyCounts(events: DataFrame): DataFrame =
-    events.dropDuplicates("user_id", "event_type")
-      .groupBy("user_id").agg(count(lit(1)).as("n_types"))
+    events.groupBy("user_id")
+      .agg(count_distinct(col("event_type")).as("n_types"))
 
   /** Custom per-key state (E7 / SURVEY.md §2a.10): a running per-user
     * accumulator maintained with flatMapGroupsWithState — count, sum, and
@@ -198,6 +203,23 @@ object EventsStreaming {
         prev.unpersist()
         target.createOrReplaceTempView(viewName)
       }
+      .start()
+  }
+
+  /** Streaming runner for [[runningUserState]]: file source →
+    * flatMapGroupsWithState (Append, no timeout) → memory sink. Each
+    * micro-batch appends the touched users' updated snapshots; the LATEST
+    * snapshot per user equals the batch aggregate over everything processed
+    * (StreamingSpec pins the parity). */
+  def runUserStateStream(spark: SparkSession, dir: String,
+                         queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    runningUserState(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
       .start()
   }
 

@@ -42,4 +42,20 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("duplicate and self edges are harmless") {
     assert(labelMap(1L -> 2L, 1L -> 2L, 2L -> 2L) === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("adversarial 10^4-vertex path converges in O(log n) rounds") {
+    import spark.implicits._
+    val n = 10000
+    // path graph 0-1-2-…-n-1: worst case for pure one-hop min propagation
+    // (O(n) rounds); pointer doubling must finish in ~log2(n) ≈ 13 + c
+    val path = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = ConnectedComponents
+      .minLabelWithRounds(path, "a", "b", maxIter = 24)
+    val agg = labels.agg(count(lit(1)), max("label"), min("label"))
+      .collect()(0)
+    assert(agg.getLong(0) === n.toLong, "every vertex labeled")
+    assert(agg.getLong(1) === 0L && agg.getLong(2) === 0L,
+      "single component with min-id label 0")
+    assert(rounds <= 18, s"expected O(log n) rounds, got $rounds")
+  }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Losslessness of the segment-pigeonhole blocking: nearPairs must return
+  * EXACTLY the pairs the all-pairs join finds, for every threshold — on
+  * fixtures engineered to stress the guarantee's edges (substitutions,
+  * insertions/deletions that shift positions, length differences up to t,
+  * short strings below t+1 chars, multi-byte text, duplicates). */
+class EditBlockSpec extends SparkSpec {
+
+  private def allPairs(df: DataFrame, t: Int): Set[(Long, Long, Long)] = {
+    val p = df.select(col("id"), col("s"))
+    p.as("a").join(p.as("b"), col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s")))
+      .filter(col("dist") <= t)
+      .select(col("a.id"), col("b.id"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def blocked(df: DataFrame, t: Int): Set[(Long, Long, Long)] =
+    EditBlock.nearPairs(df, "id", "s", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def fixture: DataFrame = {
+    import spark.implicits._
+    Seq(
+      1L -> "the quick brown fox jumps over",
+      2L -> "the quick brown fox jumps over",     // dist 0 dup
+      3L -> "the quick brown fox jumped over",    // substitution + insert
+      4L -> "a quick brown fox jumps over",       // prefix edit shifts all
+      5L -> "the quick brown fox jumps overboard", // suffix insert, len +5
+      6L -> "xhe quick brown fox jumps ovex",     // 2 substitutions at ends
+      7L -> "completely unrelated content here",
+      8L -> "short",                              // len 5 ≤ t for t ≥ 5
+      9L -> "shirt",                              // dist 1 from short
+      10L -> "sh",                                // very short
+      11L -> "naïve café résumé über text",       // multi-byte
+      12L -> "naive cafe resume uber text",       // accents stripped
+      13L -> "",                                  // empty string
+      14L -> "the quick brown fox"                // big deletion, dist > small t
+    ).toDF("id", "s")
+  }
+
+  test("blocked pairs == all pairs on the edge-case fixture, several t") {
+    for (t <- Seq(1, 2, 4, 6, 8)) {
+      assert(blocked(fixture, t) === allPairs(fixture, t), s"t=$t")
+    }
+  }
+
+  test("blocked pairs == all pairs on a random mutation corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // 40 base strings of varied length, each with a few mutated children:
+    // random substitutions / insertions / deletions, 0-6 edits
+    val rows = (0 until 40).flatMap { i =>
+      val base = randStr(8 + rnd.nextInt(25))
+      val kids = (0 until 3).map { j =>
+        var sb = new StringBuilder(base)
+        val edits = rnd.nextInt(7)
+        (0 until edits).foreach { _ =>
+          if (sb.isEmpty) sb.append(alpha(rnd.nextInt(alpha.length)))
+          else rnd.nextInt(3) match {
+            case 0 => sb.setCharAt(rnd.nextInt(sb.length), alpha(rnd.nextInt(alpha.length)))
+            case 1 => sb.insert(rnd.nextInt(sb.length + 1), alpha(rnd.nextInt(alpha.length)))
+            case 2 => sb.deleteCharAt(rnd.nextInt(sb.length))
+          }
+        }
+        sb.toString
+      }
+      (base +: kids).zipWithIndex.map { case (s, j) => (i * 10L + j, s) }
+    }
+    val df = rows.toDF("id", "s")
+    for (t <- Seq(2, 5)) {
+      assert(blocked(df, t) === allPairs(df, t), s"t=$t")
+    }
+  }
+}

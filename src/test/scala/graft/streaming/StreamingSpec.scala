@@ -88,6 +88,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming user-state runner's latest snapshots equal batch aggregates") {
+    import org.apache.spark.sql.functions._
+    val q = EventsStreaming.runUserStateStream(spark, dir, "stream_userstate_test")
+    try {
+      q.processAllAvailable()
+      // n_events is monotone per user, so the latest snapshot is max_by(n)
+      val streamed = spark.table("stream_userstate_test")
+        .groupBy("user_id")
+        .agg(max_by(struct(col("n_events"), col("total_value"), col("last_ts")),
+          col("n_events")).as("r"))
+        .collect()
+        .map(r => (r.getLong(0),
+          (r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1),
+            r.getStruct(1).getLong(2)))).toMap
+      val want = Tables.events(spark, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"), max("ts").as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(streamed.keySet == want.keySet)
+      for ((k, (n, s, m)) <- want) {
+        assert(streamed(k)._1 == n && streamed(k)._3 == m, s"user $k")
+        assert(math.abs(streamed(k)._2 - s) < 1e-6, s"user $k sum")
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running accumulator matches batch aggregates") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)
