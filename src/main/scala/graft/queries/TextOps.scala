@@ -499,16 +499,18 @@ object TextOps {
     // pigeonhole blocking (EditBlock) instead of all-pairs, exact levenshtein
     // re-rank, whole corpus. The ORACLE stays the textbook all-pairs SQL, so
     // this row PROVES the blocking lossless on the driver data the same way
-    // j4/r3 prove salting/chunking by identity. t=8 picked from the measured
-    // distance distribution (pairs exist at 0 and 7-8, then the background
-    // starts at 10+); on this 31-word-vocab corpus blocking still passes 41%
-    // of pairs as candidates (segments are common substrings) — on natural
-    // text segments are near-unique and candidates are near-linear.
+    // j4/r3 prove salting/chunking by identity. t=4 from the measured
+    // distance distribution: dup families sit at dist 0-4 and the 31-word-
+    // vocab background starts at 7 — a looser t would "find" background, not
+    // duplicates, and (measured at sf0.1) t=8 lets 46% of all pairs through
+    // as candidates where t=4 passes 12% (1.5M of 12.5M; raw segment-join
+    // fanout 2.2M vs 17M rows). On natural text segments are near-unique and
+    // candidates are near-linear in true matches.
     QueryDef("e2_edit_blocked",
       (s, dir) => EditBlock.nearPairs(
           docs(s, dir).select(col("doc_id"),
             substring(col("text"), 1, 30).as("s")),
-          "doc_id", "s", t = 8)
+          "doc_id", "s", t = 4)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"))
         .orderBy("doc_a", "doc_b"),
       Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -516,7 +518,7 @@ object TextOps {
             substring(b.text, 1, 30)) AS BIGINT) AS dist
         FROM documents a JOIN documents b ON a.doc_id < b.doc_id
         WHERE levenshtein(substring(a.text, 1, 30),
-            substring(b.text, 1, 30)) <= 8
+            substring(b.text, 1, 30)) <= 4
         ORDER BY doc_a, doc_b""")),
 
     // E4i: unigram LM quality score — the CCNet-style perplexity gate with a

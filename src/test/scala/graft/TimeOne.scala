@@ -2,7 +2,7 @@ package graft
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32, "time-one")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.read.parquet(s"$dir/documents.parquet").count()
     for (name <- args) {
       val t0 = System.nanoTime()

@@ -216,6 +216,31 @@ class PlanSpec extends SparkSpec {
       s"orderBy+limit must use per-partition top-k + merge:\n$p")
   }
 
+  test("s6 source tagging folds per-file before the regex, scanning zero columns") {
+    val p = plan("s6_source_tagging")
+    // the count needs no data columns at all — a scan reading anything means
+    // the regex/projection slipped below the per-file fold
+    assert(p.contains("ReadSchema: struct<>"),
+      s"provenance count must read no columns:\n$p")
+    assert(p.contains("Project [input_file_name()"),
+      s"the only per-row work is the file name itself:\n$p")
+    // regexp runs above the per-file aggregate (O(files) evals): it must
+    // never appear in the same stage as the scan-side partial count
+    val scanStage = p.linesIterator.dropWhile(!_.contains("partial_count"))
+    assert(scanStage.forall(!_.contains("regexp_extract")),
+      s"regex must not run per data row:\n$p")
+  }
+
+  test("e7 distinct keys is one count-distinct aggregate (two exchanges, fused)") {
+    val p = plan("e7_distinct_keys")
+    assert(p.contains("count(distinct event_type"),
+      s"must plan the single distinct aggregate, not dedup-then-count:\n$p")
+    // Spark's distinct-agg rewrite needs (key,value) then (key) exchanges;
+    // anything beyond that means a regressed extra shuffle
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"expected the two distinct-agg exchanges, saw $hashEx:\n$p")
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
