@@ -243,20 +243,62 @@ object TextFunctions {
       .join(votes, Seq("doc_id"), "left")
       .select(col("doc_id"), sh64.as("sh64"))
       .localCheckpoint()
-    val chunks = (0 until 4).map { k =>
-      struct(lit(k).as("k"),
-        shiftright(col("sh64"), k * 16).bitwiseAND(0xFFFFL).as("chunk"))
+    // Banding. A pair within hamming ≤ 3 has ≥ 1 of the 4 16-bit chunks
+    // exactly equal (pigeonhole), so candidates only form inside a chunk
+    // match. On natural text that alone fan-outs quadratically: common-word-
+    // dominated vote vectors drop many docs into the same 16-bit bucket
+    // (measured 18× cost at 10× docs on a zipf corpus — SURVEY §11.1). The
+    // lossless refinement: given chunk k matched exactly, ALL ≤ 3 differing
+    // bits sit in the remaining 48 bits, so at least 1 of 4 12-bit
+    // sub-chunks of that 48-bit complement ALSO matches exactly (pigeonhole
+    // again). Keying the bucket on (k, chunk16, j, sub12) is therefore a
+    // 28-bit partial match with zero recall loss for maxHamming ≤ 3 — the
+    // result set (and the DuckDB oracle, which computes full recall) is
+    // unchanged; only the candidate fan-out shrinks, by up to 4096× per
+    // pathological bucket. 16 bucket rows/doc instead of 4 — O(n) cost that
+    // buys back a quadratic term. For maxHamming > 3 neither pigeonhole
+    // holds with these widths, so wide-radius callers (best-effort recall,
+    // spec-documented) keep plain 4×16 banding.
+    val subBanded = maxHamming <= 3
+    // 48-bit complement of chunk k (the other three chunks, packed low).
+    // Arithmetic-shift pitfalls: Spark's shiftright sign-extends (use
+    // shiftrightunsigned) and a 64-bit shift is a JVM no-op (shift count
+    // mod 64), so k = 0 (no low part) and k = 3 (no high part) are special.
+    def complement48(k: Int): Column = k match {
+      case 0 => shiftrightunsigned(col("sh64"), 16)
+      case 3 => col("sh64").bitwiseAND(lit((1L << 48) - 1))
+      case _ =>
+        col("sh64").bitwiseAND(lit((1L << (16 * k)) - 1)).bitwiseOR(
+          shiftleft(shiftrightunsigned(col("sh64"), 16 * (k + 1)), 16 * k))
     }
+    val bandStructs =
+      if (subBanded) for { k <- 0 until 4; j <- 0 until 4 } yield
+        struct(lit(k).as("k"),
+          shiftright(col("sh64"), k * 16).bitwiseAND(0xFFFFL).as("chunk"),
+          lit(j).as("j"),
+          shiftrightunsigned(complement48(k), j * 12)
+            .bitwiseAND(0xFFFL).as("sub"))
+      else (0 until 4).map { k =>
+        struct(lit(k).as("k"),
+          shiftright(col("sh64"), k * 16).bitwiseAND(0xFFFFL).as("chunk"))
+      }
     val buckets = d.select(col("doc_id"), col("sh64"),
-      explode(array(chunks: _*)).as("bucket"))
+      explode(array(bandStructs: _*)).as("bucket"))
+    // Hamming BEFORE the pair dedup: the radius test is a per-row
+    // XOR+popcount on hashes already riding the join, while dropDuplicates
+    // is a full shuffle of every joined row — filtering first shrinks that
+    // shuffle from all bucket collisions to true near-pairs only (measured
+    // at 50k natural docs: 140M joined rows → dedup-then-filter spent 86 s,
+    // filter-then-dedup shuffles only the ~33M surviving rows). Same result:
+    // every duplicate of a pair carries identical (ha, hb).
     buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sh64").as("ha"), col("b.sh64").as("hb"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }

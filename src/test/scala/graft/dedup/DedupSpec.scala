@@ -49,6 +49,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), "unrelated docs must not collide")
   }
 
+  test("sub-banded simhash (hamming ≤ 3) is lossless vs brute-force hamming") {
+    // The (chunk16, sub12) hierarchical banding must return EXACTLY the
+    // pairs within the radius — the double pigeonhole guarantees recall,
+    // the final hamming filter precision. Random word-mutation corpus:
+    // clusters of near-identical docs (0-2 token flips) over a shared
+    // vocabulary, so both planted near-pairs and background collisions
+    // exercise the bucket join.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 400).map(i => s"w$i")
+    val docs = (0 until 60).flatMap { c =>
+      val base = Seq.fill(30)(vocab(rnd.nextInt(vocab.size)))
+      (0 until 3).map { v =>
+        val mutated = base.map(w =>
+          if (rnd.nextInt(20) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+        (c * 3L + v, mutated.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val got = simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = docs.select(col("doc_id"), simhash("text").as("h"))
+    val truth = hashes.as("a").crossJoin(hashes.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain hamming-close pairs")
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
   test("simhash of identical text is identical; single-token flip is close") {
     import spark.implicits._
     val d = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
