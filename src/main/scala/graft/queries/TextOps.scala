@@ -303,6 +303,58 @@ object TextOps {
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE d.doc_id >= 10 ORDER BY d.doc_id""")),
 
+    // E2i scale twin: Bloom-filter decontamination. The exact form above
+    // broadcasts the benchmark n-gram SET — right while it fits in an
+    // executor; at a 10⁹-entry benchmark the set no longer ships as
+    // strings, but its Bloom filter does (~4 bytes/key). Build touches only
+    // benchmark keys (one bit_or shuffle bounded by the FILTER size);
+    // probe is a pure map-side `exists` over each doc's shingle array —
+    // the corpus is never shuffled, exploded, or joined. Gate-oracle row
+    // (the a11/a12 pattern): exact counts are DuckDB-replayed, recall must
+    // be 100% (Bloom has no false negatives — n_false_neg 0 proves the
+    // plumbing), and doc-level false positives stay under max(5, 1%) of
+    // clean docs (~100× above the expected ~1e-4/doc at m = 32n, k = 11).
+    QueryDef("e2_decontaminate_bloom",
+      (s, dir) => {
+        import graft.operators.BloomFilter
+        val k = 11
+        val bench = docs(s, dir).filter(col("doc_id") < 10)
+          .select(explode(shingles(col("text"), 8)).as("sh")).distinct()
+          .localCheckpoint()
+        val bits = BloomFilter.build(bench, col("sh"),
+          BloomFilter.sizeBits(bench.count()), k)
+        val corpus = docs(s, dir).filter(col("doc_id") >= 10)
+          .select(col("doc_id"),
+            BloomFilter.anyMightContain(shingles(col("text"), 8), bits, k)
+              .as("bloom_hit"))
+        val exact = docs(s, dir).filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
+          .join(broadcast(bench), "sh").select("doc_id").distinct()
+          .withColumn("exact_hit", lit(true))
+        corpus.join(exact, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("bloom_hit"),
+            coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("exact_hit").cast("long")).as("n_contaminated"),
+            sum((col("exact_hit") && !col("bloom_hit")).cast("long"))
+              .as("n_false_neg"),
+            sum((col("bloom_hit") && !col("exact_hit")).cast("long"))
+              .as("nfp"))
+          .select(col("n_docs"), col("n_contaminated"), col("n_false_neg"),
+            (col("nfp") <= greatest(lit(5L),
+              (col("n_docs") - col("n_contaminated")).divide(lit(100)).cast("long")))
+              .as("fp_within_bound"))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(8)}) AS s
+          FROM documents),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+        hits AS (SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id >= 10 AND s IN (SELECT s FROM bench))
+        SELECT (SELECT count(*) FROM documents WHERE doc_id >= 10) AS n_docs,
+          (SELECT count(*) FROM hits) AS n_contaminated,
+          CAST(0 AS BIGINT) AS n_false_neg,
+          true AS fp_within_bound""")),
+
     // E4f: TF-IDF top-3 terms per document. tf and df are shuffle-light
     // (both groupBys partial-aggregate map-side; ~1 row per (doc, term) and
     // per term cross the wire), the corpus size is a broadcast 1-row
