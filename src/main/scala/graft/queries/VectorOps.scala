@@ -285,7 +285,63 @@ object VectorOps {
           CAST(CASE WHEN max_abs = 0 THEN 0
             ELSE round(v / max_abs * 127) END AS BIGINT) AS q,
           round(max_abs, 6) AS scale
-        FROM x JOIN ma USING (vec_id) ORDER BY vec_id, pos"""))
+        FROM x JOIN ma USING (vec_id) ORDER BY vec_id, pos""")),
+
+    // SemDeDup-style semantic dedup (cluster-then-pair): assign every vector
+    // to its nearest coarse centroid, then look for near-duplicate pairs ONLY
+    // within a cluster — the shape that makes embedding dedup tractable at
+    // corpus scale (SemDeDup, Abbas et al. 2023). The pair join shuffles both
+    // sides on `cluster` (no all-pairs blow-up: candidate count is
+    // sum_c C(n_c, 2), and nlist grows ~sqrt(n) so per-cluster size stays
+    // bounded); the keeper rule is the same single-pass best-cos/min-id
+    // max_by as e3_embed_neardup. Deterministic float math → full oracle
+    // reusing the shared assignment CTE.
+    QueryDef("e3_semdedup",
+      (s, dir) => {
+        val all = emb(s, dir)
+        val assign = nearestCentroid(all, centroidSet(all, 16))
+        val withC = all.join(assign, "vec_id")
+        val a = withC.select(col("cluster"), col("vec_id").as("keeper_id"),
+          col("v").as("av"), col("nrm").as("an"))
+        val b = withC.select(col("cluster"), col("vec_id").as("dup_id"),
+          col("v").as("bv"), col("nrm").as("bn"))
+        a.join(b, Seq("cluster"))
+          .filter(col("keeper_id") < col("dup_id"))
+          .withColumn("cos", cosine(col("av"), col("bv"), col("an"), col("bn")))
+          .filter(col("cos") >= 0.4)
+          .groupBy("dup_id")
+          .agg(max_by(col("keeper_id"), struct(col("cos"), -col("keeper_id")))
+              .as("keeper_id"),
+            min(col("cluster")).as("cluster"),
+            count(lit(1)).as("n_candidates"),
+            round(max("cos"), 6).as("best_cos"))
+          .orderBy("dup_id")
+      },
+      Some(s"""$baseCte,
+        $assignCte,
+        pairs AS (SELECT a1.cluster, a1.vec_id AS keeper_id,
+            a2.vec_id AS dup_id
+          FROM assign a1 JOIN assign a2 ON a1.cluster = a2.cluster
+            AND a1.vec_id < a2.vec_id),
+        dots AS (SELECT p.cluster, p.keeper_id, p.dup_id,
+            sum(xa.v * xb.v) AS dot
+          FROM pairs p JOIN x xa ON xa.vec_id = p.keeper_id
+          JOIN x xb ON xb.vec_id = p.dup_id AND xa.i = xb.i
+          GROUP BY 1, 2, 3),
+        scored AS (SELECT cluster, keeper_id, dup_id,
+            dot / (na.nrm * nb.nrm) AS cos
+          FROM dots JOIN norms na ON keeper_id = na.vec_id
+          JOIN norms nb ON dup_id = nb.vec_id
+          WHERE dot / (na.nrm * nb.nrm) >= 0.4),
+        ranked AS (SELECT dup_id, cluster, keeper_id, cos, row_number() OVER (
+          PARTITION BY dup_id ORDER BY cos DESC, keeper_id) AS rn
+          FROM scored)
+        SELECT r.dup_id, r.keeper_id, r.cluster,
+          (SELECT count(*) FROM scored s WHERE s.dup_id = r.dup_id)
+            AS n_candidates,
+          (SELECT round(max(cos), 6) FROM scored s WHERE s.dup_id = r.dup_id)
+            AS best_cos
+        FROM ranked r WHERE rn = 1 ORDER BY dup_id"""))
   )
 
   /** IVF ANN: nlist lowest-id vectors act as the coarse quantizer (a

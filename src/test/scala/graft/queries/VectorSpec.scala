@@ -36,4 +36,20 @@ class VectorSpec extends SparkSpec {
     // assert a conservative floor
     assert(recall >= 0.2, s"IVF recall@3 = $recall")
   }
+
+  test("semdedup: every dup pairs with a lower-id keeper in its own cluster") {
+    val rows = QueryCatalog.queries("e3_semdedup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // cluster ids come from the 16-centroid coarse quantizer
+    val clusters = rows.map(_.getAs[Long]("cluster")).toSet
+    assert(clusters.forall(c => c >= 0 && c < 16))
+    for (r <- rows) {
+      assert(r.getAs[Long]("keeper_id") < r.getAs[Long]("dup_id"))
+      assert(r.getAs[Double]("best_cos") >= 0.4)
+      assert(r.getAs[Long]("n_candidates") >= 1)
+    }
+    // a dup appears exactly once (the decision step collapses candidates)
+    val dups = rows.map(_.getAs[Long]("dup_id"))
+    assert(dups.distinct.length == dups.length)
+  }
 }
