@@ -521,6 +521,72 @@ object TextOps {
             / count(*), 6) AS dup_frac
         FROM sh JOIN dfreq USING (s) GROUP BY doc_id ORDER BY doc_id""")),
 
+    // E2j: duplicated-SPAN removal (exact substring dedup à la "Deduplicating
+    // Training Data Makes Language Models Better", Lee et al. 2022): any
+    // word position covered by a 5-word gram that occurs >= 2 times in the
+    // corpus is cut, and the surviving words are stitched back into the
+    // cleaned text — the TRANSFORM counterpart of e2_dup_ngrams' metric.
+    // Shape at 100 TB: positional grams explode map-side; the gram-frequency
+    // agg partial-aggregates to ~1 row per distinct gram; only duplicated
+    // grams (a small fraction of a natural corpus) flow back through the
+    // posting-list join; covered positions and the rebuild shuffle once on
+    // doc_id with ~doc-length rows. No all-pairs stage anywhere.
+    QueryDef("e2_span_dedup",
+      (s, dir) => {
+        val k = 5
+        val base = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("n", size(col("w")))
+        // positional k-grams (Spark's sequence(0, n-k) counts DOWN when
+        // n < k — guard it; DuckDB's generate_series returns empty)
+        val grams = base.filter(col("n") >= k)
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(0), col("n") - k)).as("p"))
+          .select(col("doc_id"), col("p"),
+            concat_ws(" ", slice(col("w"), col("p") + 1, lit(k))).as("g"))
+        val dup = grams.groupBy("g").agg(count(lit(1)).as("f"))
+          .filter(col("f") >= 2).select("g")
+        val covered = grams.join(dup, "g")
+          .select(col("doc_id"),
+            explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+          .distinct()
+        val wp = base.select(col("doc_id"),
+          posexplode(col("w")).as(Seq("pos", "word")))
+        val rebuilt = wp.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("pos"), col("word")))),
+              x => x.getField("word"))).as("cleaned"))
+        base.select(col("doc_id"), col("n").cast("long").as("n_words"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("cleaned"), lit("")).as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+          FROM documents),
+        g AS (SELECT doc_id, i - 1 AS p, array_to_string(l[i:i+4], ' ') AS gr
+          FROM (SELECT doc_id, l,
+            unnest(generate_series(1, len(l) - 4)) AS i FROM w)),
+        dup AS (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2),
+        cov AS (SELECT DISTINCT g.doc_id, p + off AS pos
+          FROM g JOIN dup USING (gr),
+            (SELECT unnest(generate_series(0, 4)) AS off) o),
+        wp AS (SELECT doc_id, unnest(l) AS word,
+            unnest(generate_series(0, len(l) - 1)) AS pos FROM w),
+        kept AS (SELECT wp.doc_id, wp.pos, wp.word FROM wp
+          LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+          WHERE cov.doc_id IS NULL),
+        reb AS (SELECT doc_id, count(*) AS n_kept,
+            string_agg(word, ' ' ORDER BY pos) AS cleaned
+          FROM kept GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(l) AS BIGINT) AS n_words,
+          CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+          coalesce(cleaned, '') AS cleaned
+        FROM w LEFT JOIN reb USING (doc_id) ORDER BY w.doc_id""")),
+
     // E2h: edit-distance near-dup — the string-level dedup family (titles,
     // URLs, short fields) that shingle/token methods overshoot: classic
     // Levenshtein over 30-char prefixes on a bounded slice (all-pairs is the

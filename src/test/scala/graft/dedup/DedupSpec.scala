@@ -90,4 +90,29 @@ class DedupSpec extends SparkSpec {
     assert(d(0L) == d(1L))
     assert(java.lang.Long.bitCount(d(0L) ^ d(2L)) <= 24)
   }
+
+  test("span dedup cuts exactly the words covered by a shared 5-gram") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spandedup").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta unique0 tail0"),
+      (1L, "head1 alpha beta gamma delta epsilon zeta tail1"),
+      (2L, "totally different words none repeated here at all"),
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long")
+          .as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.QueryCatalog.queries("e2_span_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // docs 0/1 share the span "alpha beta gamma delta epsilon zeta": every
+    // position under a duplicated 5-gram goes, the rest survive in order
+    assert(got(0L) == ((2L, "unique0 tail0")))
+    assert(got(1L) == ((2L, "head1 tail1")))
+    // no duplicated grams elsewhere: untouched, including the < 5-word doc
+    assert(got(2L) == ((8L, "totally different words none repeated here at all")))
+    assert(got(3L) == ((2L, "tiny doc")))
+  }
 }
