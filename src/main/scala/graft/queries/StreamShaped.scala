@@ -229,6 +229,34 @@ object StreamShaped {
         WHERE h % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
         ORDER BY doc_id""")),
 
+    // E8g: QUALITY-WEIGHTED sampling — per-row keep-probability derived from
+    // a quality proxy (here doc length, clamped to [0.1, 1.0]), the
+    // importance-resampling step data-mixing pipelines run when upweighting
+    // high-quality sources. Same portable md5-derived uniform as
+    // e8_stratified_sample (distinct salt so the two samples are
+    // independent); entirely map-side — the sample decision is a row-local
+    // predicate, no shuffle at any corpus size, and re-running yields the
+    // identical sample (reproducibility is the point vs rand()).
+    QueryDef("e8_weighted_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val h = graft.functions.TextFunctions.md5Hash60(
+          concat(lit("ws:"), col("doc_id").cast("string")))
+        Tables.documents(s, dir)
+          .withColumn("p_permille",
+            least(lit(1000L), greatest(lit(100L), col("n_chars"))))
+          .withColumn("bucket", h % 1000)
+          .filter(col("bucket") < col("p_permille"))
+          .select(col("doc_id"), col("p_permille"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, p_permille, h % 1000 AS bucket FROM (
+          SELECT doc_id, least(1000, greatest(100, n_chars)) AS p_permille,
+            ${graft.functions.TextFunctions.md5Hash60Sql(
+              "'ws:' || CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents) t
+        WHERE h % 1000 < p_permille ORDER BY doc_id""")),
+
     // E8d: Z-ORDER layout — the multi-column data-clustering write a 100 TB
     // table runs so range predicates on EITHER key prune files (Delta/Iceberg
     // OPTIMIZE ZORDER). The curve math is the operator: interleave the low
