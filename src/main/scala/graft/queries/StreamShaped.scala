@@ -100,6 +100,26 @@ object StreamShaped {
         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         ORDER BY purchase_id, view_id""")),
 
+    // E7g: stream-stream LEFT OUTER interval join — purchases with no view
+    // in the preceding hour survive with null view columns (the streaming
+    // "timed-out unmatched" row, emitted when the watermark passes the
+    // interval bound — the same instant the buffered state can be freed).
+    // Batch twin under driver check; the streaming runner + watermark-closed
+    // parity spec live in EventsStreaming/StreamingSpec. The null-extending
+    // side rides the SAME user_id hash join as the inner form — outer-ness
+    // costs no extra shuffle at any scale.
+    QueryDef("e7_stream_left_join",
+      (s, dir) => EventsStreaming.recentViewPairsLeft(Tables.events(s, dir))
+        .orderBy("purchase_id", "view_id"),
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+          v.event_id AS view_id, epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        FROM events p LEFT JOIN events v ON p.user_id = v.user_id
+          AND v.event_type = 'view'
+          AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+          AND epoch_us(v.ts) < epoch_us(p.ts)
+        WHERE p.event_type = 'purchase'
+        ORDER BY purchase_id, view_id""")),
+
     // E7f: the flatMapGroupsWithState custom-state path under driver check —
     // runningUserState's batch twin (per-user running count/sum/last-seen
     // snapshot; in batch each group emits exactly its final snapshot).

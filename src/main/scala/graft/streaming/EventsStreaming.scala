@@ -139,6 +139,45 @@ object EventsStreaming {
       .start()
   }
 
+  /** LEFT OUTER variant of [[recentViewPairs]]: purchases with NO view in
+    * the preceding hour survive with null view columns — the streaming
+    * "unmatched after timeout" semantics (nulls emit only once the
+    * watermark passes the interval bound, which is exactly when state for
+    * that purchase can be dropped). Batch and stream share this function. */
+  def recentViewPairsLeft(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_utc").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_utc").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"), "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  /** Streaming runner for [[recentViewPairsLeft]]: both branches carry the
+    * source watermark (outer joins require it on the non-preserved side so
+    * unmatched rows can be declared dead and emitted with nulls). Note the
+    * inherent tail behavior: purchases younger than watermark − interval at
+    * end-of-stream stay in state and never emit — the parity spec compares
+    * the watermark-closed region. */
+  def runStreamLeftJoin(spark: SparkSession, dir: String,
+                        queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+    recentViewPairsLeft(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   /** Streaming key-dedup: watermark + dropDuplicatesWithinWatermark — the
     * real streaming form of [[distinctKeyCounts]]; late duplicates beyond the
     * watermark are dropped by state expiry at scale. */

@@ -74,6 +74,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join equals batch on the watermark-closed region") {
+    import org.apache.spark.sql.functions._
+    val q = EventsStreaming.runStreamLeftJoin(spark, dir, "stream_left_join_test")
+    try {
+      q.processAllAvailable()
+      val ev = Tables.events(spark, dir)
+      // rows whose outcome the watermark has sealed: the final watermark is
+      // max(ts) - 1h, and a purchase's null-vs-match verdict is final once
+      // watermark >= p_ts (its interval lies fully in the past). Purchases
+      // younger than that may still sit in state — excluded on BOTH sides.
+      val closedUs = ev.agg(max(unix_micros(col("ts_utc"))))
+        .head().getLong(0) - 3600L * 1000000
+      def closedRegion(df: org.apache.spark.sql.DataFrame) = df
+        .join(ev.select(col("event_id").as("purchase_id"),
+          unix_micros(col("ts_utc")).as("p_us")), "purchase_id")
+        .filter(col("p_us") <= closedUs).drop("p_us")
+        .collect().map(_.toSeq).toSet
+      val streamed = closedRegion(spark.table("stream_left_join_test"))
+      val batch = closedRegion(
+        EventsStreaming.recentViewPairsLeft(Tables.events(spark, dir)))
+      assert(batch.nonEmpty)
+      // the left-outer form must actually exercise the null-extension path
+      assert(batch.exists(_.contains(null)), "no unmatched purchase in fixture")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("foreachBatch versioned-merge sink converges to the batch latest-per-key") {
     val q = EventsStreaming.runForeachBatchUpsert(spark, dir, "stream_upsert_test")
     try {
