@@ -390,6 +390,71 @@ object TextOps {
         SELECT doc_id, rank, t AS term, round(tfidf, 6) AS tfidf
         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // E4n: SPARSE cosine similarity over TF-IDF vectors — the inverted-index
+    // similarity modality (BM25/TF-IDF retrieval's scoring core), complement
+    // to e3's dense-embedding cosine: pairs materialize ONLY through the
+    // term posting-list join, never all-pairs. Same smoothed idf as
+    // e4_tfidf. Per-term contributions (w², wa·wb) are quantized to integer
+    // micros BEFORE summing (the e4_unigram_logprob contract), so dot and
+    // norm are exact integer math — independent of partitioning and engine
+    // summation order — and idf > 0 makes every norm positive (no NaN
+    // guard needed). Bounded to doc_id < 150 at test scale because this
+    // 31-word corpus makes every pair share terms; on a natural vocabulary
+    // the posting join IS the scale path (same rationale as
+    // e2_ngram_jaccard, measured there).
+    QueryDef("e4_tfidf_cosine",
+      (s, dir) => {
+        val bounded = docs(s, dir).filter(col("doc_id") < 150)
+        val toks = bounded
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val nDocs = bounded.agg(count(lit(1)).as("n_docs"))
+        val w = tf.join(dfreq, "t").crossJoin(broadcast(nDocs))
+          .withColumn("w", col("tf") *
+            (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+        val nrm = w.groupBy("doc_id")
+          .agg(sqrt(sum(round(col("w") * col("w") * 1e6, 0).cast("long"))
+            .cast(DoubleType) / 1e6).as("nrm"))
+        val dots = w.as("a")
+          .join(w.as("b"),
+            col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg((sum(round(col("a.w") * col("b.w") * 1e6, 0).cast("long"))
+            .cast(DoubleType) / 1e6).as("dot"))
+        dots
+          .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+            "doc_a")
+          .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+            "doc_b")
+          .withColumn("cos", col("dot") / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t
+          FROM documents WHERE doc_id < 150),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 150),
+        w AS (SELECT doc_id, t,
+            tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+          FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+        nrm AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w * 1000000)
+            AS BIGINT)) AS DOUBLE) / 1000000) AS nrm
+          FROM w GROUP BY doc_id),
+        dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(sum(CAST(round(a.w * b.w * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000 AS dot
+          FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dots JOIN nrm na ON doc_a = na.doc_id
+        JOIN nrm nb ON doc_b = nb.doc_id
+        WHERE dot / (na.nrm * nb.nrm) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
     // E4g: PII-style redaction — the rewrite form of text cleaning (numbers
     // → a placeholder token here; the same shape carries email/phone/ID
     // patterns). Pure per-row map, no shuffle; emitted as deterministic
@@ -418,6 +483,88 @@ object TextOps {
     // is computed from the UNROUNDED fraction on both sides so a boundary
     // value can't flip between engines.
     //
+    // E4m: Gopher-style rule GATE (Rae et al. 2021 §A1.1 shape): the
+    // multi-rule document filter every corpus pipeline runs before training —
+    // word-count bounds, mean-word-length bounds, minimum distinct-stopword
+    // presence — emitted as one 0/1 flag per rule plus the conjunction, so
+    // downstream can both filter (keep=1) and audit WHICH rule killed a doc.
+    // Entirely row-local (map-side at any corpus size); the rule arithmetic
+    // is integer-exact (token-length sums) so both engines compare the same
+    // doubles. Flags are BIGINT 0/1, not BOOLEAN: the driver's compare is
+    // representation-sensitive and pandas bool vs numpy bool_ would
+    // false-mismatch.
+    QueryDef("e4_gopher_gate",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val nW = size(toks).cast("long")
+        val mwl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast(DoubleType) / nW
+        val nStop = size(filter(array_distinct(toks),
+          t => t.isin(stopwords: _*))).cast("long")
+        def flag(c: Column): Column = c.cast("long")
+        docs(s, dir).select(col("doc_id"), nW.as("n_words"),
+            round(mwl, 6).as("mean_wlen"), nStop.as("n_stop"),
+            flag(nW >= 50 && nW <= 100000).as("r_wc"),
+            flag(mwl >= 3.0 && mwl <= 10.0).as("r_mwl"),
+            flag(nStop >= 2).as("r_stop"),
+            flag(nW >= 50 && nW <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+              nStop >= 2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_words, round(mwl, 6) AS mean_wlen, n_stop,
+          CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+            AS BIGINT) AS r_wc,
+          CAST(CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END
+            AS BIGINT) AS r_mwl,
+          CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+          CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+            AND mwl >= 3.0 AND mwl <= 10.0 AND n_stop >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform($tokensSql, t -> length(t)))
+            AS DOUBLE) / len($tokensSql) AS mwl,
+          CAST(len(list_filter(list_distinct($tokensSql),
+            t -> t IN ($stopwordsSql))) AS BIGINT) AS n_stop
+        FROM documents) t ORDER BY doc_id""")),
+
+    // E4o: percentile-threshold selection — "keep the top quartile by
+    // quality score", the data-mixing step that follows scoring. The
+    // threshold is ONE exact interpolated percentile computed as an
+    // aggregate (no global sort — Spark's percentile agg builds a value
+    // histogram; at 100 TB the same line swaps to percentile_approx, the
+    // A12-proven sketch, trading exactness for a single pass), broadcast
+    // back as a 1-row crossJoin so the filter stays map-side. Score is
+    // byte-identical to e4_quality's.
+    QueryDef("e4_quality_p75",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks)
+        val stopHits = size(filter(toks, t => t.isin(stopwords: _*)))
+        val punct = size(regexp_extract_all(col("text"), lit("[,.;:!?]"), lit(0)))
+        val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        val scored = docs(s, dir).select(col("doc_id"),
+          (stopHits.cast(DoubleType) / nTok * 2.0
+            - punct.cast(DoubleType) / length(col("text")) * 3.0
+            - digits.cast(DoubleType) / length(col("text"))).as("quality"))
+        val thr = scored.agg(expr("percentile(quality, 0.75)").as("p75"))
+        scored.crossJoin(broadcast(thr))
+          .filter(col("quality") >= col("p75"))
+          .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+            round(col("p75"), 6).as("p75"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS (SELECT doc_id,
+          CAST(len(list_filter($tokensSql, t -> t IN ($stopwordsSql)))
+            AS DOUBLE) / len($tokensSql) * 2.0
+          - CAST(len(regexp_extract_all(text, '[,.;:!?]')) AS DOUBLE)
+            / length(text) * 3.0
+          - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+            / length(text) AS quality
+          FROM documents),
+        thr AS (SELECT quantile_cont(quality, 0.75) AS p75 FROM q)
+        SELECT doc_id, round(quality, 6) AS quality, round(p75, 6) AS p75
+        FROM q CROSS JOIN thr WHERE quality >= p75 ORDER BY doc_id""")),
+
     // One posexplode feeds BOTH term tables; bigrams come from lead() over
     // the (doc_id, pos) window — partitions bounded by a single doc's token
     // count, so the window is safe at any corpus size. The first spelling
