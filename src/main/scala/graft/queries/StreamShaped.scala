@@ -277,6 +277,48 @@ object StreamShaped {
           FROM documents) t
         WHERE h % 1000 < p_permille ORDER BY doc_id""")),
 
+    // E8h: MIXTURE REBALANCE — downsample every language to the smallest
+    // language's size (the "equalize domains" step of training-data mixing):
+    // phase 1 is a tiny per-source count aggregate (partial-agg, ~1 row per
+    // source), phase 2 broadcasts the derived per-source keep rate back and
+    // samples with the portable salted hash — so the actual row decision is
+    // map-side and reproducible, and NOTHING corpus-sized shuffles. Emitted
+    // as the per-source audit summary (total, rate, kept) the pipeline
+    // would log.
+    QueryDef("e8_mix_rebalance",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.documents(s, dir)
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        val target = counts.agg(min("n_total").as("m"))
+        val rates = counts.crossJoin(broadcast(target))
+          .withColumn("rate_permille", floor(lit(1000) * col("m") / col("n_total")))
+          .select("lang", "n_total", "rate_permille")
+        val h = graft.functions.TextFunctions.md5Hash60(
+          concat(lit("mix:"), col("doc_id").cast("string")))
+        d.join(broadcast(rates), "lang")
+          .filter(h % 1000 < col("rate_permille"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"))
+          .join(rates, "lang")
+          .select(col("lang"), col("n_total"), col("rate_permille"),
+            col("n_kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH counts AS (SELECT lang, count(*) AS n_total
+          FROM documents GROUP BY lang),
+        rates AS (SELECT lang, n_total,
+            CAST(floor(1000.0 * (SELECT min(n_total) FROM counts) / n_total)
+              AS BIGINT) AS rate_permille
+          FROM counts),
+        kept AS (SELECT d.lang, count(*) AS n_kept
+          FROM documents d JOIN rates r ON d.lang = r.lang
+          WHERE ${graft.functions.TextFunctions.md5Hash60Sql(
+            "'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < r.rate_permille
+          GROUP BY d.lang)
+        SELECT lang, n_total, rate_permille, n_kept
+        FROM rates JOIN kept USING (lang) ORDER BY lang""")),
+
     // E8d: Z-ORDER layout — the multi-column data-clustering write a 100 TB
     // table runs so range predicates on EITHER key prune files (Delta/Iceberg
     // OPTIMIZE ZORDER). The curve math is the operator: interleave the low
