@@ -495,9 +495,16 @@ object TextOps {
     // false-mismatch.
     QueryDef("e4_gopher_gate",
       (s, dir) => {
+        // token-length SUM spelled as one codegen'd regexp (non-whitespace
+        // char count) instead of an interpreted aggregate() lambda; the
+        // distinct-stopword count keeps the HOF form deliberately — both
+        // alternatives were measured SLOWER at 50k docs (10 boundary-anchored
+        // rlikes: 8.1 s vs 4.3 s — Java regex per stopword per row; a single
+        // alternation needs lookbehind, which RE2/DuckDB lacks, so it can't
+        // be oracle-portable)
         val toks = tokens(col("text"))
         val nW = size(toks).cast("long")
-        val mwl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        val mwl = length(regexp_replace(col("text"), "\\s+", ""))
           .cast(DoubleType) / nW
         val nStop = size(filter(array_distinct(toks),
           t => t.isin(stopwords: _*))).cast("long")
@@ -521,7 +528,7 @@ object TextOps {
             AND mwl >= 3.0 AND mwl <= 10.0 AND n_stop >= 2
             THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_words,
-          CAST(list_sum(list_transform($tokensSql, t -> length(t)))
+          CAST(length(regexp_replace(text, '\\s+', '', 'g'))
             AS DOUBLE) / len($tokensSql) AS mwl,
           CAST(len(list_filter(list_distinct($tokensSql),
             t -> t IN ($stopwordsSql))) AS BIGINT) AS n_stop
