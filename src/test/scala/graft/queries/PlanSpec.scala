@@ -247,4 +247,45 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
       s"projection pruning lost:\n$readSchema")
   }
+
+  test("e3 semdedup pairs only inside a cluster: hash join on cluster, no loop join") {
+    val p = plan("e3_semdedup")
+    // the pair join must be an equi-join keyed on the cluster id; a nested
+    // loop here would be the all-pairs blow-up the operator exists to avoid
+    val pairJoin = p.linesIterator.filter(_.contains("SortMergeJoin")) ++
+      p.linesIterator.filter(l => l.contains("ShuffledHashJoin"))
+    assert(pairJoin.exists(_.contains("cluster")),
+      s"pair join must key on cluster:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unconditioned pair join allowed:\n$p")
+  }
+
+  test("e8 weighted sample plans no exchange (pure map-side filter)") {
+    val p = plan("e8_weighted_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the sample decision is row-local; an exchange means a lost shape:\n$p")
+  }
+
+  test("e8 mix rebalance broadcasts the rate table (row decision stays map-side)") {
+    val p = plan("e8_mix_rebalance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast back to the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing corpus-sized may shuffle for the rate join:\n$p")
+  }
+
+  test("e4 quality p75 broadcasts the 1-row threshold, no data-sized loop join") {
+    val p = plan("e4_quality_p75")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"threshold must broadcast:\n$p")
+    assert(p.contains("percentile"), s"threshold must be one aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e2 span dedup joins grams on the gram key, never a loop join") {
+    val p = plan("e2_span_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dup grams must flow back via an equi join:\n$p")
+  }
 }
