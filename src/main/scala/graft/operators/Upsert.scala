@@ -43,6 +43,26 @@ object Upsert {
       .unionByName(tagged.filter(hasNullKey))
   }
 
+  /** SCD-2 history build: turn a change feed into validity intervals. Every
+    * change row becomes a version row whose interval runs from its own
+    * version value to the NEXT change's (`lead` over the key, ordered by the
+    * version tuple), open-ended (NULL) for the current row — the standard
+    * dimension-history shape reference pipelines rebuild nightly. One key
+    * shuffle (the window), no join, no state: at 100 TB this is a single
+    * hash-partition pass, and an incremental rebuild only re-windows keys
+    * present in the new batch. `version.head` must be the interval-bearing
+    * column (a timestamp carrier); later columns only break ties.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], version: Seq[String],
+           validTo: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty && version.nonEmpty)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(version.map(col(_).asc): _*)
+    changes
+      .withColumn(validTo, lead(col(version.head), 1).over(w))
+      .withColumn("is_current", col(validTo).isNull.cast("int"))
+  }
+
   def apply(base: DataFrame, updates: DataFrame,
             keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty)

@@ -320,6 +320,50 @@ object EventOps {
         SELECT day, COALESCE(n, 0) AS n
         FROM spine LEFT JOIN daily USING (day) ORDER BY day""")),
 
+    // A16: robust outlier gate — median/MAD z-score per group (the
+    // data-cleaning twin of a13's skew profiler: mean/stddev fences break on
+    // the very outliers they hunt; the median absolute deviation doesn't).
+    // Sequential-pass shape: median → MAD → gate, each a partial-agged
+    // percentile that collapses to |groups| rows and BROADCASTS back — the
+    // big table never reshuffles. Spark shares no subtrees, so the plan
+    // scans the (columnar, 2-column) input three times; at 100 TB that is
+    // the honest cost of exact MAD, and the three scans stay embarrassingly
+    // parallel while the joins stay broadcast.
+    // 1.4826·MAD ≈ σ for normal data (the standard consistency constant);
+    // both engines share the exact-percentile interpolation formula (a9,
+    // driver-proven) and the boundary compare is the same double math on
+    // both sides.
+    QueryDef("a16_mad_outliers",
+      (s, dir) => {
+        val e = ev(s, dir).select("event_type", "value")
+        val med = e.groupBy("event_type").agg(median(col("value")).as("med"))
+        val dev = e.join(broadcast(med), Seq("event_type"))
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(median(col("adev")).as("mad"), first(col("med")).as("med"))
+        dev.drop("med").join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum((col("adev") > lit(3.0) * lit(1.4826) * col("mad"))
+              .cast("long")).as("n_outliers"),
+            round(first("med"), 6).as("med"),
+            round(first("mad"), 6).as("mad"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type, median(value) AS med
+          FROM events GROUP BY 1),
+        d AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+          FROM events e JOIN m USING (event_type)),
+        s AS (SELECT event_type, median(adev) AS mad, any_value(med) AS med
+          FROM d GROUP BY 1)
+        SELECT d.event_type, count(*) AS n,
+          CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * s.mad
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          round(any_value(s.med), 6) AS med,
+          round(any_value(s.mad), 6) AS mad
+        FROM d JOIN s USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type""")),
+
     // C3x: null semantics — the null-safe equality operator (<=> /
     // IS NOT DISTINCT FROM) the rest of the catalog never exercises, plus
     // null counting vs SQL three-valued logic: a run is "repeated" when the

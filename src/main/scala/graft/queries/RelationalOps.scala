@@ -465,6 +465,32 @@ object RelationalOps {
           .orderBy("src")
       },
       Some("""SELECT 'events' AS src, count(*) AS n FROM events
-        UNION ALL SELECT 'lineitem', count(*) FROM lineitem ORDER BY src"""))
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem ORDER BY src""")),
+
+    // J7: TPC-H Q13 shape — customer order-count distribution. The LEFT
+    // outer join keeps zero-order customers (count(o_orderkey) counts only
+    // matched rows, so they land in the c_count=0 bucket — the row an inner
+    // join silently drops). Scale shape: the filter prunes orders BEFORE the
+    // join; the per-customer count rides the join's existing hash
+    // partitioning on custkey (no second exchange — Catalyst reuses the
+    // output partitioning); the distribution agg then moves only
+    // |distinct c_count| ≈ dozens of rows.
+    QueryDef("j7_custdist",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select("c_custkey")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_orderkey", "o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey) t
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
   )
 }

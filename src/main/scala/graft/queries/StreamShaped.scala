@@ -175,6 +175,32 @@ object StreamShaped {
             ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t
         WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // M3: SCD-2 history build — m2 keeps only the latest version per key;
+    // this keeps EVERY version as a validity interval [valid_from, valid_to)
+    // with an open-ended current row, the standard dimension-history rebuild.
+    // Versions ride the same µs carrier as m2 (DuckDB reads parquet ns
+    // timestamps at µs precision). The 'purchase' filter keeps the driver
+    // dump proportionate; the operator itself is filter-free. One key
+    // shuffle (the lead window), no join — see Upsert.scd2.
+    QueryDef("m3_scd2",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val changes = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 1000").as("valid_from_us"),
+            col("event_id"), col("value"))
+        graft.operators.Upsert.scd2(changes, keys = Seq("user_id"),
+            version = Seq("valid_from_us", "event_id"), validTo = "valid_to_us")
+          .orderBy("user_id", "valid_from_us", "event_id")
+      },
+      Some("""SELECT user_id, epoch_us(ts) AS valid_from_us, event_id, value,
+          lead(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+          CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) IS NULL AS INT) AS is_current
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id, valid_from_us, event_id""")),
+
     // E8a: deterministic train/val/test hash split (Knuth multiplicative
     // hash — exact 64-bit integer arithmetic, portable to any SQL engine;
     // the scalable, reproducible alternative to TABLESAMPLE)
@@ -391,6 +417,42 @@ object StreamShaped {
           unnest(generate_series(0, n_chars - 1, 384)) AS start
           FROM documents WHERE n_chars > 0) t
         ORDER BY doc_id, chunk_id""")),
+
+    // E8h: deterministic global shuffle into training shards — the step that
+    // turns a curated corpus into N pseudo-randomly ordered shard files for
+    // sequential training reads. Order key = Knuth multiplicative hash
+    // (salted so it cannot correlate with e8_hash_split's split assignment),
+    // shard = hash mod 16. At 100 TB the write path is
+    // `repartition(N, shard).sortWithinPartitions(h)` — one shuffle, each
+    // task streams one sorted shard to disk. The catalog row emits per-shard
+    // stats incl. the hash-order head/tail doc so the ORDER a reader would
+    // see is pinned by the oracle, not just membership. The (h, doc_id)
+    // order key is PACKED into one long (h < 2³², doc_id < 2³¹ → < 2⁶³) so
+    // head/tail are plain min/max — a hash aggregate; the min_by-on-struct
+    // spelling planned a SortAggregate that sorts every partition by shard
+    // first (measured in the plan, not guessed).
+    QueryDef("e8_shuffle_shards",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L),
+          lit(4294967296L))
+        Tables.documents(s, dir)
+          .withColumn("hk", h * lit(2147483648L) + col("doc_id"))
+          .withColumn("shard", pmod(h, lit(16L)))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+            pmod(min("hk"), lit(2147483648L)).as("head_doc"),
+            pmod(max("hk"), lit(2147483648L)).as("tail_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+            (doc_id * 2654435761 + 40503) % 4294967296 AS h
+          FROM documents)
+        SELECT h % 16 AS shard, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          min(h * 2147483648 + doc_id) % 2147483648 AS head_doc,
+          max(h * 2147483648 + doc_id) % 2147483648 AS tail_doc
+        FROM t GROUP BY 1 ORDER BY 1""")),
 
     // E5: JSON property extraction from the event props column
     QueryDef("e5_json_props",

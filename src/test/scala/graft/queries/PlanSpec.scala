@@ -288,4 +288,38 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"dup grams must flow back via an equi join:\n$p")
   }
+
+  test("j7 custdist partial-counts per customer before its exchange") {
+    val p = plan("j7_custdist")
+    assert(p.contains("partial_count(o_orderkey"),
+      s"per-customer counts must fold map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m3 scd2 is one key shuffle (the lead window), no join") {
+    val p = plan("m3_scd2")
+    assert(!p.contains("Join"), s"scd2 must not join:\n$p")
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected exactly one key shuffle, saw $ex:\n$p")
+  }
+
+  test("e8 shuffle shards hash-aggregates via the packed order key") {
+    val p = plan("e8_shuffle_shards")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"packed min/max must plan a hash aggregate, not a per-partition sort:\n$p")
+  }
+
+  test("a16 mad outliers broadcasts every median table (big side never reshuffles)") {
+    val p = plan("a16_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"group medians are |groups|-sized — they broadcast:\n$p")
+  }
+
+  test("e4 bigram logprob joins count tables on bigram keys, never a loop join") {
+    val p = plan("e4_bigram_logprob")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
