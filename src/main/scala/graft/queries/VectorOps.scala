@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -286,6 +286,97 @@ object VectorOps {
             ELSE round(v / max_abs * 127) END AS BIGINT) AS q,
           round(max_abs, 6) AS scale
         FROM x JOIN ma USING (vec_id) ORDER BY vec_id, pos""")),
+
+    // Product-quantization ANN (IVF-ADC's compression half): split each
+    // vector into 8 sub-blocks of 8 dims, encode every sub-block as its
+    // nearest of 16 codewords (the lowest-16-id vectors' sub-blocks — the
+    // same deterministic quantizer-init trick as e3_ivf_ann), then answer
+    // queries by Asymmetric Distance Computation: distance(query, doc) ≈
+    // Σ_j d(query_subᵢ, codeword(doc, j)) looked up from a tiny precomputed
+    // table, never touching doc floats until the exact re-rank of a
+    // 20-candidate shortlist. Scale shape: the codebook (128 sub-blocks) and
+    // the per-query distance table (queries × 16 × 8 rows) both broadcast;
+    // the big table flows through as 8 code rows/vector (at rest this is
+    // the 8-byte code the index stores — an 8/256ths memory footprint), and
+    // the ADC agg moves ≤ queries × n rows of integers. All distances are
+    // per-dim micro-quantized squared L2 (integer sums — order- and
+    // engine-independent), ties → lowest codeword/id. Recall vs exact L2
+    // asserted in VectorSpec.
+    QueryDef("e3_pq_adc",
+      (s, dir) => {
+        val all = Tables.embeddings(s, dir)
+          .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+        def l2m(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, t) => acc + round(t * 1e6, 0).cast("long"))
+        val sub = all
+          .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
+            col("v"))
+          .select(col("vec_id"), col("j"),
+            slice(col("v"), col("j") * lit(8) + lit(1), lit(8)).as("sv"))
+        val cb = sub.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c"), col("j"), col("sv").as("cv"))
+        // quantized sub-distance of every vector to every codeword (n×8×16
+        // rows, map-side through the broadcast join)
+        val d = sub.join(broadcast(cb), Seq("j"))
+          .select(col("vec_id").as("vid"), col("c"), col("j"),
+            l2m(col("sv"), col("cv")).as("d"))
+        // encode: argmin codeword, ties → lowest c, via the packed-long trick
+        val enc = d.groupBy("vid", "j")
+          .agg(pmod(min(col("d") * 16 + col("c")), lit(16L)).as("code"))
+        // ADC lookup: the query-side distance table broadcasts; one integer
+        // sum of 8 looked-up terms per (query, doc)
+        val qd = d.filter(col("vid") < 10)
+          .select(col("vid").as("q_id"), col("c").as("code"), col("j"),
+            col("d"))
+        val adc = enc.join(broadcast(qd), Seq("j", "code"))
+          .filter(col("vid") =!= col("q_id"))
+          .groupBy("q_id", "vid")
+          .agg(sum("d").as("adc_micros"))
+        val short = OrderedOps.topKPerGroup(adc, Seq("q_id"),
+          Seq(col("adc_micros").asc, col("vid").asc), k = 20).drop("rank")
+        // exact re-rank of the shortlist only (20 candidates/query)
+        val qv = all.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val nv = all.select(col("vec_id").as("vid"), col("v").as("nv"))
+        val ex = short.join(broadcast(qv.filter(col("q_id") < 10)), Seq("q_id"))
+          .join(nv, Seq("vid"))
+          .withColumn("l2_micros", l2m(col("qv"), col("nv")))
+        OrderedOps.topKPerGroup(ex, Seq("q_id"),
+            Seq(col("l2_micros").asc, col("vid").asc), k = 5)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vid").as("n_id"), col("adc_micros"), col("l2_micros"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+        sub AS (SELECT vec_id, (i - 1) // 8 AS j, i, v FROM x),
+        d AS (SELECT a.vec_id AS vid, b.vec_id AS c, a.j,
+            CAST(sum(CAST(round((a.v - b.v) * (a.v - b.v) * 1000000)
+              AS BIGINT)) AS BIGINT) AS d
+          FROM sub a JOIN sub b ON a.i = b.i AND b.vec_id < 16
+          GROUP BY 1, 2, 3),
+        enc AS (SELECT vid, j, c AS code FROM (
+            SELECT vid, j, c, row_number() OVER (
+              PARTITION BY vid, j ORDER BY d, c) AS rn FROM d) t
+          WHERE rn = 1),
+        adc AS (SELECT q.vid AS q_id, e.vid AS n_id,
+            CAST(sum(q.d) AS BIGINT) AS adc_micros
+          FROM enc e JOIN d q ON q.j = e.j AND q.c = e.code
+          WHERE q.vid < 10 AND e.vid <> q.vid
+          GROUP BY 1, 2),
+        short AS (SELECT q_id, n_id, adc_micros FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY adc_micros, n_id) AS rn FROM adc) t WHERE rn <= 20),
+        exact AS (SELECT s.q_id, s.n_id, s.adc_micros,
+            CAST(sum(CAST(round((a.v - b.v) * (a.v - b.v) * 1000000)
+              AS BIGINT)) AS BIGINT) AS l2_micros
+          FROM short s JOIN x a ON a.vec_id = s.q_id
+          JOIN x b ON b.vec_id = s.n_id AND b.i = a.i
+          GROUP BY 1, 2, 3)
+        SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY l2_micros, n_id) AS BIGINT) AS rank,
+          n_id, adc_micros, l2_micros
+        FROM exact QUALIFY rank <= 5 ORDER BY q_id, rank""")),
 
     // SemDeDup-style semantic dedup (cluster-then-pair): assign every vector
     // to its nearest coarse centroid, then look for near-duplicate pairs ONLY

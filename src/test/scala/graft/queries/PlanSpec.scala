@@ -322,4 +322,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("e3 pq-adc broadcasts codebook and query tables; big side never sort-merges") {
+    val p = plan("e3_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"codebook (128 rows) and ADC table (queries×16×8) must broadcast:\n$p")
+  }
 }

@@ -37,6 +37,37 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@3 = $recall")
   }
 
+  test("PQ-ADC recall@5 vs exact L2, and re-ranked distances are exact") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.toDoubleArr
+    // exact top-5 by the same quantized squared-L2 the query re-ranks with
+    val all = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val l2 = aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + round(t * 1e6, 0).cast("long"))
+    val brute = broadcast(q).join(all, col("q_id") =!= col("vec_id"))
+      .withColumn("l2", l2)
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("q_id").orderBy(col("l2"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+        -> r.getAs[Long]("l2")).toMap
+    val pq = QueryCatalog.queries("e3_pq_adc")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+        -> r.getAs[Long]("l2_micros")).toMap
+    assert(brute.nonEmpty && pq.nonEmpty)
+    // the re-ranked distance is the TRUE distance wherever ANN found a
+    // true top-5 neighbor
+    for ((k, v) <- pq if brute.contains(k))
+      assert(brute(k) == v, s"exact re-rank distance mismatch at $k")
+    val recall = brute.keySet.count(pq.contains).toDouble / brute.size
+    // 16-codeword × 8-subspace codebook on seed-42 data is deterministic;
+    // conservative floor (measured well above)
+    assert(recall >= 0.4, s"PQ recall@5 = $recall")
+  }
+
   test("semdedup: every dup pairs with a lower-id keeper in its own cluster") {
     val rows = QueryCatalog.queries("e3_semdedup")(spark, dir).collect()
     assert(rows.nonEmpty)
