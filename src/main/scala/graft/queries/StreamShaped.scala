@@ -201,6 +201,67 @@ object StreamShaped {
         FROM events WHERE event_type = 'purchase'
         ORDER BY user_id, valid_from_us, event_id""")),
 
+    // M4: snapshot diff (data reconciliation) — given two keyed versions of
+    // a table, classify every key as added / removed / changed / unchanged
+    // and count which columns drifted: the audit an ingestion pipeline runs
+    // before promoting a new snapshot. Column comparison is NULL-SAFE
+    // (<=> — a null→null value must read unchanged, not changed; plain =
+    // would three-value its way into the wrong bucket). One full-outer hash
+    // join on the key + a 4-row agg: at 100 TB both snapshots bucket by the
+    // key and the join is co-partitioned, zero extra shuffles. Deterministic
+    // derived snapshots (mod filters + a doubled value band) stand in for
+    // two real versions.
+    QueryDef("m4_snapshot_diff",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.events(s, dir)
+          .select("event_id", "event_type", "value")
+        val base = e.filter(col("event_id") % 11 =!= 0)
+        val curr = e.filter(col("event_id") % 13 =!= 0)
+          .withColumn("value", when(col("event_id") % 5 === 0,
+            col("value") * 2).otherwise(col("value")))
+        val b = base.select(col("event_id").as("bk"),
+          col("event_type").as("bt"), col("value").as("bv"))
+        val c = curr.select(col("event_id").as("ck"),
+          col("event_type").as("ct"), col("value").as("cv"))
+        val vdiff = !(col("bv") <=> col("cv"))
+        val tdiff = !(col("bt") <=> col("ct"))
+        val both = col("bk").isNotNull && col("ck").isNotNull
+        b.join(c, col("bk") === col("ck"), "full_outer")
+          .select(
+            when(col("bk").isNull, "added")
+              .when(col("ck").isNull, "removed")
+              .when(vdiff || tdiff, "changed")
+              .otherwise("unchanged").as("status"),
+            (both && vdiff).cast("long").as("vd"),
+            (both && tdiff).cast("long").as("td"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum("vd").as("n_value_diff"),
+            sum("td").as("n_type_diff"))
+          .orderBy("status")
+      },
+      Some("""WITH base AS (SELECT event_id, event_type, value FROM events
+          WHERE event_id % 11 <> 0),
+        curr AS (SELECT event_id, event_type,
+            CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value
+          FROM events WHERE event_id % 13 <> 0),
+        d AS (SELECT
+            CASE WHEN b.event_id IS NULL THEN 'added'
+              WHEN c.event_id IS NULL THEN 'removed'
+              WHEN b.value IS DISTINCT FROM c.value
+                OR b.event_type IS DISTINCT FROM c.event_type THEN 'changed'
+              ELSE 'unchanged' END AS status,
+            CASE WHEN b.event_id IS NOT NULL AND c.event_id IS NOT NULL
+              AND b.value IS DISTINCT FROM c.value THEN 1 ELSE 0 END AS vd,
+            CASE WHEN b.event_id IS NOT NULL AND c.event_id IS NOT NULL
+              AND b.event_type IS DISTINCT FROM c.event_type THEN 1 ELSE 0 END
+              AS td
+          FROM base b FULL OUTER JOIN curr c ON b.event_id = c.event_id)
+        SELECT status, count(*) AS n,
+          CAST(sum(vd) AS BIGINT) AS n_value_diff,
+          CAST(sum(td) AS BIGINT) AS n_type_diff
+        FROM d GROUP BY status ORDER BY status""")),
+
     // E8a: deterministic train/val/test hash split (Knuth multiplicative
     // hash — exact 64-bit integer arithmetic, portable to any SQL engine;
     // the scalable, reproducible alternative to TABLESAMPLE)
