@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, L2Micros}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions in
   * the SQL function registry, so `spark.sql("... vec_dot(a, b) ...")` works
@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot(a, b) takes exactly two arguments")
         DotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_l2_micros"),
+      new ExpressionInfo(classOf[L2Micros].getName, "vec_l2_micros"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "vec_l2_micros(a, b) takes exactly two arguments")
+        L2Micros(args.head, args(1))
       }))
   }
 }

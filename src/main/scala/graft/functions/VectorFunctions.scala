@@ -24,6 +24,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Micro-quantized squared L2 — a native codegen'd expression
+    * ([[graft.expressions.L2Micros]]): per-dim terms round((x−y)²·10⁶)
+    * quantized to long BEFORE the sum, so the distance is exact integer
+    * math (order- and engine-independent). */
+  def l2Micros(a: Column, b: Column): Column = graft.expressions.L2Micros(a, b)
+
+  /** HOF reference spelling of [[l2Micros]] (kept for cross-checking). */
+  def l2MicrosHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + round(t * 1e6, 0).cast("long"))
+
   /** Cosine similarity via explicit dot/(|a||b|) — same shape as the oracle. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)

@@ -306,9 +306,9 @@ object VectorOps {
       (s, dir) => {
         val all = Tables.embeddings(s, dir)
           .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
-        def l2m(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, t) => acc + round(t * 1e6, 0).cast("long"))
+        // codegen'd fused kernel; bit-identical to the HOF spelling
+        // (L2MicrosSpec pins the parity)
+        def l2m(a: Column, b: Column): Column = l2Micros(a, b)
         val sub = all
           .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
             col("v"))
