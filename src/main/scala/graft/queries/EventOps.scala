@@ -364,6 +364,92 @@ object EventOps {
         FROM d JOIN s USING (event_type)
         GROUP BY d.event_type ORDER BY d.event_type""")),
 
+    // A17: lag-1 autocorrelation per user series — the signal-smoothness
+    // profile (is `value` a random walk or i.i.d. noise?). Exactness recipe:
+    // values are quantized to integer MILLIS first, the five correlation
+    // sums (Σx Σy Σxy Σx² Σy²) are then exact integer math (order- and
+    // engine-independent; products stay ≪ 2⁶³ at any realistic per-user
+    // series length), and only the final 1-row-per-user Pearson formula
+    // touches doubles — on identical inputs in both engines. One key
+    // shuffle (the lag window); the agg rides the window's partitioning.
+    QueryDef("a17_lag_autocorr",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(tsUs, col("event_id"))
+        val q = round(col("value") * 1000, 0).cast("long")
+        val pairs = ev(s, dir)
+          .select(col("user_id"), q.as("y"), lag(q, 1).over(w).as("x"))
+          .filter(col("x").isNotNull && col("y").isNotNull)
+        val n = col("n_pairs")
+        val num = (n * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+        val den = sqrt((n * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+          sqrt((n * col("syy") - col("sy") * col("sy")).cast(DoubleType))
+        pairs.groupBy("user_id").agg(
+            count(lit(1)).as("n_pairs"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("user_id"), col("n_pairs"),
+            round(when(den === 0.0, lit(null)).otherwise(num / den), 6)
+              .as("autocorr"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id,
+            CAST(round(value * 1000) AS BIGINT) AS y,
+            lag(CAST(round(value * 1000) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS x
+          FROM events),
+        sums AS (SELECT user_id, count(*) AS n_pairs,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_pairs,
+          round(CASE WHEN sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)) = 0.0 THEN NULL
+            ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END, 6)
+            AS autocorr
+        FROM sums ORDER BY user_id""")),
+
+    // A18: one-pass column profile — per-column null count + exact distinct
+    // cardinality, the data-quality report run before trusting a new feed.
+    // One aggregate over the scan (Spark plans the multi-distinct via a
+    // single Expand pass), then stack() pivots the 1-row result into one
+    // row per column. At 100 TB the exact count_distinct swaps for the
+    // a11-style HLL sketch; the shape is otherwise identical.
+    QueryDef("a18_profile",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val cols = o.columns.toSeq
+        val aggs = cols.flatMap(c => Seq(
+          sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+          count_distinct(col(c)).as(s"${c}__distinct")))
+        val stacked = cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct")
+          .mkString(", ")
+        o.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${cols.length}, $stacked)")
+            .as(Seq("col_name", "n_nulls", "n_distinct")))
+          .orderBy("col_name")
+      },
+      Some("""SELECT col_name, n_nulls, n_distinct FROM (
+          SELECT 'o_orderkey' AS col_name,
+            count(*) - count(o_orderkey) AS n_nulls,
+            count(DISTINCT o_orderkey) AS n_distinct FROM orders
+          UNION ALL SELECT 'o_custkey', count(*) - count(o_custkey),
+            count(DISTINCT o_custkey) FROM orders
+          UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+            count(DISTINCT o_orderstatus) FROM orders
+          UNION ALL SELECT 'o_totalprice', count(*) - count(o_totalprice),
+            count(DISTINCT o_totalprice) FROM orders
+          UNION ALL SELECT 'o_orderdate', count(*) - count(o_orderdate),
+            count(DISTINCT o_orderdate) FROM orders
+          UNION ALL SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+            count(DISTINCT o_orderpriority) FROM orders) t
+        ORDER BY col_name""")),
+
     // C3x: null semantics — the null-safe equality operator (<=> /
     // IS NOT DISTINCT FROM) the rest of the catalog never exercises, plus
     // null counting vs SQL three-valued logic: a run is "repeated" when the

@@ -323,6 +323,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("a17 autocorr agg rides the lag window's partitioning (one key shuffle)") {
+    val p = plan("a17_lag_autocorr")
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"window and per-user agg share the user_id shuffle:\n$p")
+  }
+
+  test("a18 profile computes all column distincts in one Expand pass") {
+    val p = plan("a18_profile")
+    assert(p.contains("Expand"),
+      s"multi-distinct must plan a single Expand, not per-column scans:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"profile must scan once:\n$p")
+  }
+
   test("e3 pq-adc broadcasts codebook and query tables; big side never sort-merges") {
     val p = plan("e3_pq_adc")
     assert(p.contains("BroadcastHashJoin"), p)
