@@ -106,6 +106,44 @@ object TextOps {
         .orderBy("doc_a", "doc_b"),
       Some(jaccardOracleSql(0.3, where = "doc_id < 500"))),
 
+    // E2n: asymmetric shingle CONTAINMENT — C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|,
+    // the doc-inside-doc detector (quoted articles, boilerplate wrappers,
+    // near-subsets) that symmetric Jaccard misses when the container is much
+    // longer than the contained doc. Same posting-list pair machinery as
+    // e2_ngram_jaccard (pairs only through shared shingles, ordered both
+    // directions since containment is directional), same bounded verifier
+    // rationale on this closed 31-word corpus; LSH candidates are the
+    // 100 TB pair source.
+    QueryDef("e2_containment",
+      (s, dir) => {
+        val sh = docs(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_out"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "doc_in")
+            .withColumnRenamed("n", "na"), "doc_in")
+          .withColumn("containment", col("inter").cast(DoubleType) / col("na"))
+          .filter(col("containment") >= 0.9)
+          .select(col("doc_in"), col("doc_out"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("doc_in", "doc_out")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(5)}) AS s
+          FROM documents WHERE doc_id < 300),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS doc_in, b.doc_id AS doc_out,
+            count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_in, doc_out,
+          round(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
+        FROM pairs JOIN sizes sa ON doc_in = sa.doc_id
+        WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
+        ORDER BY doc_in, doc_out""")),
+
     // E2e: near-dup CLUSTERS — connected components over the exact-Jaccard
     // pair graph (same bounded slice as e2_ngram_jaccard). Pair finding alone
     // under-dedups: a~b and b~c chain into {a,b,c} even when (a,c) never

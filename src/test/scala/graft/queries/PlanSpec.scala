@@ -323,6 +323,13 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("e2 containment pairs form only through the shingle posting join") {
+    val p = plan("e2_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"directional pairs must still come from the posting-list equi join:\n$p")
+  }
+
   test("a17 autocorr agg rides the lag window's partitioning (one key shuffle)") {
     val p = plan("a17_lag_autocorr")
     val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
