@@ -287,6 +287,34 @@ object StreamShaped {
           FROM documents) t
         GROUP BY split ORDER BY split""")),
 
+    // E8i: fixed-size deterministic per-group sample — exactly k docs per
+    // language, chosen by a salted content-independent hash order (the
+    // "give me k examples per language for eval" op; e8_stratified_sample
+    // is its fraction-based sibling and cannot pin an exact count). The
+    // rank<=k window prunes inside the shuffle via WindowGroupLimit, so at
+    // 100 TB each map task forwards at most k rows per group it sees.
+    QueryDef("e8_group_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val h = pmod(col("doc_id") * lit(2654435761L) + lit(777L),
+          lit(4294967296L))
+        val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("h", h)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("n_chars"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY (doc_id * 2654435761 + 777) % 4294967296, doc_id) AS rk
+          FROM documents) t
+        WHERE rk <= 5 ORDER BY lang, rk""")),
+
     // E8b: greedy sequence packing — assign docs (in deterministic order) to
     // ~4096-char training bins per language via a running sum; the shape of
     // packing tokenized documents into fixed context windows.

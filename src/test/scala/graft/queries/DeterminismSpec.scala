@@ -16,8 +16,11 @@ class DeterminismSpec extends SparkSpec {
   // one query per determinism mechanism: decimal-carrier sums (q1), window
   // keeper + version tiebreak (m2), micro-quantized double terms (logprob),
   // max_by argmax tiebreak (centroid assignment), banding + re-rank (lsh)
+  // (+ round-4: quantized-distance ANN shortlist/re-rank, integer
+  // correlation sums, packed-key shard head/tail)
   private val names = Seq("q1_pricing_summary", "m2_cdc_merge",
-    "e4_unigram_logprob", "e3_centroids", "e2_minhash_lsh")
+    "e4_unigram_logprob", "e3_centroids", "e2_minhash_lsh",
+    "e3_pq_adc", "a17_lag_autocorr", "e8_shuffle_shards")
 
   test("results are bit-identical under different shuffle partitionings") {
     for (name <- names) {

@@ -323,6 +323,12 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("e8 group sample prunes to k rows per group inside the shuffle") {
+    val p = plan("e8_group_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must prune map-side, not after the window:\n$p")
+  }
+
   test("e2 containment pairs form only through the shingle posting join") {
     val p = plan("e2_containment")
     assert(!p.contains("CartesianProduct") &&
