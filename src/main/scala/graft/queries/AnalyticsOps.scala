@@ -99,6 +99,66 @@ object AnalyticsOps {
         FROM iv JOIN e ON e.ts_us >= iv.start_us AND e.ts_us < iv.end_us
         GROUP BY iv_id ORDER BY iv_id""")),
 
+    // W4: event-sequence FUNNEL — view → first click ≤6h → first purchase
+    // ≤12h, the conversion-path primitive (each stage is a forward as-of
+    // match: earliest next-stage event inside the window, ties → lowest id).
+    // Scale shape: both stages are interval joins HASH-KEYED on user_id
+    // (time bound as post-filter — pairs only within a user), and each
+    // keeper is a per-view groupBy whose fan-in is bounded by events-per-
+    // window; nothing global, same posture as e7_stream_join. Stage order
+    // (min ts, then min id at equal ts) is exact integer µs math in both
+    // engines.
+    QueryDef("w4_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), expr("ts div 1000").as("ts_us"))
+        def stage(t: String, idc: String, tsc: String) =
+          e.filter(col("event_type") === t)
+            .select(col("event_id").as(idc), col("user_id"),
+              col("ts_us").as(tsc))
+        val v = stage("view", "view_id", "view_ts")
+        val c = stage("click", "click_id", "click_ts")
+        val p = stage("purchase", "purchase_id", "p_ts")
+        val vc = v.join(c, Seq("user_id"))
+          .filter(col("click_ts") > col("view_ts") &&
+            col("click_ts") <= col("view_ts") + lit(21600000000L))
+          .groupBy("view_id", "user_id", "view_ts")
+          .agg(min_by(col("click_id"),
+              struct(col("click_ts"), col("click_id"))).as("click_id"),
+            min("click_ts").as("click_ts"))
+        vc.join(p, Seq("user_id"))
+          .filter(col("p_ts") > col("click_ts") &&
+            col("p_ts") <= col("click_ts") + lit(43200000000L))
+          .groupBy("view_id", "user_id", "view_ts", "click_id")
+          .agg(min_by(col("purchase_id"),
+              struct(col("p_ts"), col("purchase_id"))).as("purchase_id"),
+            min("p_ts").as("p_ts"))
+          .select(col("view_id"), col("user_id"), col("click_id"),
+            col("purchase_id"), (col("p_ts") - col("view_ts")).as("funnel_us"))
+          .orderBy("view_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            epoch_us(ts) AS ts_us FROM events),
+        vc AS (SELECT v.event_id AS view_id, v.user_id, v.ts_us AS view_ts,
+            c.event_id AS click_id, c.ts_us AS click_ts,
+            row_number() OVER (PARTITION BY v.event_id
+              ORDER BY c.ts_us, c.event_id) AS rn
+          FROM e v JOIN e c ON v.user_id = c.user_id
+            AND v.event_type = 'view' AND c.event_type = 'click'
+            AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + 21600000000),
+        f1 AS (SELECT view_id, user_id, view_ts, click_id, click_ts
+          FROM vc WHERE rn = 1),
+        fp AS (SELECT f.view_id, f.user_id, f.view_ts, f.click_id,
+            p.event_id AS purchase_id, p.ts_us AS p_ts,
+            row_number() OVER (PARTITION BY f.view_id
+              ORDER BY p.ts_us, p.event_id) AS rn
+          FROM f1 f JOIN e p ON f.user_id = p.user_id
+            AND p.event_type = 'purchase'
+            AND p.ts_us > f.click_ts AND p.ts_us <= f.click_ts + 43200000000)
+        SELECT view_id, user_id, click_id, purchase_id,
+          p_ts - view_ts AS funnel_us
+        FROM fp WHERE rn = 1 ORDER BY view_id""")),
+
     // as-of join: each purchase matched to the latest PRIOR view of the same
     // user — running last-non-null over one key-partitioned time order
     QueryDef("e9_asof_join",

@@ -323,6 +323,13 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("w4 funnel stages are hash joins on user_id, never loop joins") {
+    val p = plan("w4_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval bounds must ride the user_id equi join as post-filters:\n$p")
+  }
+
   test("e8 group sample prunes to k rows per group inside the shuffle") {
     val p = plan("e8_group_sample")
     assert(p.contains("WindowGroupLimit"),
