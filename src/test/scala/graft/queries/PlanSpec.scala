@@ -323,6 +323,18 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("j8 sole-fault decorrelates to one scan + pair window, no Expand, no join") {
+    val p = plan("j8_sole_fault")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"the windowed-pair spelling scans once:\n$p")
+    assert(!p.contains("Expand"),
+      s"no count_distinct Expand — pair agg + window replaces it:\n$p")
+    assert(p.contains("partial_max"),
+      s"pair fold must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT 10 must not plan a global sort:\n$p")
+  }
+
   test("w4 funnel stages are hash joins on user_id, never loop joins") {
     val p = plan("w4_funnel")
     assert(!p.contains("CartesianProduct") &&
