@@ -543,6 +543,40 @@ object StreamShaped {
           max(h * 2147483648 + doc_id) % 2147483648 AS tail_doc
         FROM t GROUP BY 1 ORDER BY 1""")),
 
+    // E5b: complex-type shredding round-trip — JSON field → struct rows →
+    // per-key array<struct> (collect_list is order-NONDETERMINISTIC, so
+    // array_sort on the unique (ts, id) prefix restores a total order) →
+    // slice → posexplode back to relational rows with field access. Pins
+    // the nested-type surface (struct/array build, sort, slice, explode,
+    // dot-path field read) under the driver hash. The collect_list here is
+    // bounded by per-user cardinality; for unbounded keys the windowed
+    // top-k (e6) is the scale spelling — this row exists for the TYPE
+    // semantics, which parquet nested pruning (FormatsSpec) completes.
+    QueryDef("e5_nested_shred",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.events(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("user_id")
+          .agg(slice(array_sort(collect_list(
+            struct(col("ts_us"), col("event_id"), col("k")))), 1, 3)
+            .as("head3"))
+          .select(col("user_id"), posexplode(col("head3")).as(Seq("pos", "r")))
+          .select(col("user_id"), col("pos").cast("long").as("pos"),
+            col("r.ts_us").as("ts_us"), col("r.event_id").as("event_id"),
+            col("r.k").as("k"))
+          .orderBy("user_id", "pos")
+      },
+      Some("""SELECT user_id, CAST(rn - 1 AS BIGINT) AS pos, ts_us, event_id, k
+        FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events) t
+        WHERE rn <= 3 ORDER BY user_id, pos""")),
+
     // E5: JSON property extraction from the event props column
     QueryDef("e5_json_props",
       (s, dir) => {

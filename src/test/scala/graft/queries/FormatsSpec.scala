@@ -20,6 +20,29 @@ class FormatsSpec extends SparkSpec {
       docs.collect().map(_.toSeq).toSeq)
   }
 
+  test("nested struct scans prune to the accessed field (nested schema pruning)") {
+    // at 100 TB a table of struct<meta: struct<...>, payload: binary> must
+    // not read the payload bytes to answer a query over one meta field —
+    // Spark's nested schema pruning pushes the field access into ReadSchema
+    val docs = Tables.documents(spark, dir)
+    val out = "/tmp/graft_fmt/docs_nested"
+    docs.select(col("doc_id"),
+        struct(col("lang"), col("n_chars"),
+          col("text").as("payload")).as("rec"))
+      .write.mode("overwrite").parquet(out)
+    val q = spark.read.parquet(out)
+      .select(col("doc_id"), col("rec.n_chars"))
+      .filter(col("rec.n_chars") > 100)
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("rec:struct<n_chars"),
+      s"scan must read only rec.n_chars, not the payload:\n$scan")
+    assert(!scan.contains("payload"),
+      s"payload must be pruned out of the scan:\n$scan")
+    assert(q.count() ==
+      docs.filter(col("n_chars") > 100).count())
+  }
+
   test("parquet mergeSchema unifies evolved schemas with null fill") {
     // schema evolution — the at-scale reality that a 100 TB table's old
     // files lack columns added later: a merged read must union the schemas
