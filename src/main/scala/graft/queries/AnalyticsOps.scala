@@ -99,6 +99,46 @@ object AnalyticsOps {
         FROM iv JOIN e ON e.ts_us >= iv.start_us AND e.ts_us < iv.end_us
         GROUP BY iv_id ORDER BY iv_id""")),
 
+    // G1: fixed-point PageRank over the (customer ↔ supplier) co-order
+    // graph — iterative graph compute beyond CC's label propagation. All
+    // integer micro-rank arithmetic (see operators/PageRank.scala), so 3
+    // unrolled iterations hash-match a DuckDB CTE chain exactly; supplier
+    // ids offset to disjoint vertex space. One src-keyed join per round.
+    QueryDef("g1_pagerank",
+      (s, dir) => {
+        val pairs = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("s"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+          .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+        graft.operators.PageRank.ranks(edges, iterations = 3)
+          .select(col("id"), col("rank").as("rank_micros"))
+          .orderBy("id")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+            l_suppkey + 1000000 AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s, c FROM pairs),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        r1 AS (SELECT e.dst AS id,
+            CAST(150000 + (85 * sum(r.rank // g.d)) // 100 AS BIGINT) AS rank
+          FROM edges e JOIN deg g ON e.src = g.src JOIN r0 r ON e.src = r.id
+          GROUP BY e.dst),
+        r2 AS (SELECT e.dst AS id,
+            CAST(150000 + (85 * sum(r.rank // g.d)) // 100 AS BIGINT) AS rank
+          FROM edges e JOIN deg g ON e.src = g.src JOIN r1 r ON e.src = r.id
+          GROUP BY e.dst),
+        r3 AS (SELECT e.dst AS id,
+            CAST(150000 + (85 * sum(r.rank // g.d)) // 100 AS BIGINT) AS rank
+          FROM edges e JOIN deg g ON e.src = g.src JOIN r2 r ON e.src = r.id
+          GROUP BY e.dst)
+        SELECT id, rank AS rank_micros FROM r3 ORDER BY id""")),
+
     // W4: event-sequence FUNNEL — view → first click ≤6h → first purchase
     // ≤12h, the conversion-path primitive (each stage is a forward as-of
     // match: earliest next-stage event inside the window, ties → lowest id).
