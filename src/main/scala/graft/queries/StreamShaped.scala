@@ -120,6 +120,27 @@ object StreamShaped {
         WHERE p.event_type = 'purchase'
         ORDER BY purchase_id, view_id""")),
 
+    // E7h: CHAINED stream-stream interval joins — the keeper-less funnel
+    // (all view→click≤6h→purchase≤12h chains) whose real-time twin cascades
+    // two append-mode interval joins in one streaming query
+    // (EventsStreaming.funnelChains; watermark-closed parity in
+    // StreamingSpec). w4_funnel adds the per-view first-click keeper on
+    // top; this row pins the join-chain semantics the stream runs.
+    QueryDef("e7_funnel_chains",
+      (s, dir) => EventsStreaming.funnelChains(Tables.events(s, dir))
+        .orderBy("view_id", "click_id", "purchase_id"),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            epoch_us(ts) AS ts_us FROM events)
+        SELECT v.event_id AS view_id, v.user_id, c.event_id AS click_id,
+          p.event_id AS purchase_id, p.ts_us - v.ts_us AS funnel_us
+        FROM e v
+        JOIN e c ON v.user_id = c.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + 21600000000
+        JOIN e p ON c.user_id = p.user_id AND p.event_type = 'purchase'
+          AND p.ts_us > c.ts_us AND p.ts_us <= c.ts_us + 43200000000
+        ORDER BY view_id, click_id, purchase_id""")),
+
     // E7f: the flatMapGroupsWithState custom-state path under driver check —
     // runningUserState's batch twin (per-user running count/sum/last-seen
     // snapshot; in batch each group emits exactly its final snapshot).

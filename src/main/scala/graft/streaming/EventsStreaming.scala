@@ -178,6 +178,58 @@ object EventsStreaming {
       .start()
   }
 
+  /** Three-stage funnel chains: every (view → click ≤6 h → purchase ≤12 h
+    * after that click) triple per user — TWO CHAINED stream-stream interval
+    * joins (Spark 4 cascades append-mode time-interval joins; each stage's
+    * buffered state expires as the watermark clears its interval bound).
+    * Batch and stream share this function. Deliberately keeper-less ("all
+    * chains"): the per-view FIRST-click keeper (w4_funnel) is an
+    * aggregation that would gate every emission on watermark finality —
+    * at scale you run this chain in the stream and the keeper in the
+    * downstream batch hop (or foreachBatch). */
+  def funnelChains(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_utc").as("v_ts"),
+        col("event_id").as("view_id"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_utc").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_utc").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    // after the first join BOTH v_ts and c_ts would carry the event-time
+    // marker and the second stateful join refuses ("at most one event time
+    // column per stream") — demote v_ts to a plain µs long so c_ts stays
+    // the sole event-time column driving stage-2 state expiry
+    val vc = v.join(c, col("v_user") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("c_user"), col("c_ts"), col("view_id"), col("click_id"),
+        unix_micros(col("v_ts")).as("v_us"))
+    vc.join(p, col("c_user") === col("user_id") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("view_id"), col("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("p_ts")) - col("v_us")).as("funnel_us"))
+  }
+
+  /** Streaming runner for [[funnelChains]]: one watermarked file source
+    * branched three ways through the chained interval joins. */
+  def runFunnelStream(spark: SparkSession, dir: String,
+                      queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+    funnelChains(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   /** Streaming key-dedup: watermark + dropDuplicatesWithinWatermark — the
     * real streaming form of [[distinctKeyCounts]]; late duplicates beyond the
     * watermark are dropped by state expiry at scale. */

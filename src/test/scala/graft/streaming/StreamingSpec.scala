@@ -74,6 +74,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stream-stream interval joins (funnel) equal the batch transform") {
+    // two cascaded append-mode interval joins in ONE streaming query —
+    // inner joins emit on match (no timeout gating), so the full chain set
+    // must equal the batch twin once the source drains
+    val q = EventsStreaming.runFunnelStream(spark, dir, "stream_funnel_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_funnel_test")
+        .collect().map(_.toSeq).toSet
+      val batch = EventsStreaming.funnelChains(Tables.events(spark, dir))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join equals batch on the watermark-closed region") {
     import org.apache.spark.sql.functions._
     val q = EventsStreaming.runStreamLeftJoin(spark, dir, "stream_left_join_test")
