@@ -450,6 +450,40 @@ object EventOps {
             count(DISTINCT o_orderpriority) FROM orders) t
         ORDER BY col_name""")),
 
+    // A19: equi-DEPTH histogram — quartile-bucketed value distribution, the
+    // complement of a14's fixed-width bins (equi-depth adapts bin edges to
+    // the data, the profile optimizers and drift monitors actually want).
+    // Scale shape = e4_quality_p75's: one exact-percentile agg (partial-
+    // agged, array of 3 cut points) broadcasts back; bucket assignment is
+    // map-side; percentile interpolation is the driver-proven a9 formula.
+    QueryDef("a19_equidepth_hist",
+      (s, dir) => {
+        val e = ev(s, dir).filter(col("value").isNotNull)
+          .select("event_id", "value")
+        val th = e.agg(
+          expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
+        e.crossJoin(broadcast(th))
+          .withColumn("bucket",
+            when(col("value") <= col("q")(0), 0L)
+              .when(col("value") <= col("q")(1), 1L)
+              .when(col("value") <= col("q")(2), 2L)
+              .otherwise(3L))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min("value"), 6).as("v_min"),
+            round(max("value"), 6).as("v_max"))
+          .orderBy("bucket")
+      },
+      Some("""WITH th AS (SELECT quantile_cont(value, 0.25) AS q1,
+            quantile_cont(value, 0.5) AS q2,
+            quantile_cont(value, 0.75) AS q3 FROM events)
+        SELECT CAST(CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+            WHEN value <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+          count(*) AS n, round(min(value), 6) AS v_min,
+          round(max(value), 6) AS v_max
+        FROM events CROSS JOIN th WHERE value IS NOT NULL
+        GROUP BY 1 ORDER BY 1""")),
+
     // C3x: null semantics — the null-safe equality operator (<=> /
     // IS NOT DISTINCT FROM) the rest of the catalog never exercises, plus
     // null counting vs SQL three-valued logic: a run is "repeated" when the

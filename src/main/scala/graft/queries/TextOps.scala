@@ -971,6 +971,24 @@ object TextOps {
           sha2(col("payload"), 256).as("digest"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
-        sha256(text) AS digest FROM documents ORDER BY doc_id"""))
+        sha256(text) AS digest FROM documents ORDER BY doc_id""")),
+
+    // E5c: magic-byte dispatch — group binary payloads by their 4-byte
+    // header prefix, the routing step a multimodal ingest runs before
+    // format-specific decoding (JPEG FFD8…, PNG 8950…; here the payloads
+    // are text-cast blobs so the "magics" are word prefixes). Pins binary
+    // SLICING (substring over BinaryType) + hex rendering cross-engine;
+    // purely map-side + a magic-sized agg.
+    QueryDef("mm_magic_bytes",
+      (s, dir) => docs(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .groupBy(hex(substring(col("payload"), 1, 4)).as("magic_hex"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("bytes"))
+        .orderBy("magic_hex"),
+      Some("""SELECT hex(CAST(substring(text, 1, 4) AS BLOB)) AS magic_hex,
+          count(*) AS n,
+          CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes
+        FROM documents GROUP BY 1 ORDER BY 1"""))
   )
 }
