@@ -100,6 +100,25 @@ object TextFunctions {
       SELECT l.id AS doc_id, l.cluster_id, sz.cluster_size
       FROM lab l JOIN sz USING (cluster_id) ORDER BY doc_id"""
 
+  /** DuckDB replay of the end-to-end dedup DECISION report: transitive
+    * closure of the Jaccard pair graph (as [[ccClustersOracleSql]]), keeper
+    * = min-id member (≡ the cluster label), then the per-cluster retention
+    * accounting joined back to document sizes. */
+  def dedupReportOracleSql(threshold: Double, where: String): String =
+    s"""WITH RECURSIVE ${jaccardPairsCte(threshold, where)},
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        UNION ALL SELECT doc_b, doc_a FROM jp),
+      reach AS (SELECT DISTINCT a AS id, a AS label FROM edges
+        UNION
+        SELECT e.b AS id, r.label FROM reach r JOIN edges e ON r.id = e.a),
+      lab AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+      SELECT cluster_id AS keeper_doc, count(*) AS n_members,
+        count(*) - 1 AS n_removed,
+        CAST(sum(CASE WHEN id <> cluster_id THEN n_chars ELSE 0 END)
+          AS BIGINT) AS chars_removed
+      FROM lab JOIN documents ON lab.id = documents.doc_id
+      GROUP BY cluster_id ORDER BY keeper_doc"""
+
   /** Language-ID oracle: same stopword scoring + same argmax chain. */
   val langIdOracleSql: String = {
     val scores = langProfiles.map { case (lang, words) =>

@@ -598,6 +598,40 @@ object StreamShaped {
           FROM events) t
         WHERE rn <= 3 ORDER BY user_id, pos""")),
 
+    // E5d: PERMISSIVE parsing of a dirty JSON feed — every 10th props is
+    // truncated (deterministically) before from_json; malformed rows parse
+    // to NULL and are COUNTED, not dropped and not fatal — the
+    // error-tolerance contract a 100 TB ingest needs (one bad row in a
+    // billion must not kill the job, and the bad-row rate is a monitored
+    // output). Map-side parse + small agg.
+    QueryDef("e5_json_permissive",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val dirty = when(col("event_id") % 10 === 0,
+          expr("substring(props, 1, length(props) - 1)")).otherwise(col("props"))
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            from_json(dirty, org.apache.spark.sql.types.StructType.fromDDL(
+              "k LONG")).getField("k").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k").isNull.cast("long")).as("n_bad"),
+            sum("k").as("k_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+            CASE WHEN event_id % 10 = 0
+              THEN substring(props, 1, length(props) - 1)
+              ELSE props END AS p
+          FROM events)
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_bad,
+          CAST(sum(CASE WHEN json_valid(p)
+            THEN CAST(json_extract_string(p, '$.k') AS BIGINT) END)
+            AS BIGINT) AS k_sum
+        FROM d GROUP BY event_type ORDER BY event_type""")),
+
     // E5: JSON property extraction from the event props column
     QueryDef("e5_json_props",
       (s, dir) => {

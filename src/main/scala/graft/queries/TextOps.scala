@@ -161,6 +161,30 @@ object TextOps {
       },
       Some(ccClustersOracleSql(0.3, where = "doc_id < 500"))),
 
+    // E2o: the end-to-end dedup DECISION report — pair finding → connected
+    // components → min-id keeper → per-cluster retention accounting
+    // (members, removals, chars reclaimed): the artifact a curation run
+    // actually ships for review before deleting anything. Composes the
+    // existing pair machinery and CC operator; at 100 TB the pair source
+    // swaps to LSH candidates and everything downstream is unchanged
+    // (cluster-sized aggregates + one documents join on the id).
+    QueryDef("e2_dedup_report",
+      (s, dir) => {
+        val bounded = docs(s, dir).filter(col("doc_id") < 500)
+        val pairs = jaccardPairs(bounded, 0.3).select("doc_a", "doc_b")
+        graft.operators.ConnectedComponents.clusters(pairs, "doc_a", "doc_b")
+          .join(bounded.select(col("doc_id").as("id"), col("n_chars")), "id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            (count(lit(1)) - 1).as("n_removed"),
+            sum(when(col("id") =!= col("cluster_id"), col("n_chars"))
+              .otherwise(0L)).as("chars_removed"))
+          .select(col("cluster_id").as("keeper_doc"), col("n_members"),
+            col("n_removed"), col("chars_removed"))
+          .orderBy("keeper_doc")
+      },
+      Some(dedupReportOracleSql(0.3, "doc_id < 500"))),
+
     // E2c: MinHash + LSH banding, then exact-Jaccard verification of the
     // banded candidates. Band shape is tuned to this corpus's unusually high
     // background similarity (30% of pairs ≥ 0.2 jaccard — tiny shared
