@@ -450,6 +450,32 @@ object EventOps {
             count(DISTINCT o_orderpriority) FROM orders) t
         ORDER BY col_name""")),
 
+    // A20: per-group MODE with a deterministic tie rule — Spark's mode()
+    // returns an ARBITRARY value on frequency ties (partition-order-
+    // dependent, would flunk the driver hash), so the catalog spelling is
+    // the two-level count → max_by((n, key)) form: exact, tie → lexically
+    // smallest, and both aggregates partial-combine map-side (the first
+    // collapses to |group×value| rows, the second to |group|).
+    QueryDef("a20_mode",
+      (s, dir) => ev(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(max("n").as("top_n"),
+          // min over (-n, type): max frequency, then lexically smallest
+          min_by(col("event_type"),
+            struct((-col("n")).as("nn"), col("event_type")))
+            .as("mode_type"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, max(n) AS top_n,
+          (SELECT event_type FROM (SELECT user_id AS u, event_type,
+             count(*) AS n FROM events GROUP BY 1, 2) i
+           WHERE i.u = o.user_id ORDER BY n DESC, event_type LIMIT 1)
+            AS mode_type
+        FROM (SELECT user_id, event_type, count(*) AS n FROM events
+          GROUP BY 1, 2) o
+        GROUP BY user_id ORDER BY user_id""")),
+
     // A19: equi-DEPTH histogram — quartile-bucketed value distribution, the
     // complement of a14's fixed-width bins (equi-depth adapts bin edges to
     // the data, the profile optimizers and drift monitors actually want).
