@@ -48,6 +48,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late rows are dropped by the watermark AND the drop is observable") {
+    // ops contract at scale: a watermark silently discards late data — the
+    // pipeline must be able to MONITOR that (numRowsDroppedByWatermark in
+    // the query progress), or data loss looks like clean runs. Two probed
+    // Spark 4 semantics this test pins: (1) the LATE filter uses the
+    // PREVIOUS microbatch's watermark (SPARK-40925) — rows merely older
+    // than the current watermark still merge into un-emitted state; (2)
+    // the drop metric counts state-operator INPUT rows, i.e. post
+    // map-side partial aggregation (1 row per window key per partition),
+    // not raw events — so the count assert is on the finalized window.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = "/tmp/graft_stream_late"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(src))
+    val t0 = 1700000000000000L // µs
+    def mk(rows: Seq[(Long, Long)]) = rows
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts_utc"))
+    // batch 0: 30 on-time rows in the hour-0 window
+    mk((1L to 30L).map(i => (i, t0 + i * 1000000L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1200) // distinct mtime → deterministic file order
+    // batch 1: rows ~10 h later — pushes the watermark past hour 0
+    mk((1L to 50L).map(i => (i, t0 + 36000000000L + i * 1000000L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1200)
+    // batch 2: 20 rows TWO HOURS BEFORE t0 — older even than the
+    // previous-batch watermark, genuinely late
+    mk((31L to 50L).map(i => (i, t0 - 7200000000L + i * 1000000L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_utc TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withWatermark("ts_utc", "10 minutes")
+      .groupBy(window(col("ts_utc"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("stream_late_test").start()
+    try {
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L,
+        s"the late drop must be observable in progress metrics, got $dropped")
+      // the hour-0 window finalizes with EXACTLY its 30 on-time rows —
+      // none of the 20 late rows leaked into the emitted aggregate
+      val emitted = spark.table("stream_late_test")
+        .select(unix_micros(col("window.start")).as("ws"), col("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hour0Start = t0 - (t0 % 3600000000L)
+      assert(emitted.get(hour0Start).contains(30L),
+        s"hour-0 window must close with only on-time rows: $emitted")
+      assert(!emitted.keySet.exists(_ < hour0Start),
+        s"a late-region window leaked into the append output: $emitted")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each (user, event_type) once") {
     val q = EventsStreaming.runDedupStream(spark, dir, "stream_dedup_test")
     try {
