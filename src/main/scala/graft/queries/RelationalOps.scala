@@ -493,6 +493,39 @@ object RelationalOps {
           GROUP BY c_custkey) t
         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
 
+    // W5: ratio-to-report — each nation's share of its region's revenue via
+    // a window SUM over the already-aggregated nation rollup (the window
+    // runs over ~|nations| rows, never the fact table; share math is exact
+    // integer micros divided once at output).
+    QueryDef("w5_share_of_total",
+      (s, dir) => {
+        val rev = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(micros(sum(dec("o_totalprice"))).as("rev_micros"))
+        val w = Window.partitionBy("r_name")
+        rev.withColumn("region_micros", sum("rev_micros").over(w))
+          .withColumn("share", round(col("rev_micros").cast(DoubleType)
+            / col("region_micros"), 6))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""WITH rev AS (SELECT r_name, n_name,
+          ${microsSql("sum(CAST(o_totalprice AS DECIMAL(18,6)))")} AS rev_micros
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+        SELECT r_name, n_name, rev_micros,
+          CAST(sum(rev_micros) OVER (PARTITION BY r_name) AS BIGINT)
+            AS region_micros,
+          round(CAST(rev_micros AS DOUBLE)
+            / sum(rev_micros) OVER (PARTITION BY r_name), 6) AS share
+        FROM rev ORDER BY r_name, n_name""")),
+
     // J8: TPC-H Q21 shape — suppliers who were the ONLY faulting supplier on
     // a multi-supplier order (returnflag = 'R' stands in for the reference
     // schema's receipt>commit lateness; this testdata carries no commit

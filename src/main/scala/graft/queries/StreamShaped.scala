@@ -283,6 +283,32 @@ object StreamShaped {
           CAST(sum(td) AS BIGINT) AS n_type_diff
         FROM d GROUP BY status ORDER BY status""")),
 
+    // M5: incremental re-aggregation — merge YESTERDAY'S rollup (already
+    // count/sum per key) with today's raw delta by aggregating the delta to
+    // the same partial shape and summing the partials: count ← Σcount,
+    // sum ← Σsum. The daily-rollup pattern that lets a 100 TB table update
+    // its aggregate from the day's slice only, never re-scanning history.
+    // The oracle computes the FULL aggregate from scratch — the hash match
+    // is the proof that merge(partial(A), partial(B)) = agg(A ∪ B).
+    QueryDef("m5_incremental_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          round(col("value") * 1e6, 0).cast("long").as("vu"))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id").agg(count(col("vu")).as("n"),
+            sum("vu").as("total_micros"))
+        partial(e.filter(col("event_id") % 2 === 0))   // yesterday's rollup
+          .unionByName(partial(e.filter(col("event_id") % 2 === 1))) // delta
+          .groupBy("user_id")
+          .agg(sum("n").as("n"), sum("total_micros").as("total_micros"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(CAST(round(value * 1e6) AS BIGINT)) AS n,
+          CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+            AS total_micros
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // E8a: deterministic train/val/test hash split (Knuth multiplicative
     // hash — exact 64-bit integer arithmetic, portable to any SQL engine;
     // the scalable, reproducible alternative to TABLESAMPLE)

@@ -106,6 +106,31 @@ object TextOps {
         .orderBy("doc_a", "doc_b"),
       Some(jaccardOracleSql(0.3, where = "doc_id < 500"))),
 
+    // E6b: diversity-constrained top-k — global top-10 docs by length but
+    // AT MOST 2 per language (the retrieval/eval-set rule that stops one
+    // dominant source from filling the whole budget). Per-group cap via
+    // WindowGroupLimit-pruned row_number, then a TakeOrderedAndProject
+    // global top-k: nothing global ever sorts the full table.
+    QueryDef("e6_diverse_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wl = Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        docs(s, dir)
+          .withColumn("rk_lang", row_number().over(wl))
+          .filter(col("rk_lang") <= 2)
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("rk_lang").cast("long").as("rk_lang"))
+      },
+      Some("""SELECT doc_id, lang, n_chars, rk_lang FROM (
+          SELECT doc_id, lang, n_chars, row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk_lang
+          FROM documents) t
+        WHERE rk_lang <= 2
+        ORDER BY n_chars DESC, doc_id LIMIT 10""")),
+
     // E2n: asymmetric shingle CONTAINMENT — C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|,
     // the doc-inside-doc detector (quoted articles, boilerplate wrappers,
     // near-subsets) that symmetric Jaccard misses when the container is much

@@ -342,6 +342,20 @@ class PlanSpec extends SparkSpec {
       s"interval bounds must ride the user_id equi join as post-filters:\n$p")
   }
 
+  test("e6 diverse top-k: group cap prunes in-shuffle, global k is TakeOrdered") {
+    val p = plan("e6_diverse_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-lang cap must prune inside the shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-10 must not sort the table:\n$p")
+  }
+
+  test("w5 share-of-total windows over the nation rollup, dims broadcast") {
+    val p = plan("w5_share_of_total")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"nation/region must broadcast:\n$p")
+  }
+
   test("e8 group sample prunes to k rows per group inside the shuffle") {
     val p = plan("e8_group_sample")
     assert(p.contains("WindowGroupLimit"),
