@@ -1038,6 +1038,28 @@ object TextOps {
       Some("""SELECT hex(CAST(substring(text, 1, 4) AS BLOB)) AS magic_hex,
           count(*) AS n,
           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes
-        FROM documents GROUP BY 1 ORDER BY 1"""))
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // E5e: base64 transport round-trip — the wire encoding binary payloads
+    // cross JSON/HTTP boundaries in; encode → decode must be the identity
+    // (digest-checked) and the size overhead the documented 4/3. Map-side.
+    // Spark's base64 emits MIME-chunked output (CRLF every 76 chars) while
+    // DuckDB's to_base64 is plain RFC 4648 — the length compares the
+    // PAYLOAD encoding, so the line breaks are stripped first (decoders
+    // accept both framings, as the digest check proves).
+    QueryDef("mm_base64_roundtrip",
+      (s, dir) => docs(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("b64", base64(col("payload")))
+        .select(col("doc_id"),
+          length(translate(col("b64"), "\r\n", "")).cast("long")
+            .as("b64_len"),
+          (sha2(unbase64(col("b64")), 256) === sha2(col("payload"), 256))
+            .cast("long").as("roundtrip_ok"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(to_base64(CAST(text AS BLOB))) AS b64_len,
+          CAST(sha256(CAST(from_base64(to_base64(CAST(text AS BLOB)))
+            AS VARCHAR)) = sha256(text) AS BIGINT) AS roundtrip_ok
+        FROM documents ORDER BY doc_id"""))
   )
 }
