@@ -493,6 +493,38 @@ object RelationalOps {
           GROUP BY c_custkey) t
         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
 
+    // S10: the SQL-TEXT surface — the same engine through spark.sql over
+    // registered views (parser → analyzer → the identical Catalyst plan),
+    // proving a SQL-only user gets the DataFrame API's results verbatim:
+    // CTE, window function, and aggregate in one statement. The oracle is
+    // near-identical SQL, which is the point.
+    QueryDef("s10_sql_text",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""
+          WITH r AS (
+            SELECT o_custkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders_v)
+          SELECT o_custkey,
+                 count(*) AS n_orders,
+                 CAST(CAST(round(max(o_totalprice), 6) AS DECIMAL(30,6))
+                   * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS top_micros
+          FROM r WHERE rk <= 3 AND o_custkey < 200
+          GROUP BY o_custkey ORDER BY o_custkey""")
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+        SELECT o_custkey, count(*) AS n_orders,
+          CAST(CAST(round(max(o_totalprice), 6) AS DECIMAL(30,6))
+            * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS top_micros
+        FROM r WHERE rk <= 3 AND o_custkey < 200
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
     // W5: ratio-to-report — each nation's share of its region's revenue via
     // a window SUM over the already-aggregated nation rollup (the window
     // runs over ~|nations| rows, never the fact table; share math is exact
