@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Engine-breadth analytics operators beyond the reference surface:
-  * grouping sets (ROLLUP), PIVOT, and as-of joins. The as-of join is the
-  * scalable window formulation — union the two event kinds, one shuffle on
-  * the key, running last-non-null over time order — not a range join, so it
-  * holds at any fact-table size.
+  * grouping sets (ROLLUP), PIVOT, as-of/range joins, event-sequence
+  * funnels (w4), and iterative graph compute (g1 fixed-point PageRank).
+  * The as-of join is the scalable window formulation — union the two event
+  * kinds, one shuffle on the key, running last-non-null over time order —
+  * not a range join, so it holds at any fact-table size.
   */
 object AnalyticsOps {
 

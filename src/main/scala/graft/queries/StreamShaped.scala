@@ -3,7 +3,11 @@ package graft.queries
 import graft.Tables
 import graft.streaming.EventsStreaming
 
-/** Batch-equivalent forms of the streaming surface (E7). Each applies the
+/** Batch-equivalent forms of the streaming surface (E7) plus the
+  * merge/history family (M2-M5: CDC merge, SCD-2, snapshot diff,
+  * incremental re-aggregation) and the training-data shaping ops (E8:
+  * splits, packing, sampling, shards, rebalance, Z-order, chunking; E5:
+  * JSON/complex-type/permissive parsing). Each streaming twin applies the
   * exact transform used by [[graft.streaming.EventsStreaming]] to the batch
   * `events` table, so the DuckDB oracle validates the shared semantics.
   */
