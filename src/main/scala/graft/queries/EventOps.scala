@@ -450,6 +450,75 @@ object EventOps {
             count(DISTINCT o_orderpriority) FROM orders) t
         ORDER BY col_name""")),
 
+    // A21: population-stability-index drift — did today's value
+    // distribution move off the baseline's? PSI = Σ (p−q)·ln(p/q) over the
+    // BASELINE's quartile buckets (even event_ids = baseline snapshot, odd
+    // = current), per event_type. Scale shape: the bucket edges are one
+    // partial-agged percentile per type (broadcast back); each side folds
+    // to a 4-row rate table; the PSI terms are micro-quantized before the
+    // 4-term sum (order-free — a raw double Σ would depend on partial-agg
+    // order). q is floored at 1e-6 (the standard empty-bucket guard).
+    QueryDef("a21_psi_drift",
+      (s, dir) => {
+        val e = ev(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"), col("value"))
+        val base = e.filter(col("event_id") % 2 === 0)
+        val curr = e.filter(col("event_id") % 2 === 1)
+        val th = base.groupBy("event_type")
+          .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
+        def bucketed(df: DataFrame, n: String) =
+          df.join(broadcast(th), Seq("event_type"))
+            .withColumn("bucket",
+              when(col("value") <= col("q")(0), 0L)
+                .when(col("value") <= col("q")(1), 1L)
+                .when(col("value") <= col("q")(2), 2L)
+                .otherwise(3L))
+            .groupBy("event_type", "bucket").agg(count(lit(1)).as(n))
+        val b = bucketed(base, "nb")
+        val c = bucketed(curr, "nc")
+        val joined = b.join(c, Seq("event_type", "bucket"), "full_outer")
+          .na.fill(0L, Seq("nb", "nc"))
+        val tot = joined.groupBy("event_type")
+          .agg(sum("nb").as("tb"), sum("nc").as("tc"))
+        // BOTH sides floored: tied quartile edges can empty a baseline
+        // bucket too, and ln(0) would overflow the quantizer
+        val p = greatest(col("nb").cast(DoubleType) / col("tb"), lit(1e-6))
+        val q = greatest(col("nc").cast(DoubleType) / col("tc"), lit(1e-6))
+        joined.join(broadcast(tot), Seq("event_type"))
+          .withColumn("term_micros",
+            round((p - q) * log(p / q) * 1e6, 0).cast("long"))
+          .groupBy("event_type")
+          .agg(sum("nb").as("n_base"), sum("nc").as("n_curr"),
+            round(sum("term_micros").cast(DoubleType) / 1e6, 6).as("psi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, value FROM events
+          WHERE value IS NOT NULL),
+        th AS (SELECT event_type,
+            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.5) AS q2,
+            quantile_cont(value, 0.75) AS q3
+          FROM e WHERE event_id % 2 = 0 GROUP BY event_type),
+        bk AS (SELECT e.event_type, event_id % 2 AS side,
+            CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+              WHEN value <= q3 THEN 2 ELSE 3 END AS bucket
+          FROM e JOIN th ON e.event_type = th.event_type),
+        r AS (SELECT event_type, bucket,
+            count(*) FILTER (side = 0) AS nb,
+            count(*) FILTER (side = 1) AS nc
+          FROM bk GROUP BY 1, 2),
+        t AS (SELECT event_type, sum(nb) AS tb, sum(nc) AS tc FROM r
+          GROUP BY 1)
+        SELECT r.event_type,
+          CAST(sum(nb) AS BIGINT) AS n_base, CAST(sum(nc) AS BIGINT) AS n_curr,
+          round(CAST(CAST(sum(CAST(round(
+            (greatest(CAST(nb AS DOUBLE) / tb, 1e-6)
+              - greatest(CAST(nc AS DOUBLE) / tc, 1e-6))
+            * ln(greatest(CAST(nb AS DOUBLE) / tb, 1e-6)
+              / greatest(CAST(nc AS DOUBLE) / tc, 1e-6)) * 1000000)
+            AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS psi
+        FROM r JOIN t ON r.event_type = t.event_type
+        GROUP BY r.event_type ORDER BY r.event_type""")),
+
     // A20: per-group MODE with a deterministic tie rule — Spark's mode()
     // returns an ARBITRARY value on frequency ties (partition-order-
     // dependent, would flunk the driver hash), so the catalog spelling is

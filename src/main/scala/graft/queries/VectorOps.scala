@@ -287,6 +287,46 @@ object VectorOps {
           round(max_abs, 6) AS scale
         FROM x JOIN ma USING (vec_id) ORDER BY vec_id, pos""")),
 
+    // E3-decontamination: SEMANTIC benchmark overlap — flag corpus vectors
+    // whose cosine to ANY benchmark/eval-set embedding crosses the
+    // threshold (the embedding-space complement of e2_decontaminate's
+    // n-gram overlap; catches paraphrased contamination that shingles
+    // miss). The benchmark side broadcasts at any corpus size (eval sets
+    // are small by construction); one partial-agged max_by per corpus
+    // vector, big side never shuffles for the join.
+    QueryDef("e3_embed_decontaminate",
+      (s, dir) => {
+        val all = emb(s, dir)
+        val bench = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("b_id"), col("v").as("bv"),
+            col("nrm").as("bn"))
+        all.filter(col("vec_id") >= 10)
+          .crossJoin(broadcast(bench))
+          .withColumn("cos", cosine(col("v"), col("bv"), col("nrm"),
+            col("bn")))
+          .groupBy("vec_id")
+          .agg(max("cos").as("best_cos"),
+            max_by(col("b_id"), struct(col("cos"), (-col("b_id")).as("nb")))
+              .as("benchmark_id"))
+          .filter(col("best_cos") >= 0.3)
+          .select(col("vec_id"), col("benchmark_id"),
+            round(col("best_cos"), 6).as("best_cos"))
+          .orderBy("vec_id")
+      },
+      Some(s"""$baseCte,
+        dots AS (SELECT a.vec_id AS c_id, b.vec_id AS b_id,
+            sum(a.v * b.v) AS dot
+          FROM x a JOIN x b ON a.i = b.i
+          WHERE b.vec_id < 10 AND a.vec_id >= 10 GROUP BY 1, 2),
+        cs AS (SELECT c_id, b_id, dot / (na.nrm * nb.nrm) AS cos FROM dots
+          JOIN norms na ON c_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id),
+        ranked AS (SELECT c_id, b_id, cos, max(cos) OVER (PARTITION BY c_id)
+            AS best, row_number() OVER (PARTITION BY c_id
+            ORDER BY cos DESC, b_id) AS rn FROM cs)
+        SELECT c_id AS vec_id, b_id AS benchmark_id,
+          round(cos, 6) AS best_cos
+        FROM ranked WHERE rn = 1 AND cos >= 0.3 ORDER BY vec_id""")),
+
     // Product-quantization ANN (IVF-ADC's compression half): split each
     // vector into 8 sub-blocks of 8 dims, encode every sub-block as its
     // nearest of 16 codewords (the lowest-16-id vectors' sub-blocks — the

@@ -383,6 +383,15 @@ class PlanSpec extends SparkSpec {
       s"profile must scan once:\n$p")
   }
 
+  test("e3 embed-decontaminate broadcasts the benchmark side only") {
+    val p = plan("e3_embed_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the eval-set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side must never reshuffle for the probe:\n$p")
+  }
+
   test("e3 pq-adc broadcasts codebook and query tables; big side never sort-merges") {
     val p = plan("e3_pq_adc")
     assert(p.contains("BroadcastHashJoin"), p)
