@@ -450,6 +450,38 @@ object EventOps {
             count(DISTINCT o_orderpriority) FROM orders) t
         ORDER BY col_name""")),
 
+    // W6: RUNNING DISTINCT — count_distinct isn't a window function in any
+    // engine, so the distributed spelling is first-occurrence flags (one
+    // row_number per (key, item)) running-summed per key: the
+    // "vocabulary growth" curve (new event types seen over time per user),
+    // emitted at its jump points only. Two key shuffles ((user,type) then
+    // user), both map-side-combining flags, never a per-row distinct set.
+    QueryDef("w6_running_distinct",
+      (s, dir) => {
+        val wOcc = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts_us"), col("event_id"))
+        val wRun = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        ev(s, dir)
+          .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+            col("event_id"))
+          .withColumn("first_seen",
+            (row_number().over(wOcc) === 1).cast("long"))
+          .withColumn("n_types_so_far", sum("first_seen").over(wRun))
+          .filter(col("first_seen") === 1)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"), col("n_types_so_far"))
+          .orderBy("user_id", "n_types_so_far")
+      },
+      Some("""SELECT user_id, ts_us, event_id, event_type, n_types_so_far
+        FROM (SELECT *, CAST(sum(first_seen) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS BIGINT) AS n_types_so_far
+          FROM (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+              CAST(row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY epoch_us(ts), event_id) = 1 AS BIGINT) AS first_seen
+            FROM events) i) t
+        WHERE first_seen = 1 ORDER BY user_id, n_types_so_far""")),
+
     // A21: population-stability-index drift — did today's value
     // distribution move off the baseline's? PSI = Σ (p−q)·ln(p/q) over the
     // BASELINE's quartile buckets (even event_ids = baseline snapshot, odd
