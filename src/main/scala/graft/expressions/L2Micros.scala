@@ -49,8 +49,11 @@ case class L2Micros(left: Expression, right: Expression)
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       val v = d * d * 1e6
+      // ≥ 2⁶³ (incl. +Inf): (long)v already saturates to Long.MaxValue and
+      // the +1 would WRAP — match the HOF's cast saturation instead.
+      // NaN: both branches yield 0, as cast(NaN as long) does.
       var r = v.toLong
-      if (v - r >= 0.5) r += 1
+      if (v < 9.223372036854776e18 && v - r >= 0.5) r += 1
       acc += r
       i += 1
     }
@@ -76,7 +79,7 @@ case class L2Micros(left: Expression, right: Expression)
             final double $d = $x.getDouble($i) - $y.getDouble($i);
             final double $v = $d * $d * 1.0e6;
             long $r = (long) $v;
-            if ($v - $r >= 0.5) $r += 1L;
+            if ($v < 9.223372036854776e18 && $v - $r >= 0.5) $r += 1L;
             $acc += $r;
           }
           if (!${ev.isNull}) { ${ev.value} = $acc; }

@@ -46,6 +46,41 @@ class L2MicrosSpec extends SparkSpec {
     assert(out(3).getLong(0) == 0L)
   }
 
+  test("special values match the HOF: NaN→0 per term, Infinity saturates") {
+    import spark.implicits._
+    // the naive truncate-then-+1 would WRAP Long.MaxValue on +Inf where the
+    // HOF's cast saturates — this pins the saturation branch
+    val df = Seq(
+      (Seq(Double.NaN, 1.0), Seq(0.0, 1.0)),
+      (Seq(Double.PositiveInfinity), Seq(0.0)),
+      (Seq(Double.MaxValue), Seq(-Double.MaxValue)),
+      (Seq(1e12), Seq(0.0))) // finite but > 2^63 after *1e6 squared
+      .toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.l2Micros(col("a"), col("b")).as("n"),
+      VectorFunctions.l2MicrosHof(col("a"), col("b")).as("h")).collect()
+    for (r <- out)
+      assert(r.getLong(0) == r.getLong(1), s"native/HOF diverge: $r")
+  }
+
+  test("property: native == HOF on random vectors (scalacheck)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val gen = Gen.listOfN(64,
+      Gen.oneOf(Gen.choose(-2.0, 2.0), Gen.oneOf(0.0, -0.0, 1e-9, 1e9)))
+    val pairs = (1 to 60).map { i =>
+      val seed = org.scalacheck.rng.Seed(i.toLong)
+      (gen.apply(Gen.Parameters.default, seed).get,
+        gen.apply(Gen.Parameters.default, seed.next).get)
+    }
+    val out = pairs.toDF("a", "b").select(
+      VectorFunctions.l2Micros(col("a"), col("b")).as("n"),
+      VectorFunctions.l2MicrosHof(col("a"), col("b")).as("h")).collect()
+    assert(out.length == 60)
+    for (r <- out)
+      assert(r.getLong(0) == r.getLong(1), s"native/HOF diverge: $r")
+  }
+
   test("vec_l2_micros is SQL-callable via the session's GraftExtensions") {
     val r = spark.sql(
       "SELECT vec_l2_micros(array(1.0d, 2.0d), array(1.0d, 1.0d)) AS d").head()
