@@ -140,6 +140,36 @@ object AnalyticsOps {
           GROUP BY e.dst)
         SELECT id, rank AS rank_micros FROM r3 ORDER BY id""")),
 
+    // G2: bipartite co-occurrence projection — project the customer↔supplier
+    // graph onto supplier–supplier edges weighted by shared customers (the
+    // "bought-together" primitive behind item-item recommendation). Pairs
+    // form ONLY through the per-customer posting join (never all-pairs);
+    // per-customer supplier lists are bounded here, and on power-law data
+    // the standard cap/salt mitigations (a13's profiler finds the hot keys)
+    // apply before the join. Top-20 via TakeOrderedAndProject.
+    QueryDef("g2_coshare",
+      (s, dir) => {
+        val cs = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+          .distinct()
+        cs.as("a").join(cs.as("b"),
+            col("a.c") === col("b.c") && col("a.sk") < col("b.sk"))
+          .groupBy(col("a.sk").as("supp_a"), col("b.sk").as("supp_b"))
+          .agg(count(lit(1)).as("shared_customers"))
+          .filter(col("shared_customers") >= 3)
+          .orderBy(col("shared_customers").desc, col("supp_a"), col("supp_b"))
+          .limit(20)
+      },
+      Some("""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        SELECT a.sk AS supp_a, b.sk AS supp_b,
+          count(*) AS shared_customers
+        FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY shared_customers DESC, supp_a, supp_b LIMIT 20""")),
+
     // W4: event-sequence FUNNEL — view → first click ≤6h → first purchase
     // ≤12h, the conversion-path primitive (each stage is a forward as-of
     // match: earliest next-stage event inside the window, ties → lowest id).
