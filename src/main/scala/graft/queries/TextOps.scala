@@ -621,6 +621,58 @@ object TextOps {
             t -> t IN ($stopwordsSql))) AS BIGINT) AS n_stop
         FROM documents) t ORDER BY doc_id""")),
 
+    // E4q: gate ATTRITION funnel — the curation artifact behind any rule
+    // cascade: per stage, how many docs the rule removed and how many
+    // survive past it (each doc attributed to its FIRST failing rule, the
+    // order-dependent accounting a sequential pipeline reports). Same
+    // integer-exact rule arithmetic as e4_gopher_gate; the funnel window
+    // runs over the 4-row stage table, never the corpus.
+    QueryDef("e4_gate_attrition",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokens(col("text"))
+        val nW = size(toks).cast("long")
+        val mwl = length(regexp_replace(col("text"), "\\s+", ""))
+          .cast(DoubleType) / nW
+        val nStop = size(filter(array_distinct(toks),
+          t => t.isin(stopwords: _*))).cast("long")
+        val stage = when(!(nW >= 50 && nW <= 100000), "1_wordcount")
+          .when(!(mwl >= 3.0 && mwl <= 10.0), "2_mean_wlen")
+          .when(!(nStop >= 2), "3_stopwords")
+          .otherwise("4_kept")
+        val counts = docs(s, dir).select(stage.as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum("n").as("total"))
+        val w = Window.orderBy("stage")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts.withColumn("cum", sum("n").over(w))
+          .crossJoin(broadcast(total))
+          .select(col("stage"), col("n"),
+            when(col("stage") === "4_kept", col("n"))
+              .otherwise(col("total") - col("cum")).as("surviving_after"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH g AS (SELECT doc_id,
+            CAST(len($tokensSql) AS BIGINT) AS n_words,
+            CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+              AS DOUBLE) / len($tokensSql) AS mwl,
+            CAST(len(list_filter(list_distinct($tokensSql),
+              t -> t IN ($stopwordsSql))) AS BIGINT) AS n_stop
+          FROM documents),
+        st AS (SELECT CASE
+            WHEN NOT (n_words BETWEEN 50 AND 100000) THEN '1_wordcount'
+            WHEN NOT (mwl >= 3.0 AND mwl <= 10.0) THEN '2_mean_wlen'
+            WHEN NOT (n_stop >= 2) THEN '3_stopwords'
+            ELSE '4_kept' END AS stage FROM g),
+        c AS (SELECT stage, count(*) AS n FROM st GROUP BY stage),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT stage, n,
+          CASE WHEN stage = '4_kept' THEN n
+            ELSE total - CAST(sum(n) OVER (ORDER BY stage
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          END AS surviving_after
+        FROM c CROSS JOIN t ORDER BY stage""")),
+
     // E4o: percentile-threshold selection — "keep the top quartile by
     // quality score", the data-mixing step that follows scoring. The
     // threshold is ONE exact interpolated percentile computed as an
