@@ -83,6 +83,13 @@ object TextFunctions {
       SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
       FROM jp ORDER BY doc_a, doc_b"""
 
+  /** [[jaccardOracleSql]] with an extra PAIR-level predicate — the oracle for
+    * incremental dedup, where only pairs touching the arriving batch count. */
+  def jaccardPairsOracleSql(threshold: Double, pairWhere: String): String =
+    s"""WITH ${jaccardPairsCte(threshold, "TRUE")}
+      SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+      FROM jp WHERE $pairWhere ORDER BY doc_a, doc_b"""
+
   /** DuckDB replay of the connected-components cluster query: transitive
     * closure of the Jaccard pair graph via a recursive CTE (labels = every
     * id reachable from a vertex; component id = the min), sizes joined on.
@@ -145,6 +152,58 @@ object TextFunctions {
   // Jaccard verification. Candidates carry only (doc_a, doc_b); shingle
   // sets re-join by id, so no data-sized payload rides the bucket shuffle.
   // -------------------------------------------------------------------
+
+  /** Incremental MinHash-LSH near-dedup: check an ARRIVING batch against the
+    * persisted signature store and against itself — store-vs-store pairs
+    * are never recomputed, so nightly cost is O(batch signatures) + a band
+    * join against the stored band table (the e1_dedup_incremental pattern,
+    * lifted from exact hashes to near-duplicates). Same banding/verify
+    * kernel as [[minhashLshPairs]]; assumes store ids < batch ids (the
+    * arrival order), so emitted pairs keep doc_a < doc_b. */
+  def minhashIncrementalPairs(store: DataFrame, batch: DataFrame,
+      numHashes: Int, bands: Int, shingleLen: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    def sig(df: DataFrame) = df.select(col("doc_id"),
+        shingles(col("text"), shingleLen).as("shset"))
+      .filter(size(col("shset")) > 0)
+      .select(col("doc_id"), col("shset"),
+        graft.expressions.MinHashSig(col("shset"), numHashes).as("mh"))
+      .localCheckpoint()
+    def buckets(sh: DataFrame) = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          struct((0 until rows).map(r =>
+            col("mh").getItem(b * rows + r).as(s"r$r")): _*).as("sig"))
+      }
+      sh.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+    }
+    val shStore = sig(store)
+    val shBatch = sig(batch)
+    val bStore = buckets(shStore)
+    val bBatch = buckets(shBatch)
+    val cand = bStore.as("a").join(bBatch.as("b"),
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .unionByName(bBatch.as("a").join(bBatch.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = shStore.select(col("doc_id"), col("shset"))
+      .unionByName(shBatch.select(col("doc_id"), col("shset")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")),
+        "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int,
                       shingleLen: Int, threshold: Double): DataFrame = {

@@ -224,6 +224,24 @@ object TextOps {
         shingleLen = 5, threshold = 0.8),
       Some(jaccardOracleSql(0.8))),
 
+    // E2p: INCREMENTAL near-dedup — e1_dedup_incremental's pattern lifted
+    // from exact hashes to near-duplicates: the arriving batch (doc_id ≥
+    // 400 stands in for tonight's crawl) signs itself and band-joins the
+    // PERSISTED signature store; store-vs-store pairs are never recomputed.
+    // Nightly cost is O(batch) signatures + a band equi-join — the only
+    // corpus-scale way to keep a deduped corpus deduped. Oracle = exact
+    // Jaccard restricted to batch-touching pairs (banding recall 1.0 at
+    // these parameters, driver-proven on e2_minhash_lsh).
+    QueryDef("e2_neardup_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        minhashIncrementalPairs(
+            d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+            numHashes = 64, bands = 8, shingleLen = 5, threshold = 0.8)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(jaccardPairsOracleSql(0.8, "doc_b >= 400"))),
+
     // E2d: SimHash hamming-distance near-dup (xxhash64 family → rows-only
     // driver check; semantics verified on planted dups in DedupSpec)
     QueryDef("e2_simhash",

@@ -19,7 +19,8 @@ class CatalogSpec extends SparkSpec {
     // threshold queries may legitimately return zero rows at the tiny SF;
     // execution + schema is what this test pins
     val allowEmpty = Set("e2_minhash_lsh", "e2_ngram_jaccard", "e2_simhash",
-      "e3_cosine_pairs", "e2_cc_clusters", "e2_dedup_report")
+      "e3_cosine_pairs", "e2_cc_clusters", "e2_dedup_report",
+      "e2_neardup_incremental")
     for (q <- QueryCatalog.all) {
       val df = q.query(spark, dir)
       val n = df.count()
