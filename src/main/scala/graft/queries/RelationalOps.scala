@@ -525,6 +525,39 @@ object RelationalOps {
         FROM r WHERE rk <= 3 AND o_custkey < 200
         GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // J9: TPC-H Q19 shape — a DISJUNCTION of predicate bundles in the join
+    // condition. The optimizer test: Catalyst must extract the common
+    // p_partkey = l_partkey equi-key into a HASH join and keep only the OR
+    // residual as a post-join filter — the naive reading is a nested-loop
+    // join, quadratic at any scale (PlanSpec pins the hash join). Revenue
+    // rides the q1 decimal carrier.
+    QueryDef("j9_disjunctive",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir)
+        val b1 = col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)
+        val b2 = col("p_brand") === "Brand#17" &&
+          col("p_size").between(11, 30) && col("l_quantity").between(10, 40)
+        val b3 = col("p_type") === "ECONOMY" && col("p_size").between(1, 40) &&
+          col("l_discount") <= 0.05
+        l.join(p, col("p_partkey") === col("l_partkey") && (b1 || b2 || b3))
+          .agg(count(lit(1)).as("n_lines"),
+            micros(sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+              .cast("decimal(28,12)"))).as("revenue_micros"))
+      },
+      Some(s"""SELECT count(*) AS n_lines,
+          ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+            * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+          AS revenue_micros
+        FROM lineitem JOIN part ON p_partkey = l_partkey AND (
+          (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 1 AND 20)
+          OR (p_brand = 'Brand#17' AND p_size BETWEEN 11 AND 30
+            AND l_quantity BETWEEN 10 AND 40)
+          OR (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 40
+            AND l_discount <= 0.05))""")),
+
     // W5: ratio-to-report — each nation's share of its region's revenue via
     // a window SUM over the already-aggregated nation rollup (the window
     // runs over ~|nations| rows, never the fact table; share math is exact

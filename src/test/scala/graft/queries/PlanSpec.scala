@@ -335,6 +335,15 @@ class PlanSpec extends SparkSpec {
       s"LIMIT 10 must not plan a global sort:\n$p")
   }
 
+  test("j9 disjunctive join extracts the equi-key: hash join + OR residual") {
+    val p = plan("j9_disjunctive")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"the common p_partkey key must become a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the OR bundles are a residual, not the join algorithm:\n$p")
+  }
+
   test("w4 funnel stages are hash joins on user_id, never loop joins") {
     val p = plan("w4_funnel")
     assert(!p.contains("CartesianProduct") &&
