@@ -450,6 +450,40 @@ object EventOps {
             count(DISTINCT o_orderpriority) FROM orders) t
         ORDER BY col_name""")),
 
+    // A22: OHLC resampling — collapse the event stream to hourly
+    // open/high/low/close bars (the time-series downsample primitive;
+    // open/close are argmin/argmax over the unique (ts, id) time order,
+    // the a10 min_by/max_by pattern). One partial-agged pass, |bars| rows
+    // out; at 100 TB the bar key is also the natural partition column.
+    QueryDef("a22_ohlc_bars",
+      (s, dir) => {
+        val e = ev(s, dir).filter(col("value").isNotNull)
+          .select(col("event_id"), tsUs.as("ts_us"), col("value"))
+          .withColumn("bar", expr("ts_us div 3600000000"))
+        e.groupBy("bar").agg(
+            count(lit(1)).as("n"),
+            min_by(col("value"), struct(col("ts_us"), col("event_id")))
+              .as("open"),
+            max_by(col("value"), struct(col("ts_us"), col("event_id")))
+              .as("close"),
+            max("value").as("high"), min("value").as("low"))
+          .orderBy("bar")
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, value,
+            epoch_us(ts) // 3600000000 AS bar
+          FROM events WHERE value IS NOT NULL),
+        r AS (SELECT *,
+            row_number() OVER (PARTITION BY bar
+              ORDER BY ts_us, event_id) AS rf,
+            row_number() OVER (PARTITION BY bar
+              ORDER BY ts_us DESC, event_id DESC) AS rl
+          FROM e)
+        SELECT bar, count(*) AS n,
+          max(CASE WHEN rf = 1 THEN value END) AS open,
+          max(CASE WHEN rl = 1 THEN value END) AS close,
+          max(value) AS high, min(value) AS low
+        FROM r GROUP BY bar ORDER BY bar""")),
+
     // W6: RUNNING DISTINCT — count_distinct isn't a window function in any
     // engine, so the distributed spelling is first-occurrence flags (one
     // row_number per (key, item)) running-summed per key: the
