@@ -450,6 +450,29 @@ object EventOps {
             count(DISTINCT o_orderpriority) FROM orders) t
         ORDER BY col_name""")),
 
+    // A23: cohort retention matrix — users bucketed by first-active day
+    // (the cohort), counted on each later activity day offset: the
+    // retention triangle behind every engagement dashboard. Shape: one
+    // distinct (user, day) pass, a per-user min (broadcastable — one row
+    // per user), then a count over the already-distinct activity pairs
+    // (no second distinct needed). µs→day via integer division.
+    QueryDef("a23_cohort_retention",
+      (s, dir) => {
+        val day = expr("(ts div 1000) div 86400000000")
+        val ud = ev(s, dir).select(col("user_id"), day.as("day")).distinct()
+        val first = ud.groupBy("user_id").agg(min("day").as("cohort"))
+        ud.join(broadcast(first), "user_id")
+          .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+        SELECT cohort, day - cohort AS day_offset, count(*) AS n_users
+        FROM ud JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, day_offset""")),
+
     // A22: OHLC resampling — collapse the event stream to hourly
     // open/high/low/close bars (the time-series downsample primitive;
     // open/close are argmin/argmax over the unique (ts, id) time order,
