@@ -525,6 +525,47 @@ object RelationalOps {
         FROM r WHERE rk <= 3 AND o_custkey < 200
         GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // Q3: TPC-H Q14 shape — promo revenue share per order month: a join +
+    // CONDITIONAL aggregate ratio (the numerator is a filtered slice of the
+    // same sum), grouped on a derived calendar key. Exact decimal carriers
+    // for both sums; the ratio divides once at output.
+    QueryDef("q3_promo_share",
+      (s, dir) => {
+        val rev = (dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(28,12)")
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(
+            micros(sum(when(col("p_type") === "PROMO", rev))).as("promo_micros"),
+            micros(sum(rev)).as("total_micros"))
+          .withColumn("promo_share",
+            round(col("promo_micros").cast(DoubleType)
+              / col("total_micros"), 6))
+          .orderBy("yr", "mo")
+      },
+      Some(s"""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+          ${microsSql("""sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12))
+            END)""")} AS promo_micros,
+          ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+            * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+            AS total_micros,
+          round(CAST(${microsSql("""sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12))
+            END)""")} AS DOUBLE)
+            / ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")},
+            6) AS promo_share
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2 ORDER BY yr, mo""")),
+
     // J9: TPC-H Q19 shape — a DISJUNCTION of predicate bundles in the join
     // condition. The optimizer test: Catalyst must extract the common
     // p_partkey = l_partkey equi-key into a HASH join and keep only the OR
