@@ -525,6 +525,71 @@ object RelationalOps {
         FROM r WHERE rk <= 3 AND o_custkey < 200
         GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // U3: BAG set operations — intersectAll / exceptAll keep multiplicity
+    // (u2's INTERSECT/EXCEPT collapse to distinct): a customer with 3 H1
+    // orders and 1 H2 order contributes min(3,1)=1 to the intersection and
+    // 3−1=2 to the difference. The per-key multiplicity accounting is what
+    // reconciliation over non-deduplicated feeds actually needs.
+    QueryDef("u3_bag_ops",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val h1 = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+          .select("o_custkey")
+        val h2 = o.filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_custkey")
+        h1.intersectAll(h2).agg(count(lit(1)).as("n_inter_all"))
+          .crossJoin(h1.exceptAll(h2).agg(count(lit(1)).as("n_except_all")))
+      },
+      Some("""WITH h1 AS (SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-07-01'),
+        h2 AS (SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT
+          (SELECT count(*) FROM
+            (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2) a) AS n_inter_all,
+          (SELECT count(*) FROM
+            (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2) b) AS n_except_all""")),
+
+    // W7: gaps-and-islands — the longest CONSECUTIVE same-type run per user
+    // (session streaks, sensor-state runs): the classic rn − rn_per_type
+    // trick turns consecutive equal values into a constant group key, all
+    // inside the one user_id shuffle (three windows + an agg share it).
+    QueryDef("w7_islands",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val wt = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"), col("event_id"))
+          .withColumn("grp",
+            row_number().over(w) - row_number().over(wt))
+          .groupBy("user_id", "event_type", "grp")
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy("user_id")
+          .agg(max("run_len").as("longest_run"),
+            min_by(col("event_type"), struct((-col("run_len")).as("nr"),
+              col("event_type"))).as("run_type"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id)
+            - row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY epoch_us(ts), event_id) AS grp
+          FROM events),
+        runs AS (SELECT user_id, event_type, grp, count(*) AS run_len
+          FROM r GROUP BY 1, 2, 3)
+        SELECT user_id, max(run_len) AS longest_run,
+          (SELECT event_type FROM runs i WHERE i.user_id = o.user_id
+           ORDER BY run_len DESC, event_type LIMIT 1) AS run_type
+        FROM runs o GROUP BY user_id ORDER BY user_id""")),
+
     // Q3: TPC-H Q14 shape — promo revenue share per order month: a join +
     // CONDITIONAL aggregate ratio (the numerator is a filtered slice of the
     // same sum), grouped on a derived calendar key. Exact decimal carriers
