@@ -338,6 +338,34 @@ object StreamShaped {
           FROM documents) t
         GROUP BY split ORDER BY split""")),
 
+    // E8j: deterministic round-robin source INTERLEAVE — the training-order
+    // step that alternates sources so no batch window sees one source only.
+    // The global position is CLOSED-FORM (pos = within-source rank × 20 +
+    // source index), so no global window/sort ever runs: one per-source
+    // rank window, then map-side arithmetic — the trick that makes a
+    // deterministic global training order embarrassingly parallel. The
+    // catalog row emits the first 3 rounds as the verifiable sample.
+    QueryDef("e8_interleave",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val wSrc = Window.partitionBy("source").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .withColumn("rk", row_number().over(wSrc).cast("long") - 1)
+          .withColumn("src_idx",
+            expr("CAST(substring(source, 4) AS BIGINT)"))
+          .withColumn("pos", col("rk") * 20 + col("src_idx"))
+          .filter(col("pos") < 60)
+          .select(col("pos"), col("source"), col("doc_id"))
+          .orderBy("pos")
+      },
+      Some("""SELECT (rk - 1) * 20 + CAST(substring(source, 4) AS BIGINT)
+            AS pos, source, doc_id
+        FROM (SELECT source, doc_id, row_number() OVER (
+            PARTITION BY source ORDER BY doc_id) AS rk FROM documents) t
+        WHERE (rk - 1) * 20 + CAST(substring(source, 4) AS BIGINT) < 60
+        ORDER BY pos""")),
+
     // E8i: fixed-size deterministic per-group sample — exactly k docs per
     // language, chosen by a salted content-independent hash order (the
     // "give me k examples per language for eval" op; e8_stratified_sample
