@@ -450,6 +450,44 @@ object EventOps {
             count(DISTINCT o_orderpriority) FROM orders) t
         ORDER BY col_name""")),
 
+    // A24: Gini concentration — how unequally mass is distributed across a
+    // group's values (source-contribution concentration is the data-mixing
+    // diagnostic this feeds). Exactness: values quantized to integer
+    // micros, ranks from a unique (value, id) order, Σx and Σi·x carried
+    // EXACTLY (the rank-weighted sum rides a DECIMAL(38,0) carrier —
+    // a long Σi·x overflows ~2e19 at the 10× fixture), and only the final
+    // per-group formula touches doubles, identically in both engines.
+    QueryDef("a24_gini",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("xm"), col("event_id"))
+        val n = col("n").cast(DoubleType)
+        ev(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 1e6, 0).cast("long").as("xm"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("xm").as("sx"),
+            sum((col("i") * col("xm")).cast("decimal(38,0)")).as("six"))
+          .select(col("event_type"), col("n"),
+            round((lit(2.0) * col("six").cast(DoubleType)
+              - (n + 1.0) * col("sx").cast(DoubleType))
+              / (n * col("sx").cast(DoubleType)), 6).as("gini"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (SELECT event_type,
+            CAST(round(value * 1e6) AS BIGINT) AS xm,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY CAST(round(value * 1e6) AS BIGINT), event_id) AS i
+          FROM events WHERE value IS NOT NULL)
+        SELECT event_type, count(*) AS n,
+          round((2.0 * CAST(sum(i * xm) AS DOUBLE)
+            - (count(*) + 1.0) * CAST(sum(xm) AS DOUBLE))
+            / (CAST(count(*) AS DOUBLE) * CAST(sum(xm) AS DOUBLE)), 6)
+            AS gini
+        FROM r GROUP BY event_type ORDER BY event_type""")),
+
     // A23: cohort retention matrix — users bucketed by first-active day
     // (the cohort), counted on each later activity day offset: the
     // retention triangle behind every engagement dashboard. Shape: one
