@@ -200,6 +200,38 @@ object StreamShaped {
             ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t
         WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // M6: delete-aware CDC apply — the change feed carries an op column
+    // (every 7th event stands in for a DELETE tombstone); the final state
+    // keeps, per key, the LATEST version's row — unless that latest op is
+    // the tombstone, in which case the key vanishes entirely. Same
+    // one-shuffle window-keeper shape as m2; the tombstone filter is one
+    // predicate after the keeper (deletes must win by recency, not by
+    // presence — an older delete followed by a newer upsert resurrects).
+    QueryDef("m6_cdc_deletes",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val feed = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"), col("event_id"), col("value"),
+            when(col("event_id") % 7 === 0, "D").otherwise("U").as("op"))
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        feed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select("user_id", "event_type", "ts_us", "event_id", "value")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, ts_us, event_id, value
+        FROM (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+            value,
+            CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+            row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 AND op <> 'D'
+        ORDER BY user_id, event_type""")),
+
     // M3: SCD-2 history build — m2 keeps only the latest version per key;
     // this keeps EVERY version as a validity interval [valid_from, valid_to)
     // with an open-ended current row, the standard dimension-history rebuild.
