@@ -450,6 +450,65 @@ object EventOps {
             count(DISTINCT o_orderpriority) FROM orders) t
         ORDER BY col_name""")),
 
+    // A25: Welch's t statistic between two snapshots per group — the
+    // classical two-sample drift test beside a21's PSI (PSI sees shape
+    // drift, t sees mean drift with unequal variances). The five sums ride
+    // exact integer/decimal carriers (squares of millis values would
+    // overflow a long at scale); the statistic and its Welch–Satterthwaite
+    // dof come out of one 5-number-per-side formula in deterministic
+    // double math.
+    QueryDef("a25_welch_t",
+      (s, dir) => {
+        val e = ev(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (col("event_id") % 2).as("side"),
+            round(col("value") * 1000, 0).cast("long").as("xm"))
+        val agg = e.groupBy("event_type", "side")
+          .agg(count(lit(1)).as("n"), sum("xm").as("sx"),
+            sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("sxx"))
+        def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val mean = d(col("sx")) / d(col("n"))
+        val varc = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))) /
+          (d(col("n")) - 1.0)
+        val sides = agg.select(col("event_type"), col("side"),
+          col("n"), mean.as("m"), varc.as("v"))
+        val a = sides.filter(col("side") === 0)
+          .select(col("event_type"), col("n").as("na"), col("m").as("ma"),
+            col("v").as("va"))
+        val b = sides.filter(col("side") === 1)
+          .select(col("event_type"), col("n").as("nb"), col("m").as("mb"),
+            col("v").as("vb"))
+        val se2 = col("va") / col("na") + col("vb") / col("nb")
+        a.join(b, "event_type")
+          .select(col("event_type"), col("na"), col("nb"),
+            round((col("ma") - col("mb")) / sqrt(se2), 6).as("t_stat"),
+            round(se2 * se2 /
+              (col("va") * col("va") / (col("na") * col("na") * (col("na") - 1.0))
+                + col("vb") * col("vb") / (col("nb") * col("nb") * (col("nb") - 1.0))),
+              6).as("dof"))
+          .orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT event_type, event_id % 2 AS side,
+            CAST(round(value * 1000) AS BIGINT) AS xm
+          FROM events WHERE value IS NOT NULL),
+        g AS (SELECT event_type, side, count(*) AS n,
+            CAST(sum(xm) AS BIGINT) AS sx, sum(xm * xm) AS sxx
+          FROM s GROUP BY 1, 2),
+        m AS (SELECT event_type, side, n,
+            CAST(sx AS DOUBLE) / n AS m,
+            (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / n) / (n - 1.0) AS v
+          FROM g)
+        SELECT a.event_type, a.n AS na, b.n AS nb,
+          round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+          round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+            (a.v * a.v / (a.n * CAST(a.n AS DOUBLE) * (a.n - 1.0))
+              + b.v * b.v / (b.n * CAST(b.n AS DOUBLE) * (b.n - 1.0))), 6)
+            AS dof
+        FROM m a JOIN m b ON a.event_type = b.event_type
+          AND a.side = 0 AND b.side = 1
+        ORDER BY a.event_type""")),
+
     // A24: Gini concentration — how unequally mass is distributed across a
     // group's values (source-contribution concentration is the data-mixing
     // diagnostic this feeds). Exactness: values quantized to integer
