@@ -639,6 +639,58 @@ object TextOps {
             t -> t IN ($stopwordsSql))) AS BIGINT) AS n_stop
         FROM documents) t ORDER BY doc_id""")),
 
+    // E4r: Jensen–Shannon divergence between two subcorpora's unigram
+    // distributions — the symmetric, bounded [0, ln 2] corpus-similarity
+    // metric data-mixing reports use (a21's PSI compares value buckets;
+    // this compares vocabularies). Shape: one count per (side, term),
+    // full-outer vocab join, totals from the tiny term table, per-term
+    // contributions micro-quantized pre-sum (order-free); 0·ln0 terms
+    // drop via the guard.
+    QueryDef("e4_jsd",
+      (s, dir) => {
+        val side = when(expr("CAST(substring(source, 4) AS INT)") < 10, "a")
+          .otherwise("b")
+        val tf = docs(s, dir)
+          .select(side.as("side"), explode(tokens(col("text"))).as("t"))
+          .groupBy("side", "t").agg(count(lit(1)).as("c"))
+        val wide = tf.groupBy("t").agg(
+          sum(when(col("side") === "a", col("c")).otherwise(0L)).as("ca"),
+          sum(when(col("side") === "b", col("c")).otherwise(0L)).as("cb"))
+        val tot = wide.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+        val p = col("ca").cast(DoubleType) / col("ta")
+        val q = col("cb").cast(DoubleType) / col("tb")
+        val m = (p + q) / 2.0
+        val term = when(col("ca") > 0, p * log(p / m) * 0.5).otherwise(0.0) +
+          when(col("cb") > 0, q * log(q / m) * 0.5).otherwise(0.0)
+        wide.crossJoin(broadcast(tot))
+          .select(round(term * 1e6, 0).cast("long").as("tm"))
+          .agg(count(lit(1)).as("n_terms"),
+            round(sum("tm").cast(DoubleType) / 1e6, 6).as("jsd"))
+      },
+      Some(s"""WITH tf AS (SELECT CASE WHEN CAST(substring(source, 4) AS INT)
+              < 10 THEN 'a' ELSE 'b' END AS side, unnest($tokensSql) AS t
+          FROM documents),
+        c AS (SELECT side, t, count(*) AS c FROM tf GROUP BY 1, 2),
+        wide AS (SELECT t,
+            CAST(sum(CASE WHEN side = 'a' THEN c ELSE 0 END) AS BIGINT) AS ca,
+            CAST(sum(CASE WHEN side = 'b' THEN c ELSE 0 END) AS BIGINT) AS cb
+          FROM c GROUP BY t),
+        tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+            CAST(sum(cb) AS BIGINT) AS tb FROM wide),
+        terms AS (SELECT CAST(round((
+            CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE) / ta
+              * ln((CAST(ca AS DOUBLE) / ta)
+                / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2.0))
+              * 0.5 ELSE 0.0 END
+            + CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE) / tb
+              * ln((CAST(cb AS DOUBLE) / tb)
+                / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2.0))
+              * 0.5 ELSE 0.0 END) * 1000000) AS BIGINT) AS tm
+          FROM wide CROSS JOIN tot)
+        SELECT count(*) AS n_terms,
+          round(CAST(sum(tm) AS DOUBLE) / 1000000.0, 6) AS jsd
+        FROM terms""")),
+
     // E4q: gate ATTRITION funnel — the curation artifact behind any rule
     // cascade: per stage, how many docs the rule removed and how many
     // survive past it (each doc attributed to its FIRST failing rule, the
