@@ -287,6 +287,40 @@ object VectorOps {
           round(max_abs, 6) AS scale
         FROM x JOIN ma USING (vec_id) ORDER BY vec_id, pos""")),
 
+    // E3-eval: cluster PURITY — do the coarse-quantizer clusters agree with
+    // the ground-truth labels riding the embeddings table? Per cluster:
+    // majority label (deterministic min-label tie), its fraction of the
+    // cluster, entropy-free purity — the standard clustering-quality
+    // number an embedding pipeline reports. Assignment reuses the shared
+    // 16-centroid quantizer (same CTE as IVF/k-means, so the rule can't
+    // drift); label counts are cluster×label-sized.
+    QueryDef("e3_cluster_purity",
+      (s, dir) => {
+        val all = emb(s, dir)
+        val assign = nearestCentroid(all, centroidSet(all, 16))
+        val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+        val cl = assign.join(lab, "vec_id")
+          .groupBy("cluster", "label").agg(count(lit(1)).as("cn"))
+        cl.groupBy("cluster")
+          .agg(sum("cn").as("n"),
+            max("cn").as("n_major"),
+            min_by(col("label"), struct((-col("cn")).as("nc"), col("label")))
+              .as("major_label"))
+          .select(col("cluster"), col("n"),
+            col("major_label").cast("long").as("major_label"),
+            round(col("n_major").cast("double") / col("n"), 6).as("purity"))
+          .orderBy("cluster")
+      },
+      Some(s"""$baseCte,
+        $assignCte,
+        cl AS (SELECT cluster, label, count(*) AS cn
+          FROM assign JOIN embeddings USING (vec_id) GROUP BY 1, 2)
+        SELECT cluster, CAST(sum(cn) AS BIGINT) AS n,
+          CAST((SELECT label FROM cl i WHERE i.cluster = o.cluster
+            ORDER BY cn DESC, label LIMIT 1) AS BIGINT) AS major_label,
+          round(CAST(max(cn) AS DOUBLE) / sum(cn), 6) AS purity
+        FROM cl o GROUP BY cluster ORDER BY cluster""")),
+
     // E3-decontamination: SEMANTIC benchmark overlap — flag corpus vectors
     // whose cosine to ANY benchmark/eval-set embedding crosses the
     // threshold (the embedding-space complement of e2_decontaminate's
