@@ -20,7 +20,10 @@ class DeterminismSpec extends SparkSpec {
   // correlation sums, packed-key shard head/tail)
   private val names = Seq("q1_pricing_summary", "m2_cdc_merge",
     "e4_unigram_logprob", "e3_centroids", "e2_minhash_lsh",
-    "e3_pq_adc", "a17_lag_autocorr", "e8_shuffle_shards")
+    "e3_pq_adc", "a17_lag_autocorr", "e8_shuffle_shards",
+    // rank-weighted integer sums, islands grouping, closed-form interleave,
+    // micro-quantized divergence terms
+    "a24_gini", "w7_islands", "e8_interleave", "e4_jsd")
 
   test("results are bit-identical under different shuffle partitionings") {
     for (name <- names) {
