@@ -364,6 +364,28 @@ object EventOps {
         FROM d JOIN s USING (event_type)
         GROUP BY d.event_type ORDER BY d.event_type""")),
 
+    // O2x: explicit NULL ORDERING — Spark sorts ASC NULLS FIRST by default,
+    // DuckDB (and the SQL standard's usual reading) NULLS LAST: any ranked
+    // query over a nullable column silently diverges between engines unless
+    // the null position is SPELLED. This row pins asc_nulls_last on both
+    // sides (3 cheapest non-null values per user, nulls pushed past them).
+    QueryDef("o2_null_ordering",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("value").asc_nulls_last, col("event_id"))
+        ev(s, dir)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("user_id"), col("rk"), col("event_id"), col("value"))
+          .orderBy("user_id", "rk")
+      },
+      Some("""SELECT user_id, rk, event_id, value FROM (
+          SELECT user_id, event_id, value, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY value ASC NULLS LAST, event_id) AS rk
+          FROM events) t
+        WHERE rk <= 3 ORDER BY user_id, rk""")),
+
     // A17: lag-1 autocorrelation per user series — the signal-smoothness
     // profile (is `value` a random walk or i.i.d. noise?). Exactness recipe:
     // values are quantized to integer MILLIS first, the five correlation
