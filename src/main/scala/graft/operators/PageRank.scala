@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   *
   * Contract: every vertex must appear as a `src` (undirected/symmetrized
   * edges satisfy this; for directed graphs add dangling-mass handling
-  * before calling).
+  * before calling). The rank vector is rebuilt each round from the FULL
+  * vertex set (left join of degrees against summed contributions): a vertex
+  * with out-edges but no in-edges keeps the teleport mass instead of
+  * vanishing from `r` — which would silently drop its outbound
+  * contributions in every later round. For symmetrized edges the left join
+  * never fires its default, so this costs one broadcast-sized join per
+  * round and changes nothing on undirected graphs.
   */
 object PageRank {
 
@@ -40,14 +46,18 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     var r = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iterations) {
-      r = e.join(deg, "src")
+      val contrib = e.join(deg, "src")
         .join(r, col("src") === col("id"))
+        // div, not / — Spark's / on longs silently returns double
         .select(col("dst"), expr("rank div d").as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("s"))
-        // div, not / — Spark's / on longs silently returns double
-        .select(col("dst").as("id"),
-          (lit(150000L) + expr("(85 * s) div 100")).as("rank"))
+      // rebuild from the vertex set, not the in-neighbor set: src-only
+      // vertices default to the bare teleport mass rather than disappearing
+      r = deg.select(col("src").as("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
     }
     r
   }

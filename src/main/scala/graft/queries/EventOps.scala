@@ -389,11 +389,12 @@ object EventOps {
     // A17: lag-1 autocorrelation per user series — the signal-smoothness
     // profile (is `value` a random walk or i.i.d. noise?). Exactness recipe:
     // values are quantized to integer MILLIS first, the five correlation
-    // sums (Σx Σy Σxy Σx² Σy²) are then exact integer math (order- and
-    // engine-independent; products stay ≪ 2⁶³ at any realistic per-user
-    // series length), and only the final 1-row-per-user Pearson formula
-    // touches doubles — on identical inputs in both engines. One key
-    // shuffle (the lag window); the agg rides the window's partitioning.
+    // sums (Σx Σy Σxy Σx² Σy²) ride exact DECIMAL(38,0) carriers (a long
+    // x·y product wraps silently for |value| ≳ 3e6 — the operand is widened
+    // BEFORE the multiply; DuckDB mirrors with HUGEINT), and only the final
+    // 1-row-per-user Pearson formula touches doubles — on identical inputs
+    // in both engines. One key shuffle (the lag window); the agg rides the
+    // window's partitioning.
     QueryDef("a17_lag_autocorr",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(tsUs, col("event_id"))
@@ -405,12 +406,14 @@ object EventOps {
         val num = (n * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
         val den = sqrt((n * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
           sqrt((n * col("syy") - col("sy") * col("sy")).cast(DoubleType))
+        val dx = col("x").cast("decimal(38,0)")
+        val dy = col("y").cast("decimal(38,0)")
         pairs.groupBy("user_id").agg(
             count(lit(1)).as("n_pairs"),
-            sum("x").as("sx"), sum("y").as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("y") * col("y")).as("syy"))
+            sum(dx).as("sx"), sum(dy).as("sy"),
+            sum(dx * col("y")).as("sxy"),
+            sum(dx * col("x")).as("sxx"),
+            sum(dy * col("y")).as("syy"))
           .select(col("user_id"), col("n_pairs"),
             round(when(den === 0.0, lit(null)).otherwise(num / den), 6)
               .as("autocorr"))
@@ -422,10 +425,10 @@ object EventOps {
               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS x
           FROM events),
         sums AS (SELECT user_id, count(*) AS n_pairs,
-            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-            CAST(sum(x * y) AS BIGINT) AS sxy,
-            CAST(sum(x * x) AS BIGINT) AS sxx,
-            CAST(sum(y * y) AS BIGINT) AS syy
+            CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(y AS HUGEINT) * y) AS syy
           FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY user_id)
         SELECT user_id, n_pairs,
           round(CASE WHEN sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
@@ -487,7 +490,9 @@ object EventOps {
             round(col("value") * 1000, 0).cast("long").as("xm"))
         val agg = e.groupBy("event_type", "side")
           .agg(count(lit(1)).as("n"), sum("xm").as("sx"),
-            sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("sxx"))
+            // cast ONE operand before the multiply: a long*long product wraps
+            // silently for |xm| > ~3.03e9; decimal(38,0)*long widens first
+            sum(col("xm").cast("decimal(38,0)") * col("xm")).as("sxx"))
         def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val mean = d(col("sx")) / d(col("n"))
         val varc = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))) /
@@ -514,7 +519,8 @@ object EventOps {
             CAST(round(value * 1000) AS BIGINT) AS xm
           FROM events WHERE value IS NOT NULL),
         g AS (SELECT event_type, side, count(*) AS n,
-            CAST(sum(xm) AS BIGINT) AS sx, sum(xm * xm) AS sxx
+            CAST(sum(xm) AS BIGINT) AS sx,
+            sum(CAST(xm AS HUGEINT) * xm) AS sxx
           FROM s GROUP BY 1, 2),
         m AS (SELECT event_type, side, n,
             CAST(sx AS DOUBLE) / n AS m,
@@ -550,7 +556,8 @@ object EventOps {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum("xm").as("sx"),
-            sum((col("i") * col("xm")).cast("decimal(38,0)")).as("six"))
+            // widen BEFORE the product — i*xm in long wraps at ~2e19
+            sum(col("i").cast("decimal(38,0)") * col("xm")).as("six"))
           .select(col("event_type"), col("n"),
             round((lit(2.0) * col("six").cast(DoubleType)
               - (n + 1.0) * col("sx").cast(DoubleType))
@@ -563,7 +570,7 @@ object EventOps {
               ORDER BY CAST(round(value * 1e6) AS BIGINT), event_id) AS i
           FROM events WHERE value IS NOT NULL)
         SELECT event_type, count(*) AS n,
-          round((2.0 * CAST(sum(i * xm) AS DOUBLE)
+          round((2.0 * CAST(sum(CAST(i AS HUGEINT) * xm) AS DOUBLE)
             - (count(*) + 1.0) * CAST(sum(xm) AS DOUBLE))
             / (CAST(count(*) AS DOUBLE) * CAST(sum(xm) AS DOUBLE)), 6)
             AS gini

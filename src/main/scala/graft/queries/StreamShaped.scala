@@ -715,8 +715,9 @@ object StreamShaped {
               ELSE props END AS p
           FROM events)
         SELECT event_type, count(*) AS n,
-          CAST(sum(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS BIGINT)
-            AS n_bad,
+          CAST(sum(CASE WHEN json_valid(p)
+              AND json_extract_string(p, '$.k') IS NOT NULL
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
           CAST(sum(CASE WHEN json_valid(p)
             THEN CAST(json_extract_string(p, '$.k') AS BIGINT) END)
             AS BIGINT) AS k_sum

@@ -1157,7 +1157,10 @@ object TextOps {
         .agg(count(lit(1)).as("n"),
           sum(length(col("payload"))).as("bytes"))
         .orderBy("magic_hex"),
-      Some("""SELECT hex(CAST(substring(text, 1, 4) AS BLOB)) AS magic_hex,
+      // oracle slices BYTES, not characters: DuckDB has no BLOB substring,
+      // so the first 4 bytes come off the hex rendering (8 hex chars) —
+      // char-based substring(text,1,4) would diverge on multi-byte UTF-8
+      Some("""SELECT substring(hex(CAST(text AS BLOB)), 1, 8) AS magic_hex,
           count(*) AS n,
           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes
         FROM documents GROUP BY 1 ORDER BY 1""")),
