@@ -31,7 +31,13 @@ object Bench {
     // session. The min damps that noise; the first run still pays compile,
     // the second is the steady-state cost a cluster would see.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg (test tooling): comma-separated name prefixes to bench a
+    // subset in isolation; the driver always runs with no args.
+    val only = args.headOption.map(_.split(',').toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => wanted(kv._1)).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column
