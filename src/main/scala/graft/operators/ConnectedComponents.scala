@@ -87,6 +87,55 @@ object ConnectedComponents {
     (labels, it - 1)
   }
 
+  /** INCREMENTAL cluster maintenance: merge a batch of NEW pairs into a
+    * persisted `(id, cluster_id)` labeling, touching only the affected
+    * part of the graph — the dedup DECISION made incremental, to pair with
+    * the incremental pair finding (`minhashIncrementalPairs`).
+    *
+    * Identity: `mergeNewPairs(minLabel(P1), P2) == minLabel(P1 ∪ P2)`
+    * (spec-pinned) — because a min-id labeling is a depth-1 forest, new
+    * pairs only interact with old clusters through their ROOTS: each new
+    * pair maps to its endpoints' roots (unlabeled ids root to themselves),
+    * components are solved on that root graph (O(new pairs) vertices, not
+    * O(corpus)), and the old labeling is re-rooted through the affected
+    * roots only. The min-id invariant is preserved: merged root = min over
+    * member roots = min id of the merged component.
+    *
+    * 100 TB posture: everything is sized by the batch except the final
+    * re-root, which is a map-side broadcast join against the labeling
+    * (the affected-root table is new-pair-sized) — the persisted labeling
+    * is never shuffled and never recomputed.
+    *
+    * @param labeling persisted `(id, cluster_id)` table (cluster_id = min
+    *                 member id, as [[minLabel]] emits)
+    * @param newPairs arriving pair batch; direction irrelevant
+    */
+  def mergeNewPairs(labeling: DataFrame, newPairs: DataFrame,
+                    src: String, dst: String): DataFrame = {
+    val lab = labeling.select(col("id"), col("cluster_id"))
+    val pairs = newPairs.select(col(src).as("a"), col(dst).as("b"))
+    val ra = lab.select(col("id").as("a"), col("cluster_id").as("ra"))
+    val rb = lab.select(col("id").as("b"), col("cluster_id").as("rb"))
+    val rootPairs = pairs
+      .join(ra, Seq("a"), "left").join(rb, Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("ra"),
+        coalesce(col("rb"), col("b")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+    // components over the ROOT graph only — affected roots, not the corpus
+    val rootLab = minLabel(rootPairs, "ra", "rb")
+    // ids arriving with the batch that the labeling has never seen
+    val newVerts = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id")))
+      .distinct()
+      .join(lab.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    lab.unionByName(newVerts)
+      .join(rootLab.select(col("id").as("cluster_id"),
+        col("label").as("new_root")), Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
+  }
+
   /** [[minLabel]] plus per-cluster size — the direct input to a
     * cluster-keeper dedup decision (`keep id == label`, drop the rest). */
   def clusters(edges: DataFrame, src: String, dst: String): DataFrame = {

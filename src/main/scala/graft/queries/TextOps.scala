@@ -39,6 +39,27 @@ object TextOps {
     s.read.parquet(path)
   }
 
+  /** Materializes the persisted (id, cluster_id) dedup labeling ONCE per sf
+    * dir — the artifact the nightly run left behind: connected components
+    * over the HISTORICAL (doc_id < 400) near-dup pair graph. Read back from
+    * parquet so the incremental merge plan never recomputes it. */
+  private def persistedClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|cc-labels|64|8|5|0.8|store400|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_sigstore/$key"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val storePairs = minhashLshPairs(
+        docs(s, dir).filter(col("doc_id") < 400),
+        numHashes = 64, bands = 8, shingleLen = 5, threshold = 0.8)
+      graft.operators.ConnectedComponents
+        .minLabel(storePairs, "doc_a", "doc_b")
+        .select(col("id"), col("label").as("cluster_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Exact 5-gram Jaccard pairs over `bounded` via the shingle posting-list
     * join (pairs only materialize for docs sharing a shingle). Shared by the
     * pair query (e2_ngram_jaccard) and the cluster query (e2_cc_clusters).
@@ -264,6 +285,38 @@ object TextOps {
           .orderBy("doc_a", "doc_b")
       },
       Some(jaccardPairsOracleSql(0.8, "doc_b >= 400"))),
+
+    // E2q: INCREMENTAL cluster maintenance — the dedup DECISION made
+    // incremental, composing with e2_neardup_incremental's pair finding:
+    // the persisted (id, cluster_id) labeling (last night's CC over the
+    // historical pair graph, read back from its parquet artifact) absorbs
+    // tonight's batch-touching pairs through their cluster ROOTS only —
+    // components are solved on the root graph (O(new pairs)), the labeling
+    // is re-rooted by a map-side broadcast join, and nothing historical is
+    // re-clustered. Oracle = from-scratch CC on the FULL pair graph (the
+    // m5_incremental_agg identity pattern: merge(prev, delta) must equal
+    // recompute(union)); banding recall 1.0 at these parameters, so the
+    // exact-Jaccard closure is the same graph.
+    QueryDef("e2_cc_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val storeSig = persistedSigStore(s, dir,
+          d.filter(col("doc_id") < 400), numHashes = 64, shingleLen = 5)
+        val labeling = persistedClusterLabels(s, dir)
+        val newPairs = minhashIncrementalPairs(storeSig,
+            d.filter(col("doc_id") >= 400),
+            numHashes = 64, bands = 8, shingleLen = 5, threshold = 0.8)
+          .select("doc_a", "doc_b")
+        val merged = graft.operators.ConnectedComponents
+          .mergeNewPairs(labeling, newPairs, "doc_a", "doc_b")
+        val sizes = merged.groupBy(col("cluster_id").as("l"))
+          .agg(count(lit(1)).as("cluster_size"))
+        merged.join(sizes, merged("cluster_id") === sizes("l"))
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(ccClustersOracleSql(0.8, "TRUE"))),
 
     // E2d: SimHash hamming-distance near-dup (xxhash64 family → rows-only
     // driver check; semantics verified on planted dups in DedupSpec)

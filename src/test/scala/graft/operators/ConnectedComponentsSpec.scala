@@ -58,4 +58,41 @@ class ConnectedComponentsSpec extends SparkSpec {
       "single component with min-id label 0")
     assert(rounds <= 18, s"expected O(log n) rounds, got $rounds")
   }
+
+  private def mergedMap(prev: Seq[(Long, Long)],
+                        delta: Seq[(Long, Long)]): Map[Long, Long] = {
+    val labeling = ConnectedComponents.minLabel(edges(prev: _*), "a", "b")
+      .select(col("id"), col("label").as("cluster_id"))
+    ConnectedComponents.mergeNewPairs(labeling, edges(delta: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("mergeNewPairs == from-scratch CC on the union (identity)") {
+    // bridges two old clusters, extends one, and brings brand-new vertices
+    val prev = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L)
+    val delta = Seq(3L -> 10L, 21L -> 22L, 50L -> 51L)
+    assert(mergedMap(prev, delta) === labelMap((prev ++ delta): _*))
+  }
+
+  test("mergeNewPairs with no affected roots leaves the labeling unchanged") {
+    val prev = Seq(1L -> 2L, 10L -> 11L)
+    // delta joins only brand-new vertices — old clusters untouched
+    assert(mergedMap(prev, Seq(100L -> 101L)) ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 100L -> 100L, 101L -> 100L))
+  }
+
+  test("mergeNewPairs chains THROUGH the batch (old-new-old bridging)") {
+    // two old clusters connected only via a brand-new middle vertex:
+    // the root graph must chain 1←100←10, not just re-root pairwise
+    val prev = Seq(1L -> 2L, 10L -> 11L)
+    val delta = Seq(2L -> 100L, 100L -> 10L)
+    assert(mergedMap(prev, delta) === labelMap((prev ++ delta): _*))
+  }
+
+  test("mergeNewPairs keeps the min-id invariant when the batch holds the min") {
+    // the new vertex 0 becomes the merged cluster's root
+    val prev = Seq(5L -> 6L)
+    val delta = Seq(0L -> 5L)
+    assert(mergedMap(prev, delta) === Map(0L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
 }
