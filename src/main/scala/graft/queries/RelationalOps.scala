@@ -402,6 +402,105 @@ object RelationalOps {
           < (SELECT sum(CAST(l_quantity AS DECIMAL(18,6))) FROM lineitem l2
              WHERE l2.l_partkey = l1.l_partkey)""")),
 
+    // TPC-H Q2 shape: min-per-group correlated subquery over a 4-table dim
+    // chain — "for each small part, the EUROPE supplier(s) hitting the
+    // minimum offer cost" (offers stand in for partsupp, which this testdata
+    // lacks: the min offer per (part, supplier) from lineitem). Spark-first
+    // spelling decorrelates the scalar subquery into a per-part window min
+    // over the region-filtered offer table — ONE extra hash exchange on
+    // l_partkey, no join-back — with EQUALITY keeping all tied suppliers,
+    // as Q2 requires. The part filter pushes below the aggregate (per-part
+    // min is untouched by which parts survive); supplier/nation/region and
+    // part ride broadcasts. Cost is exact integer cents. The oracle keeps
+    // the textbook correlated scalar subquery, proving the rewrite.
+    QueryDef("j10_min_cost_region",
+      (s, dir) => {
+        val cents = round(col("l_extendedprice") * 100, 0).cast(LongType)
+        val euSup = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        val smallParts = Tables.part(s, dir).filter(col("p_size") <= 15)
+          .select(col("p_partkey"))
+        val offers = Tables.lineitem(s, dir)
+          .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(euSup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"))
+          .agg(min(cents).as("cost_cents"))
+        val w = Window.partitionBy("l_partkey")
+        offers
+          .withColumn("min_cents", min("cost_cents").over(w))
+          .filter(col("cost_cents") === col("min_cents"))
+          .select(col("l_partkey").as("p_partkey"), col("s_name"),
+            col("cost_cents"))
+          .orderBy("p_partkey", "s_name")
+      },
+      Some("""WITH offers AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+            min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+          FROM lineitem GROUP BY 1, 2),
+        eo AS (SELECT o.pk, o.sk, o.cost_cents FROM offers o
+          JOIN supplier ON o.sk = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE')
+        SELECT p_partkey, s_name, cost_cents
+        FROM eo JOIN part ON eo.pk = p_partkey
+          JOIN supplier ON eo.sk = s_suppkey
+        WHERE p_size <= 15
+          AND cost_cents = (SELECT min(e2.cost_cents) FROM eo e2
+                            WHERE e2.pk = eo.pk)
+        ORDER BY p_partkey, s_name""")),
+
+    // TPC-H Q20 shape: nested semi-join gated by an aggregate threshold —
+    // "suppliers who shipped MORE THAN HALF of some interesting part's 1995
+    // volume" (shipped shares stand in for partsupp availability). The
+    // textbook form nests an IN (parts by name) inside an aggregate compare
+    // inside a supplier semi-join; the Spark-first spelling decorrelates to
+    // one (part, supplier) aggregate, a per-part window total (the second
+    // grain, no join-back), an integer-exact 2·qty > total gate, and a
+    // broadcast part semi-join pushed BELOW both aggregates (per-part
+    // totals are untouched by which parts survive). Supplier join is a
+    // broadcast; the only wide shuffles are the two l_partkey-family
+    // exchanges.
+    QueryDef("j11_excess_share",
+      (s, dir) => {
+        val qty = round(col("l_quantity"), 0).cast(LongType)
+        val interesting = Tables.part(s, dir)
+          .filter(col("p_name").like("%a%")).select(col("p_partkey"))
+        val shipped = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+          .join(broadcast(interesting), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(qty).as("qty"))
+        val w = Window.partitionBy("l_partkey")
+        val flagged = shipped
+          .withColumn("total", sum("qty").over(w))
+          .filter(col("qty") * 2 > col("total"))
+        flagged
+          .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("n_flagged"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH shipped AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01' GROUP BY 1, 2),
+        excess AS (SELECT sk FROM shipped s1
+          WHERE s1.qty * 2 > (SELECT sum(s2.qty) FROM shipped s2
+                              WHERE s2.pk = s1.pk)
+            AND s1.pk IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%a%'))
+        SELECT s_suppkey, s_name, count(*) AS n_flagged
+        FROM supplier JOIN excess ON s_suppkey = sk
+        GROUP BY 1, 2 ORDER BY s_suppkey""")),
+
     // R5: unpivot/melt — wide metrics to (key, metric, value) long form, the
     // inverse of r2_pivot. Map-side only (each input row emits k output
     // rows, no shuffle). Oracle is the portable UNION ALL spelling.

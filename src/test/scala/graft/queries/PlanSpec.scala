@@ -35,6 +35,28 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected at most the agg exchange, saw $exchanges:\n$p")
   }
 
+  test("j10 Q2-shape decorrelates to a window min with broadcast dims") {
+    val p = plan("j10_min_cost_region")
+    assert(!p.contains("SortMergeJoin"),
+      s"part/supplier/nation/region are broadcast-sized:\n$p")
+    assert(p.contains("Window [min("),
+      s"the correlated min must become a per-part window, not a join-back:\n$p")
+    // offer-grain agg + the window's l_partkey exchange; nothing else wide
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected agg + window exchanges only, saw $exchanges:\n$p")
+  }
+
+  test("j11 Q20-shape pushes the part semi-join below both aggregate grains") {
+    val p = plan("j11_excess_share")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window [sum("),
+      s"the per-part total must be a window over the (part,supp) agg:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the (part,supp) aggregate must combine map-side:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"grain agg + window + supplier agg, saw $exchanges:\n$p")
+  }
+
   test("e2 incremental near-dedup never re-signs the persisted store side") {
     val p = plan("e2_neardup_incremental")
     assert(p.contains("graft_sigstore"),
