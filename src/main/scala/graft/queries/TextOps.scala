@@ -22,6 +22,21 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** Scale-PROPORTIONAL store/batch split point for the incremental rows:
+    * ids below `max(doc_id)·4/5` are the historical corpus, the top 20%
+    * are "tonight's batch" — at every SF the incremental cost stays
+    * proportional instead of degenerating (a fixed cutoff of 400 made the
+    * batch 99% of a 10× corpus, turning the incremental rows into full
+    * runs). Integer arithmetic, identical in both engines; the oracle
+    * computes the same value via a scalar subquery. One bounded (1-row)
+    * driver-side max per construction, memoized per sf dir. */
+  private val cutoffCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def storeCutoff(s: SparkSession, dir: String): Long =
+    cutoffCache.getOrElseUpdate(dir,
+      docs(s, dir).agg(max("doc_id")).head().getLong(0) * 4 / 5)
+  private val cutoffSql = "(SELECT max(doc_id) * 4 // 5 FROM documents)"
+
   /** Materializes the store-side signature artifact ONCE per (sf dir,
     * params) — the stand-in for the parquet table last night's close wrote —
     * and reads it back, so the measured incremental plan scans signatures,
@@ -30,7 +45,7 @@ object TextOps {
   private def persistedSigStore(s: SparkSession, dir: String,
       store: DataFrame, numHashes: Int, shingleLen: Int): DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$numHashes|$shingleLen|store400|v1".getBytes("UTF-8"))
+      .digest(s"$dir|$numHashes|$shingleLen|store-p80|v2".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = s"/tmp/graft_sigstore/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
@@ -41,16 +56,16 @@ object TextOps {
 
   /** Materializes the persisted (id, cluster_id) dedup labeling ONCE per sf
     * dir — the artifact the nightly run left behind: connected components
-    * over the HISTORICAL (doc_id < 400) near-dup pair graph. Read back from
-    * parquet so the incremental merge plan never recomputes it. */
+    * over the HISTORICAL (bottom-80% of ids) near-dup pair graph. Read back
+    * from parquet so the incremental merge plan never recomputes it. */
   private def persistedClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|cc-labels|64|8|5|0.8|store400|v1".getBytes("UTF-8"))
+      .digest(s"$dir|cc-labels|64|8|5|0.8|store-p80|v2".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = s"/tmp/graft_sigstore/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val storePairs = minhashLshPairs(
-        docs(s, dir).filter(col("doc_id") < 400),
+        docs(s, dir).filter(col("doc_id") < storeCutoff(s, dir)),
         numHashes = 64, bands = 8, shingleLen = 5, threshold = 0.8)
       graft.operators.ConnectedComponents
         .minLabel(storePairs, "doc_a", "doc_b")
@@ -106,29 +121,31 @@ object TextOps {
         FROM documents GROUP BY 1 ORDER BY h""")),
 
     // E1b: INCREMENTAL dedup — the arriving-batch form every production
-    // pipeline actually runs: new docs (id ≥ 400 here) are dropped when
-    // their content signature already exists in the historical corpus
-    // (id < 400), then self-deduped within the batch. The corpus side is
-    // exactly the persisted signature table (one hash column), the batch
-    // anti-joins against it on the hash — one key shuffle, no text moves —
-    // and at 100 TB the signature store is bucketed on h so the anti join
-    // co-locates without a corpus-side shuffle at all.
+    // pipeline actually runs: new docs (the top-20% of ids, a scale-
+    // proportional split) are dropped when their content signature already
+    // exists in the historical corpus (bottom 80%), then self-deduped
+    // within the batch. The corpus side is exactly the persisted signature
+    // table (one hash column), the batch anti-joins against it on the hash
+    // — one key shuffle, no text moves — and at 100 TB the signature store
+    // is bucketed on h so the anti join co-locates without a corpus-side
+    // shuffle at all.
     QueryDef("e1_dedup_incremental",
       (s, dir) => {
+        val cut = storeCutoff(s, dir)
         val d = docs(s, dir).withColumn("h", md5(normText(col("text"))))
-        val corpus = d.filter(col("doc_id") < 400).select("h").distinct()
-        val batch = d.filter(col("doc_id") >= 400)
+        val corpus = d.filter(col("doc_id") < cut).select("h").distinct()
+        val batch = d.filter(col("doc_id") >= cut)
         batch.join(corpus, Seq("h"), "left_anti")
           .groupBy("h")
           .agg(min("doc_id").as("keeper_doc"), count(lit(1)).as("n_in_batch"))
           .orderBy("keeper_doc")
       },
-      Some("""WITH d AS (SELECT doc_id,
-          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+      Some(s"""WITH d AS (SELECT doc_id,
+          md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
           FROM documents)
         SELECT h, min(doc_id) AS keeper_doc, count(*) AS n_in_batch
-        FROM d WHERE doc_id >= 400
-          AND h NOT IN (SELECT DISTINCT h FROM d WHERE doc_id < 400)
+        FROM d WHERE doc_id >= $cutoffSql
+          AND h NOT IN (SELECT DISTINCT h FROM d WHERE doc_id < $cutoffSql)
         GROUP BY h ORDER BY keeper_doc""")),
 
     // E2b: exact n-gram Jaccard via shingle posting-list join. Bounded to a
@@ -263,8 +280,8 @@ object TextOps {
       Some(jaccardOracleSql(0.8))),
 
     // E2p: INCREMENTAL near-dedup — e1_dedup_incremental's pattern lifted
-    // from exact hashes to near-duplicates: the arriving batch (doc_id ≥
-    // 400 stands in for tonight's crawl) signs itself and band-joins the
+    // from exact hashes to near-duplicates: the arriving batch (top-20% of
+    // ids stands in for tonight's crawl) signs itself and band-joins the
     // PERSISTED signature store (doc_id, shset, mh) — the store side is
     // read back from its parquet artifact, so the plan re-shingles NOTHING
     // historical and store-vs-store pairs are never recomputed. Nightly
@@ -277,14 +294,15 @@ object TextOps {
     // e2_minhash_lsh).
     QueryDef("e2_neardup_incremental",
       (s, dir) => {
+        val cut = storeCutoff(s, dir)
         val d = docs(s, dir)
         val storeSig = persistedSigStore(s, dir,
-          d.filter(col("doc_id") < 400), numHashes = 64, shingleLen = 5)
-        minhashIncrementalPairs(storeSig, d.filter(col("doc_id") >= 400),
+          d.filter(col("doc_id") < cut), numHashes = 64, shingleLen = 5)
+        minhashIncrementalPairs(storeSig, d.filter(col("doc_id") >= cut),
             numHashes = 64, bands = 8, shingleLen = 5, threshold = 0.8)
           .orderBy("doc_a", "doc_b")
       },
-      Some(jaccardPairsOracleSql(0.8, "doc_b >= 400"))),
+      Some(jaccardPairsOracleSql(0.8, s"doc_b >= $cutoffSql"))),
 
     // E2q: INCREMENTAL cluster maintenance — the dedup DECISION made
     // incremental, composing with e2_neardup_incremental's pair finding:
@@ -299,12 +317,13 @@ object TextOps {
     // exact-Jaccard closure is the same graph.
     QueryDef("e2_cc_incremental",
       (s, dir) => {
+        val cut = storeCutoff(s, dir)
         val d = docs(s, dir)
         val storeSig = persistedSigStore(s, dir,
-          d.filter(col("doc_id") < 400), numHashes = 64, shingleLen = 5)
+          d.filter(col("doc_id") < cut), numHashes = 64, shingleLen = 5)
         val labeling = persistedClusterLabels(s, dir)
         val newPairs = minhashIncrementalPairs(storeSig,
-            d.filter(col("doc_id") >= 400),
+            d.filter(col("doc_id") >= cut),
             numHashes = 64, bands = 8, shingleLen = 5, threshold = 0.8)
           .select("doc_a", "doc_b")
         val merged = graft.operators.ConnectedComponents
