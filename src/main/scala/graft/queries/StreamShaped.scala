@@ -515,7 +515,11 @@ object StreamShaped {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val d = Tables.documents(s, dir)
+        // per-lang counts feed both the min target and the rate table:
+        // materialize the ~1-row-per-lang aggregate once or the corpus
+        // count scan runs twice
         val counts = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+          .localCheckpoint()
         val target = counts.agg(min("n_total").as("m"))
         val rates = counts.crossJoin(broadcast(target))
           .withColumn("rate_permille", floor(lit(1000) * col("m") / col("n_total")))

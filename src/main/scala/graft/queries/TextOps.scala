@@ -564,7 +564,12 @@ object TextOps {
       (s, dir) => {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        // tf feeds BOTH the document-frequency aggregate and the scoring
+        // join: materialize it once or the tokenize+explode+shuffle chain
+        // runs twice over the corpus (~1 row per (doc, term), far fewer
+        // than token occurrences)
         val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
         val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(dfreq, "t")
@@ -805,8 +810,12 @@ object TextOps {
           .when(!(mwl >= 3.0 && mwl <= 10.0), "2_mean_wlen")
           .when(!(nStop >= 2), "3_stopwords")
           .otherwise("4_kept")
+        // the 4-row stage table feeds both the total and the funnel window:
+        // materialize it once or the whole corpus-sized gate evaluation
+        // (tokenize + 3 rules per doc) runs twice
         val counts = docs(s, dir).select(stage.as("stage"))
           .groupBy("stage").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val total = counts.agg(sum("n").as("total"))
         val w = Window.orderBy("stage")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1118,11 +1127,15 @@ object TextOps {
     // proven there).
     QueryDef("e4_unigram_logprob",
       (s, dir) => {
+        // tok feeds the frequency aggregate AND the scoring join; freq
+        // feeds the total AND the join — materialize both (tok at token
+        // grain, freq at vocab grain) so the corpus tokenizes ONCE and the
+        // frequency shuffle runs once, instead of 3 tokenization passes
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .localCheckpoint()
         val freq = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
-        // corpus total from the (tiny) frequency table, not a third
-        // tokenization pass over the corpus
+          .localCheckpoint()
         val total = freq.agg(sum("cnt").as("n_total"))
         val nllMicros = round(
           -log(col("cnt").cast(DoubleType) / col("n_total")) * 1e6, 0)
@@ -1165,9 +1178,12 @@ object TextOps {
         val tok = docs(s, dir).select(col("doc_id"),
           posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
         val w = Window.partitionBy("doc_id").orderBy("pos")
+        // bg feeds c2, c1 AND the scoring join — materialize once or the
+        // tokenize + per-doc lead() window runs three times over the corpus
         val bg = tok.withColumn("w2", lead("w1", 1).over(w))
           .filter(col("w2").isNotNull)
           .select("doc_id", "w1", "w2")
+          .localCheckpoint()
         val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
         val nll = round(-log(col("c2").cast(DoubleType) / col("c1")) * 1e6, 0)
