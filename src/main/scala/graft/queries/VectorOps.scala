@@ -215,7 +215,11 @@ object VectorOps {
     QueryDef("e3_kmeans_iter",
       (s, dir) => {
         val all = emb(s, dir)
+        // assign1 feeds the centroid update AND the moved-vectors join:
+        // materialize the tiny (vec_id, cluster) table once or the full
+        // brute-force nearest-centroid scoring runs twice
         val assign1 = nearestCentroid(all, centroidSet(all, 16))
+          .localCheckpoint()
         val cent = all.join(assign1, "vec_id")
           .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cluster", "pos")
