@@ -95,4 +95,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     val delta = Seq(0L -> 5L)
     assert(mergedMap(prev, delta) === Map(0L -> 0L, 5L -> 0L, 6L -> 0L))
   }
+
+  test("mergeNewPairs absorbs a 1000-link batch chain threading old clusters") {
+    // adversarial merge: 500 old 2-vertex clusters daisy-chained by a batch
+    // path (old(2k,2k+1) — new(10000+k) — old(2k+2,…)): the root graph is a
+    // long path, exactly what the merge's pointer-doubled CC must collapse
+    val prev = (0L until 500L).flatMap(k => Seq(2 * k -> (2 * k + 1)))
+    val delta = (0L until 499L).flatMap(k =>
+      Seq((2 * k + 1) -> (10000 + k), (10000 + k) -> (2 * k + 2)))
+    val merged = mergedMap(prev, delta)
+    assert(merged.size === 1499, "1000 old + 499 bridge vertices")
+    assert(merged.values.forall(_ == 0L), "one component rooted at 0")
+  }
 }
