@@ -386,6 +386,53 @@ object EventOps {
           FROM events) t
         WHERE rk <= 3 ORDER BY user_id, rk""")),
 
+    // A26: time-decay EWMA smoothing per user series — the recency
+    // weighting a freshness-aware pipeline applies before thresholding
+    // (decay 0.9/step over the last 8 observations). Exactness recipe: the
+    // eight weights are PRECOMPUTED integer literals (round(0.9^j·1e6) —
+    // both engines consume the same constants, so no cross-libm pow() ever
+    // runs), values ride the millis quantization, numerator/denominator
+    // are exact integer sums over the available lags (series heads use
+    // fewer terms, the denominator adapts), and only the final 1-per-row
+    // division touches doubles. ONE window shuffle on user_id; all eight
+    // lags share the frame, so Spark plans a single Window operator.
+    QueryDef("a26_ewma",
+      (s, dir) => {
+        val K = 8
+        val wts = (0 until K).map(j => math.round(math.pow(0.9, j) * 1e6))
+        val w = Window.partitionBy("user_id").orderBy(tsUs, col("event_id"))
+        val xm = round(col("value") * 1000, 0).cast("long")
+        val lags = (0 until K).map(j =>
+          if (j == 0) xm else lag(xm, j).over(w))
+        val num = lags.zip(wts).map { case (l, wt) =>
+          coalesce(l * wt, lit(0L)) }.reduce(_ + _)
+        val den = lags.zip(wts).map { case (l, wt) =>
+          when(l.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+        ev(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            round(num.cast(DoubleType) / den.cast(DoubleType) / 1000.0, 6)
+              .as("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some {
+        val wts = (0 until 8).map(j => math.round(math.pow(0.9, j) * 1e6))
+        val lagCols = (1 until 8).map(j =>
+          s"lag(xm, $j) OVER (PARTITION BY user_id ORDER BY t, event_id) AS x$j")
+          .mkString(", ")
+        val num = (s"${wts(0)} * xm" +: (1 until 8).map(j =>
+          s"coalesce(${wts(j)} * x$j, 0)")).mkString(" + ")
+        val den = (s"${wts(0)}" +: (1 until 8).map(j =>
+          s"CASE WHEN x$j IS NOT NULL THEN ${wts(j)} ELSE 0 END")).mkString(" + ")
+        s"""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+              CAST(round(value * 1000) AS BIGINT) AS xm
+            FROM events WHERE value IS NOT NULL),
+          l AS (SELECT user_id, event_id, xm, $lagCols FROM p)
+          SELECT user_id, event_id,
+            round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 1000.0, 6)
+              AS ewma
+          FROM l ORDER BY user_id, event_id"""
+      }),
+
     // A17: lag-1 autocorrelation per user series — the signal-smoothness
     // profile (is `value` a random walk or i.i.d. noise?). Exactness recipe:
     // values are quantized to integer MILLIS first, the five correlation
