@@ -198,8 +198,15 @@ object TextFunctions {
     }
     val bStore = buckets(storeSig)
     val bBatch = buckets(shBatch)
+    // doc_a < doc_b is ENFORCED, not assumed: under the documented contract
+    // (store ids < batch ids, the arrival order) the predicate is a no-op,
+    // but a caller with interleaved ids would otherwise get misordered pairs
+    // here and silently dropped candidates at the batch-only verify join
+    // below — the guard turns the assumption into checked behavior
+    // (round-5 advice).
     val cand = bStore.as("a").join(bBatch.as("b"),
-        col("a.bucket") === col("b.bucket"))
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .unionByName(bBatch.as("a").join(bBatch.as("b"),
           col("a.bucket") === col("b.bucket") &&

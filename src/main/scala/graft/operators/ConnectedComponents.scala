@@ -129,9 +129,14 @@ object ConnectedComponents {
       .distinct()
       .join(lab.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
+    // broadcast is EXPLICIT: rootLab descends from a localCheckpoint'd RDD
+    // with no stats (default sizeInBytes = huge), so without the hint Spark
+    // plans a sort-merge join and shuffles the corpus-sized labeling — the
+    // opposite of the "never shuffled" contract (round-5 advice; pinned in
+    // PlanSpec). The affected-root table is new-pair-sized, always small.
     lab.unionByName(newVerts)
-      .join(rootLab.select(col("id").as("cluster_id"),
-        col("label").as("new_root")), Seq("cluster_id"), "left")
+      .join(broadcast(rootLab.select(col("id").as("cluster_id"),
+        col("label").as("new_root"))), Seq("cluster_id"), "left")
       .select(col("id"),
         coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
   }

@@ -404,8 +404,13 @@ object EventOps {
         val xm = round(col("value") * 1000, 0).cast("long")
         val lags = (0 until K).map(j =>
           if (j == 0) xm else lag(xm, j).over(w))
+        // millis × up-to-1e6 weight: widen BEFORE the multiply (a17's
+        // recipe) — plain long arithmetic wraps silently for |value| ≳
+        // 9.2e9 while DuckDB BIGINT errors, so the engines would diverge;
+        // the DECIMAL(38,0) carrier mirrors the oracle's HUGEINT exactly
         val num = lags.zip(wts).map { case (l, wt) =>
-          coalesce(l * wt, lit(0L)) }.reduce(_ + _)
+          coalesce(l.cast("decimal(38,0)") * wt,
+            lit(0L).cast("decimal(38,0)")) }.reduce(_ + _)
         val den = lags.zip(wts).map { case (l, wt) =>
           when(l.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
         ev(s, dir).filter(col("value").isNotNull)
@@ -419,8 +424,8 @@ object EventOps {
         val lagCols = (1 until 8).map(j =>
           s"lag(xm, $j) OVER (PARTITION BY user_id ORDER BY t, event_id) AS x$j")
           .mkString(", ")
-        val num = (s"${wts(0)} * xm" +: (1 until 8).map(j =>
-          s"coalesce(${wts(j)} * x$j, 0)")).mkString(" + ")
+        val num = (s"${wts(0)} * CAST(xm AS HUGEINT)" +: (1 until 8).map(j =>
+          s"coalesce(${wts(j)} * CAST(x$j AS HUGEINT), 0)")).mkString(" + ")
         val den = (s"${wts(0)}" +: (1 until 8).map(j =>
           s"CASE WHEN x$j IS NOT NULL THEN ${wts(j)} ELSE 0 END")).mkString(" + ")
         s"""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t,

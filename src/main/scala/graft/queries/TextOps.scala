@@ -33,8 +33,24 @@ object TextOps {
   private val cutoffCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   private def storeCutoff(s: SparkSession, dir: String): Long =
-    cutoffCache.getOrElseUpdate(dir,
+    cutoffCache.getOrElseUpdate(s"$dir|${docsToken(dir)}",
       docs(s, dir).agg(max("doc_id")).head().getLong(0) * 4 / 5)
+
+  /** Cheap content fingerprint of the documents table — total parquet byte
+    * size + newest file mtime. Folded into the cutoff memo and every /tmp
+    * artifact key so a fixture REGENERATED at the same path invalidates the
+    * persisted store/labeling instead of silently serving stale signatures
+    * (round-5 advice: the md5(dir|params|version) key alone keyed only on
+    * the path). Filesystem metadata only — no Spark job. */
+  private def docsToken(dir: String): String = {
+    val root = new java.io.File(s"$dir/documents.parquet")
+    val files: Seq[java.io.File] =
+      if (root.isDirectory) root.listFiles().toSeq.filter(_.isFile)
+      else Seq(root)
+    val size = files.map(_.length).sum
+    val mtime = if (files.isEmpty) 0L else files.map(_.lastModified).max
+    s"$size-$mtime"
+  }
   private val cutoffSql = "(SELECT max(doc_id) * 4 // 5 FROM documents)"
 
   /** Materializes the store-side signature artifact ONCE per (sf dir,
@@ -45,7 +61,8 @@ object TextOps {
   private def persistedSigStore(s: SparkSession, dir: String,
       store: DataFrame, numHashes: Int, shingleLen: Int): DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$numHashes|$shingleLen|store-p80|v2".getBytes("UTF-8"))
+      .digest(s"$dir|${docsToken(dir)}|$numHashes|$shingleLen|store-p80|v2"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = s"/tmp/graft_sigstore/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
@@ -60,7 +77,8 @@ object TextOps {
     * from parquet so the incremental merge plan never recomputes it. */
   private def persistedClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|cc-labels|64|8|5|0.8|store-p80|v2".getBytes("UTF-8"))
+      .digest(s"$dir|${docsToken(dir)}|cc-labels|64|8|5|0.8|store-p80|v2"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = s"/tmp/graft_sigstore/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {

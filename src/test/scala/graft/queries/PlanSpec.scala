@@ -70,6 +70,22 @@ class PlanSpec extends SparkSpec {
       s"shingle expansion must not appear in the nightly plan:\n$p")
   }
 
+  test("e2 incremental CC re-roots the persisted labeling map-side (broadcast)") {
+    val p = plan("e2_cc_incremental")
+    // the labeling → new-root join must be a broadcast LEFT OUTER with the
+    // (new-pair-sized) root table built, so the corpus-sized persisted
+    // labeling is never shuffled for the re-root (round-5 advice: rootLab
+    // descends from a localCheckpoint'd RDD with no stats, so without the
+    // explicit broadcast() Spark sort-merges it)
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")),
+      s"the re-root must be a broadcast left join:\n$p")
+    // the only sort-merge allowed is the final cluster-size join at the
+    // catalog-row level; the operator itself must not shuffle the labeling
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"persisted labeling must not sort-merge:\n$p")
+  }
+
   test("e6 top-k per group uses the WindowGroupLimit pushdown") {
     val p = plan("e6_topk_per_group")
     assert(p.contains("WindowGroupLimit"),
