@@ -36,28 +36,36 @@ object PageRank {
     * @return (id, rank) with rank in micro-units (1.0 ≡ 1,000,000). */
   def ranks(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1)
-    // deliberately NOT localCheckpoint'ed: re-deriving the co-order edge
-    // lineage per round measured FASTER than materializing the edge list
-    // (2.87 vs 3.06 s at sf0.1, 8.9 vs 11.2 s at 10×) — the columnar
-    // pair-join recompute is cheaper than writing 2|E| rows to storage
-    // memory. For many-iteration runs on expensive edge lineage, checkpoint
-    // at the call site (the CC operator shows the pattern).
-    val e = edges
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    var r = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // The per-edge (src, dst, d) table is ITERATION-INVARIANT: materialize
+    // it ONCE (localCheckpoint) so every round is a single join (edge table
+    // ⋈ ranks) + one partial-agged sum, instead of re-deriving the whole
+    // upstream edge lineage (for g1: pair-join + distinct + union) each
+    // round. Round-5 shipped the no-checkpoint form on a 2.87 s in-session
+    // measurement; the driver bench read it at 10.84 s. Isolated re-measure
+    // (ProfilePR, round 6, sf0.1, min of 2): plain 5.3–8.7 s, hoisted 4.6 s,
+    // hoisted + per-round rank checkpoint 3.5 s — the hoisted/checkpointed
+    // form wins in every rep and is what ships. All four variants are
+    // bit-identical (integer fixed-point; ProfilePR cross-checks).
+    val ed = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("d")).localCheckpoint()
+    val ids = ed.select(col("src").as("vid")).distinct().localCheckpoint()
+    var r = ids.select(col("vid").as("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iterations) {
-      val contrib = e.join(deg, "src")
-        .join(r, col("src") === col("id"))
+      val contrib = ed.join(r, col("src") === col("id"))
         // div, not / — Spark's / on longs silently returns double
         .select(col("dst"), expr("rank div d").as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("s"))
       // rebuild from the vertex set, not the in-neighbor set: src-only
-      // vertices default to the bare teleport mass rather than disappearing
-      r = deg.select(col("src").as("id"))
+      // vertices default to the bare teleport mass rather than disappearing.
+      // Per-round checkpoint keeps the plan O(1) deep (CC's pattern) —
+      // measured faster than lineage growth even at 3 rounds (3.5 vs 4.6 s).
+      r = ids.select(col("vid").as("id"))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
     }
     r
   }

@@ -19,6 +19,55 @@ class PageRankSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) == 1000000L), r.mkString(","))
   }
 
+  test("rounds read the hoisted edge table; exchanges stay bounded") {
+    import spark.implicits._
+    // Plan pin for the round-6 rewrite (ProfilePR: 8.7 s → 3.5 s at sf0.1):
+    // the (src, dst, d) join is hoisted out of the loop and checkpointed
+    // once, so each round's eager-checkpoint job must read ONLY
+    // checkpointed RDDs — a round plan that re-derives source lineage
+    // (here: LocalTableScan) means the hoist regressed. Iteration count is
+    // pinned through the checkpoint count: ed + ids + one per round.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += ((funcName, qe.executedPlan.toString)) }
+      def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val fwd = (0L until 32L).map(i => (i, (i + 1) % 32))
+      val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+      PageRank.ranks(edges, 3).collect()
+      // the listener bus is async — wait for the 5 checkpoint events
+      val deadline = System.nanoTime() + 30e9.toLong
+      def ckpts = plans.synchronized {
+        plans.filter(p => p._1.toLowerCase.contains("checkpoint")) }
+      while (ckpts.size < 5 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val cp = ckpts
+      assert(cp.size == 5,
+        s"expected ed + ids + 3 round checkpoints, saw ${cp.size}: " +
+          cp.map(_._1).mkString(","))
+      // only the two hoisted tables may touch source lineage
+      val sourced = cp.filter(_._2.contains("LocalTableScan"))
+      assert(sourced.size <= 2,
+        s"round plans must read checkpointed RDDs only:\n" +
+          sourced.map(_._2).mkString("\n----\n"))
+      // each round: one agg exchange (+ at most a join exchange pair never
+      // appears — the rank side broadcasts); a cascade means a lost plan
+      val rounds = cp.filterNot(_._2.contains("LocalTableScan"))
+      rounds.foreach { case (_, p) =>
+        val ex = p.linesIterator.count(
+          _.trim.startsWith("Exchange hashpartitioning"))
+        assert(ex <= 2, s"round plan grew $ex exchanges:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("star: the hub outranks the spokes; spokes stay symmetric") {
     import spark.implicits._
     val spokes = (1L to 5L).map(i => (0L, i))
