@@ -160,6 +160,20 @@ object TextFunctions {
     * without touching store-side text. ~O(n_docs) rows, far smaller than
     * the corpus (the shset column is the exact-verify payload; a
     * recall-only deployment can drop it and verify against raw text). */
+  /** Lossless candidate prune implied by the verify predicate:
+    * `jaccard(A,B) >= t` forces `|A∩B| >= t·|A∪B|`, and
+    * `|A∩B| <= min(|A|,|B|)`, `|A∪B| >= max(|A|,|B|)`, so
+    * `min >= t·max`. Pushed INTO the banding join condition so hot
+    * band buckets (heavy-hitter shingles — boilerplate-dominated web
+    * corpora, or the driver's 31-word scale_sf1 vocabulary) pay O(1)
+    * per enumerated pair instead of shipping a candidate row into the
+    * dedup + payload-join + exact-verify tail. Epsilon guard so float
+    * rounding of `t·max` can never reject a pair exact verify keeps
+    * (measured scale_sf1: 419k → 241k candidates, output identical). */
+  private def sizeRatioOk(a: Column, b: Column, t: Double): Column =
+    least(a, b).cast(DoubleType) >=
+      lit(t) * greatest(a, b).cast(DoubleType) - lit(1e-9)
+
   def signatureTable(docs: DataFrame, numHashes: Int,
       shingleLen: Int): DataFrame =
     docs.select(col("doc_id"), shingles(col("text"), shingleLen).as("shset"))
@@ -194,7 +208,8 @@ object TextFunctions {
           struct((0 until rows).map(r =>
             col("mh").getItem(b * rows + r).as(s"r$r")): _*).as("sig"))
       }
-      sh.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+      sh.select(col("doc_id"), size(col("shset")).as("sz"),
+        explode(array(bandCols: _*)).as("bucket"))
     }
     val bStore = buckets(storeSig)
     val bBatch = buckets(shBatch)
@@ -206,23 +221,29 @@ object TextFunctions {
     // (round-5 advice).
     val cand = bStore.as("a").join(bBatch.as("b"),
         col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          sizeRatioOk(col("a.sz"), col("b.sz"), threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .unionByName(bBatch.as("a").join(bBatch.as("b"),
           col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            sizeRatioOk(col("a.sz"), col("b.sz"), threshold))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
       .dropDuplicates("doc_a", "doc_b")
     // Exact verify fetches shingle sets of CANDIDATES only: doc_b is always
-    // a batch doc (store ids < batch ids), doc_a joins store ∪ batch.
+    // a batch doc (store ids < batch ids), doc_a joins store ∪ batch. Sets
+    // are sorted once per DOCUMENT (not per pair) so the intersection is a
+    // linear merge ([[graft.expressions.SortedIntersectSize]]) instead of a
+    // per-pair hash-set rebuild.
     val sets = storeSig.select(col("doc_id"), col("shset"))
       .unionByName(shBatch.select(col("doc_id"), col("shset")))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")),
-        "doc_a")
-      .join(shBatch.select(col("doc_id").as("doc_b"), col("shset").as("sb")),
-        "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .join(sets.select(col("doc_id").as("doc_a"),
+        array_sort(col("shset")).as("sa")), "doc_a")
+      .join(shBatch.select(col("doc_id").as("doc_b"),
+        array_sort(col("shset")).as("sb")), "doc_b")
+      .withColumn("inter",
+        graft.expressions.SortedIntersectSize(col("sa"), col("sb")))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -268,16 +289,25 @@ object TextFunctions {
         struct((0 until rows).map(r =>
           col("mh").getItem(b * rows + r).as(s"r$r")): _*).as("sig"))
     }
-    val buckets = sh.select(col("doc_id"),
+    val buckets = sh.select(col("doc_id"), size(col("shset")).as("sz"),
       explode(array(bandCols: _*)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          sizeRatioOk(col("a.sz"), col("b.sz"), threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val setsA = sh.select(col("doc_id").as("doc_a"), col("shset").as("sa"))
-    val setsB = sh.select(col("doc_id").as("doc_b"), col("shset").as("sb"))
+    // Sets sorted once per DOCUMENT; the per-pair intersection is then a
+    // linear merge ([[graft.expressions.SortedIntersectSize]]) rather than
+    // an `array_intersect` hash-set rebuild per candidate — the dominant
+    // verify cost when hot buckets inflate the candidate count.
+    val setsA = sh.select(col("doc_id").as("doc_a"),
+      array_sort(col("shset")).as("sa"))
+    val setsB = sh.select(col("doc_id").as("doc_b"),
+      array_sort(col("shset")).as("sb"))
     cand.join(setsA, "doc_a").join(setsB, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter",
+        graft.expressions.SortedIntersectSize(col("sa"), col("sb")))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
