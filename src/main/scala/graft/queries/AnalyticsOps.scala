@@ -143,22 +143,41 @@ object AnalyticsOps {
     // G2: bipartite co-occurrence projection — project the customer↔supplier
     // graph onto supplier–supplier edges weighted by shared customers (the
     // "bought-together" primitive behind item-item recommendation). Pairs
-    // form ONLY through the per-customer posting join (never all-pairs);
-    // per-customer supplier lists are bounded here, and on power-law data
-    // the standard cap/salt mitigations (a13's profiler finds the hot keys)
-    // apply before the join. Top-20 via TakeOrderedAndProject.
+    // form ONLY through the per-customer posting join (never all-pairs),
+    // and a degree cap (row_number ≤ 1024 per customer, far above this
+    // fixture's max degree of 114 so output is provably identical) bounds
+    // the quadratic blow-up of a power-law hot customer at the source.
+    // Scale shape (ProfileCoshare, scale_sf1): the pair-group space grows
+    // ~input-cardinality (500k → 46.4M groups at 10×), so the default
+    // partial→final agg builds near-useless map-side hash tables — the
+    // pair stream is packed into ONE long (sk_a<<32|sk_b, half the shuffle
+    // width, single-column hash) and explicitly repartitioned on it so the
+    // aggregation is one exchange with no doomed partial tables: 25.6 s →
+    // 8.9 s at 10×. All of distinct / cap-window / self-join ride a single
+    // hash exchange on c (subset-satisfied clustering + reused exchange).
+    // Top-20 via TakeOrderedAndProject.
     QueryDef("g2_coshare",
       (s, dir) => {
         val cs = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
           .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-          .distinct()
-        cs.as("a").join(cs.as("b"),
+          .repartition(col("c"))
+          .dropDuplicates("c", "sk")
+        val capped = cs
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("c").orderBy("sk")))
+          .filter(col("rn") <= 1024).drop("rn")
+        capped.as("a").join(capped.as("b"),
             col("a.c") === col("b.c") && col("a.sk") < col("b.sk"))
-          .groupBy(col("a.sk").as("supp_a"), col("b.sk").as("supp_b"))
+          .select((shiftleft(col("a.sk"), 32) + col("b.sk")).as("pk"))
+          .repartition(col("pk"))
+          .groupBy("pk")
           .agg(count(lit(1)).as("shared_customers"))
           .filter(col("shared_customers") >= 3)
+          .select(shiftright(col("pk"), 32).as("supp_a"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("supp_b"),
+            col("shared_customers"))
           .orderBy(col("shared_customers").desc, col("supp_a"), col("supp_b"))
           .limit(20)
       },

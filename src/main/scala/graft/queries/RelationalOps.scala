@@ -501,6 +501,100 @@ object RelationalOps {
         FROM supplier JOIN excess ON s_suppkey = sk
         GROUP BY 1, 2 ORDER BY s_suppkey""")),
 
+    // TPC-H Q15 shape: max over an aggregated view, ties kept — "the
+    // supplier(s) with the highest quarterly revenue". The textbook form
+    // compares each view row against a scalar max-subquery over the same
+    // view; a naive join-back against a separate rev.agg(max) plants TWO
+    // copies of the view in the plan (the subtrees differ by a join-null
+    // filter, so AQE's stage cache can't merge them and the fact table is
+    // scanned + shuffled twice — measured on this exact query). The
+    // Spark-first spelling instead takes the global max as an
+    // empty-partition window OVER the aggregated view: the fact table is
+    // scanned and shuffled exactly once (the l_suppkey agg exchange), and
+    // only the supplier-grain view rows gather on one partition for the
+    // max — a global-reduce the query semantically requires anyway.
+    // Equality (not rank/limit) keeps every tied supplier, as Q15
+    // requires. Revenue is exact decimal micros end to end. The oracle
+    // keeps the textbook scalar-subquery spelling, proving the rewrite.
+    QueryDef("j12_top_revenue_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(micros(sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+            .cast("decimal(28,12)"))).as("total_revenue_micros"))
+        rev
+          .withColumn("mx", max("total_revenue_micros")
+            .over(Window.partitionBy()))
+          .filter(col("total_revenue_micros") === col("mx"))
+          .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue_micros"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH revenue AS (SELECT l_suppkey AS supplier_no,
+          ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+            AS total_revenue_micros
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue_micros
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue_micros = (SELECT max(total_revenue_micros)
+                                      FROM revenue)
+        ORDER BY s_suppkey""")),
+
+    // TPC-H Q22 shape: anti-join + scalar-avg subquery with substring
+    // predicates — "above-average-balance customers in selected country
+    // codes with no RECENT order" (this testdata's customers all have at
+    // least one order ever, so dormant = no order since 1999; the shape —
+    // NOT EXISTS against the fact table — is unchanged). The textbook form
+    // correlates a NOT EXISTS and compares against a scalar avg-subquery;
+    // the Spark-first spelling reduces the code-filtered positive balances
+    // to ONE row, broadcast-crosses it back, and gates with the integer-
+    // exact product form bal·n > sum (avg never materializes — same
+    // decimal-division dodge as j5), then a shuffle LEFT ANTI on custkey
+    // against the date-pruned orders scan. The substring code extraction is
+    // row-local; the only wide exchange is the anti-join's.
+    QueryDef("j13_dormant_customers",
+      (s, dir) => {
+        val codes = Seq("02", "03", "23", "30", "31", "10", "15")
+        val cu = Tables.customer(s, dir)
+          .withColumn("cntrycode", substring(col("c_name"), -2, 2))
+          .filter(col("cntrycode").isin(codes: _*))
+          .select(col("c_custkey"), col("cntrycode"),
+            dec("c_acctbal").as("bal"))
+        val pos = cu.filter(col("bal") > 0)
+          .agg(sum("bal").as("sum_pos"), count(lit(1)).as("n_pos"))
+        cu.crossJoin(broadcast(pos))
+          .filter(col("bal") * col("n_pos") > col("sum_pos"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("cntrycode")
+          .agg(count(lit(1)).as("numcust"),
+            micros(sum(col("bal"))).as("totacctbal_micros"))
+          .orderBy("cntrycode")
+      },
+      Some(s"""WITH cu AS (SELECT right(c_name, 2) AS cntrycode, c_custkey,
+            CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+          FROM customer
+          WHERE right(c_name, 2) IN ('02','03','23','30','31','10','15'))
+        SELECT cntrycode, count(*) AS numcust,
+          ${microsSql("sum(bal)")} AS totacctbal_micros
+        FROM cu c
+        WHERE bal * (SELECT count(*) FROM cu WHERE bal > 0)
+            > (SELECT sum(bal) FROM cu WHERE bal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c.c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY cntrycode ORDER BY cntrycode""")),
+
     // R5: unpivot/melt — wide metrics to (key, metric, value) long form, the
     // inverse of r2_pivot. Map-side only (each input row emits k output
     // rows, no shuffle). Oracle is the portable UNION ALL spelling.

@@ -465,4 +465,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"codebook (128 rows) and ADC table (queries×16×8) must broadcast:\n$p")
   }
+
+  test("g2 coshare caps degree before the self-join and aggregates on the packed key") {
+    val p = plan("g2_coshare")
+    assert(p.contains("row_number()"),
+      s"the 1024 degree cap must bound per-customer lists BEFORE the join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-20 must not plan a full sort:\n$p")
+    // two wide shuffles at runtime: the explicit c repartition (the
+    // self-join prints the identical subtree on both sides — same
+    // canonical stage, AQE's stage cache materializes it once) and the
+    // packed-pair-key repartition that replaces the doomed
+    // near-input-cardinality partial agg (ProfileCoshare: 25.6 s → 8.4 s
+    // at 10×)
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex <= 3, s"expected c (×2 printed) + pk exchanges only, saw $ex:\n$p")
+    assert(p.contains("shiftleft"),
+      s"pair aggregation must ride the packed single-long key:\n$p")
+  }
+
+  test("j12 Q15-shape computes the revenue view once (single fact scan)") {
+    val p = plan("j12_top_revenue_supplier")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")) == 1,
+      s"the naive max-subquery join-back scans lineitem twice:\n$p")
+    assert(p.contains("Window [max("),
+      s"the global max must be an empty-partition window over the view:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the revenue agg must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"supplier is broadcast-sized:\n$p")
+  }
+
+  test("j13 Q22-shape: row-local code filter, 1-row balance gate, custkey anti-join") {
+    val p = plan("j13_dormant_customers")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must decorrelate to an anti-join on custkey:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"only the 1-row positive-balance aggregate may nest-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
