@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,6 +15,56 @@ import graft.Tables
   * not a range join, so it holds at any fact-table size.
   */
 object AnalyticsOps {
+
+  /** g2's degree cap: per-customer supplier posting lists are truncated to
+    * this many entries before the pair join, bounding the quadratic blow-up
+    * of a power-law hot customer (cap² pairs max per customer). Declared
+    * semantics: suppliers are ranked by id per customer and only the first
+    * `CoshareCap` participate — on every fixture to date max degree ≪ cap so
+    * output equals the uncapped projection, and `g2_coshare_audit` makes the
+    * day that stops true VISIBLE (capped_customers > 0) instead of silent. */
+  val CoshareCap = 1024
+
+  /** Distinct customer→supplier posting list, pre-partitioned on customer so
+    * dedup / cap-window / self-join all ride one hash exchange. */
+  def custSupp(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .repartition(col("c"))
+      .dropDuplicates("c", "sk")
+
+  /** Supplier–supplier co-occurrence projection over a (c, sk) posting list
+    * with the degree cap applied at the source (see [[CoshareCap]]). */
+  def coshareTop(cs: DataFrame, cap: Int): DataFrame = {
+    val capped = cs
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("c").orderBy("sk")))
+      .filter(col("rn") <= cap).drop("rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.c") === col("b.c") && col("a.sk") < col("b.sk"))
+      .select((shiftleft(col("a.sk"), 32) + col("b.sk")).as("pk"))
+      .repartition(col("pk"))
+      .groupBy("pk")
+      .agg(count(lit(1)).as("shared_customers"))
+      .filter(col("shared_customers") >= 3)
+      .select(shiftright(col("pk"), 32).as("supp_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("supp_b"),
+        col("shared_customers"))
+      .orderBy(col("shared_customers").desc, col("supp_a"), col("supp_b"))
+      .limit(20)
+  }
+
+  /** Cap-truncation audit for g2: how many customers actually lost suppliers
+    * to the cap, plus the observed max degree. One tiny aggregate over the
+    * same posting list — cheap enough to run alongside g2 every time, and
+    * the driver oracle checks it, so truncation can never drift in silently. */
+  def coshareAudit(cs: DataFrame, cap: Int): DataFrame =
+    cs.groupBy("c").agg(count(lit(1)).as("d"))
+      .agg(sum(when(col("d") > cap, 1).otherwise(0)).as("capped_customers"),
+        max(col("d")).as("max_degree"))
+      .withColumn("cap", lit(cap.toLong))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -157,30 +209,7 @@ object AnalyticsOps {
     // hash exchange on c (subset-satisfied clustering + reused exchange).
     // Top-20 via TakeOrderedAndProject.
     QueryDef("g2_coshare",
-      (s, dir) => {
-        val cs = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-          .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-          .repartition(col("c"))
-          .dropDuplicates("c", "sk")
-        val capped = cs
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("c").orderBy("sk")))
-          .filter(col("rn") <= 1024).drop("rn")
-        capped.as("a").join(capped.as("b"),
-            col("a.c") === col("b.c") && col("a.sk") < col("b.sk"))
-          .select((shiftleft(col("a.sk"), 32) + col("b.sk")).as("pk"))
-          .repartition(col("pk"))
-          .groupBy("pk")
-          .agg(count(lit(1)).as("shared_customers"))
-          .filter(col("shared_customers") >= 3)
-          .select(shiftright(col("pk"), 32).as("supp_a"),
-            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("supp_b"),
-            col("shared_customers"))
-          .orderBy(col("shared_customers").desc, col("supp_a"), col("supp_b"))
-          .limit(20)
-      },
+      (s, dir) => coshareTop(custSupp(s, dir), CoshareCap),
       Some("""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
         SELECT a.sk AS supp_a, b.sk AS supp_b,
@@ -188,6 +217,23 @@ object AnalyticsOps {
         FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
         GROUP BY 1, 2 HAVING count(*) >= 3
         ORDER BY shared_customers DESC, supp_a, supp_b LIMIT 20""")),
+
+    // G2 audit: the degree cap above must never truncate SILENTLY — this
+    // companion row counts the customers whose supplier set exceeds the cap
+    // (capped_customers) next to the observed max degree, and the oracle
+    // (which knows nothing of the cap mechanics) re-derives both from the
+    // raw posting list. The day a fixture grows a >cap-degree customer this
+    // row flips from 0 and the driver sees it the same round.
+    QueryDef("g2_coshare_audit",
+      (s, dir) => coshareAudit(custSupp(s, dir), CoshareCap),
+      Some(s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        deg AS (SELECT c, count(*) AS d FROM cs GROUP BY c)
+        SELECT count(*) FILTER (WHERE d > ${AnalyticsOps.CoshareCap})
+            AS capped_customers,
+          max(d) AS max_degree,
+          CAST(${AnalyticsOps.CoshareCap} AS BIGINT) AS cap
+        FROM deg""")),
 
     // W4: event-sequence FUNNEL — view → first click ≤6h → first purchase
     // ≤12h, the conversion-path primitive (each stage is a forward as-of

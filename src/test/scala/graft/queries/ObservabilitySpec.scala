@@ -31,6 +31,35 @@ class ObservabilitySpec extends SparkSpec {
     assert(m("ts_min").asInstanceOf[Long] <= m("ts_max").asInstanceOf[Long])
   }
 
+  test("g2 coshare degree cap fires VISIBLY: audit row counts truncated " +
+      "customers while the projection truncates") {
+    import spark.implicits._
+    // 3 customers, 10 suppliers each — every supplier pair co-shared by all
+    // 3 customers (>= the row's shared_customers >= 3 floor)
+    val cs = (for { c <- 1 to 3; sk <- 1 to 10 } yield (c.toLong, sk.toLong))
+      .toDF("c", "sk")
+    val cap = 4
+    // audit makes the truncation countable: all 3 customers exceed cap 4
+    val audit = AnalyticsOps.coshareAudit(cs, cap).collect().head
+    assert(audit.getAs[Long]("capped_customers") == 3L)
+    assert(audit.getAs[Long]("max_degree") == 10L)
+    assert(audit.getAs[Long]("cap") == cap.toLong)
+    // and the projection under the cap keeps only pairs of the first 4
+    // suppliers per customer: C(4,2)=6 pairs, vs C(10,2)=45 uncapped
+    val capped = AnalyticsOps.coshareTop(cs, cap).collect()
+    assert(capped.length == 6)
+    assert(capped.forall(r => r.getAs[Long]("supp_b") <= 4L))
+    assert(AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap)
+      .count() == 20) // top-20 of the 45 uncapped pairs
+    // the shipping fixture is far below the cap — the catalog row's audit
+    // companion proves (not assumes) zero truncation today
+    val real = AnalyticsOps.coshareAudit(
+      AnalyticsOps.custSupp(spark, dir), AnalyticsOps.CoshareCap)
+      .collect().head
+    assert(real.getAs[Long]("capped_customers") == 0L)
+    assert(real.getAs[Long]("max_degree") < AnalyticsOps.CoshareCap)
+  }
+
   test("zstd parquet round-trips bit-identically (storage codec swap)") {
     val docs = Tables.documents(spark, dir).orderBy("doc_id")
     val out = "/tmp/graft_fmt/docs_zstd"
