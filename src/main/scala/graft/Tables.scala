@@ -2,14 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata tables (TESTDATA.md).
   *
-  * All tables are parquet; `events.ts` is stored as parquet TIMESTAMP(NANOS),
-  * which Spark reads as a raw nanosecond `LongType` under
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[GraftSession.tune]]).
-  * [[events]] exposes both the raw `ts` (ns long, full precision — matches
-  * DuckDB `epoch_ns(ts)`) and a derived µs `ts_utc` TimestampType column.
+  * `events.ts` has shipped in two parquet encodings across testdata
+  * generations: TIMESTAMP(NANOS) — which Spark reads as a raw nanosecond
+  * `LongType` under `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+  * [[GraftSession.tune]]) — and TIMESTAMP(MICROS), which Spark reads as
+  * `TIMESTAMP_NTZ`. [[normalizeEventTs]] canonicalizes both to the internal
+  * contract every events query assumes: `ts` = ns-since-epoch long (matches
+  * DuckDB `epoch_ns(ts)` exactly, since the µs encoding is a whole number of
+  * µs) plus a derived µs `ts_utc` TimestampType column. The session timezone
+  * is pinned to UTC ([[GraftSession]]), so the NTZ→TZ cast is numerically the
+  * identity.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -31,6 +37,20 @@ object Tables {
 
   /** Events with `ts` as raw ns-since-epoch long plus a µs timestamp view. */
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
+    normalizeEventTs(load(s, d, "events"))
+
+  /** Canonicalize `ts` to ns-since-epoch long + add the µs `ts_utc` view,
+    * whatever logical type the parquet writer chose (see class doc). Pure
+    * column expressions — safe on both batch and streaming DataFrames. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    val tsNs = df.schema("ts").dataType match {
+      case LongType         => col("ts")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+      case TimestampType    => unix_micros(col("ts")) * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet logical type $other")
+    }
+    df.withColumn("ts", tsNs)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Dataset}
@@ -131,7 +132,7 @@ object EventsStreaming {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
       .withWatermark("ts_utc", "1 hour")
     recentViewPairs(stream)
       .writeStream.outputMode("append")
@@ -170,7 +171,7 @@ object EventsStreaming {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
       .withWatermark("ts_utc", "1 hour")
     recentViewPairsLeft(stream)
       .writeStream.outputMode("append")
@@ -222,7 +223,7 @@ object EventsStreaming {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
       .withWatermark("ts_utc", "1 hour")
     funnelChains(stream)
       .writeStream.outputMode("append")
@@ -239,7 +240,7 @@ object EventsStreaming {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
       .withWatermark("ts_utc", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
@@ -275,11 +276,13 @@ object EventsStreaming {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val cols = Seq("user_id", "event_type", "ts", "event_id", "value")
     var target = spark.read.parquet(s"$dir/events.parquet")
+      .transform(Tables.normalizeEventTs)
       .select(cols.map(col): _*).limit(0).localCheckpoint()
     target.createOrReplaceTempView(viewName)
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+      .transform(Tables.normalizeEventTs)
       .select(cols.map(col): _*)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -308,6 +311,7 @@ object EventsStreaming {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+      .transform(Tables.normalizeEventTs)
     runningUserState(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
@@ -340,7 +344,7 @@ object EventsStreaming {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
       .withWatermark("ts_utc", "1 hour")
     transform(stream)
       .writeStream.outputMode("complete")
