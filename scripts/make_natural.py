@@ -22,7 +22,21 @@ import pyarrow.parquet as pq
 ROOT = Path(__file__).resolve().parent.parent
 rng = np.random.default_rng(777)
 
-VOCAB = np.array([f"word{i:05d}" for i in range(10_000)])
+# character-realistic pseudo-words: random lowercase letters, natural-ish
+# length distribution (3-10 chars), de-duplicated. A synthetic "word%05d"
+# vocabulary is token-realistic but character-PATHOLOGICAL — every token
+# shares the 4-char "word" prefix plus digits, so char-level operators
+# (segment-blocked edit distance) see near-zero segment entropy and
+# collapse toward all-pairs, which real text does not do.
+_letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+_seen, _words = set(), []
+while len(_words) < 10_000:
+    L = int(rng.integers(3, 11))
+    w = "".join(rng.choice(_letters, L))
+    if w not in _seen:
+        _seen.add(w)
+        _words.append(w)
+VOCAB = np.array(_words)
 # zipf-ish rank weights (s=1.1), the shape of natural-language unigrams
 w = 1.0 / np.arange(1, len(VOCAB) + 1) ** 1.1
 w /= w.sum()

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Natural-vocabulary scale-curve bench for the near-dup family
+  * (SURVEY §11.1 / §12.3).
+  *
+  * The driver `documents` table draws from a closed 31-word vocabulary, which
+  * is pathological for similarity operators: ~30% of ALL doc pairs share
+  * ≥0.2 Jaccard, so candidate-bound operators go superlinear for corpus
+  * reasons, not algorithmic ones. This main measures the same catalog
+  * queries on zipf-10k-vocabulary corpora (`scripts/make_natural.py`) at two
+  * scale points — 5k and 50k docs (10×) — and prints ONE JSON line with
+  * per-query seconds at each point plus the 10× time ratio. On natural text
+  * the LSH/simhash family should scale near-linearly (ratio ≈ 10× work on
+  * 32 cores → wall ratio well under ~6×, per §12.3); the driver-corpus
+  * blow-ups recorded in BENCH10 are the corpus, not the plan.
+  *
+  * Timing protocol matches [[Bench]]: min of 2 runs per query per corpus,
+  * result fully consumed via count-style action on the query's DataFrame.
+  */
+object BenchNat {
+  // documents-only members of the dedup family (the incremental variants
+  // maintain persisted stores keyed to the driver fixture and are excluded)
+  private val family = Seq(
+    "e1_dedup_exact", "e2_neardup_hash", "e2_minhash_lsh", "e2_simhash",
+    "e2_simhash_md5", "e2_dup_ngrams", "e2_span_dedup", "e2_ngram_jaccard",
+    "e2_containment", "e2_cc_clusters", "e2_dedup_report",
+    "e2_edit_distance", "e2_edit_blocked")
+
+  def main(args: Array[String]): Unit = {
+    val small = sys.env.getOrElse("SPARK_GRAFT_NAT_SMALL", "/root/repo/scale_rich_small")
+    val big = sys.env.getOrElse("SPARK_GRAFT_NAT_BIG", "/root/repo/scale_rich_big")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String, dir: String): Either[String, Double] =
+      try {
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Right(runs.min)
+      } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+
+    val rows = family.map { q =>
+      (q, time(q, small), time(q, big))
+    }
+    def num(d: Double) = f"$d%.3f"
+    val parts = rows.map { case (q, s, b) =>
+      val ratio = for { sv <- s; bv <- b } yield bv / sv
+      val sj = s.fold(e => "\"" + e + "\"", num)
+      val bj = b.fold(e => "\"" + e + "\"", num)
+      val rj = ratio.fold(_ => "null", num)
+      s""""$q":{"small_s":$sj,"big_s":$bj,"x10_ratio":$rj}"""
+    }
+    println(s"""{"metric":"natural_10x","unit":"sec","small":"$small","big":"$big","queries":{${parts.mkString(",")}}}""")
+    spark.stop()
+  }
+}

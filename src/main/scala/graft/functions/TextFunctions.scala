@@ -254,42 +254,37 @@ object TextFunctions {
                       shingleLen: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    // ONE materialization pass (localCheckpoint truncates lineage): the
-    // shingle set and its MinHash signature are computed together and stored
-    // once — the table feeds three join arms below (two bucket sides, the
-    // exact-verify re-join), and recomputing shingles per arm doubles the
-    // dominant cost. Round 2 checkpointed shingles and signatures in two
-    // separate eager passes; fusing them removes a full scan + store
-    // round-trip from the critical path. This mirrors how a production dedup
-    // pipeline persists its signature table — O(n_docs) rows, far smaller
-    // than the corpus.
-    // Docs too short to shingle are dropped here — the explode formulation
-    // dropped them implicitly (nothing to explode); the per-row kernel must
-    // do it explicitly or every short doc would share the all-MaxValue
-    // signature, bucket together, and emit NaN-jaccard pairs.
-    // Signature via the per-row MinHashSig kernel: each shingle is hashed
-    // ONCE and all k universal-hash minima `a_i·h + b_i mod 2⁶⁴` fold in a
-    // compiled loop inside the scan projection (codegen'd — the kernel emits
-    // real doGenCode, so the stage stays fused) — bit-identical to the
-    // previous explode → xxhash64 → k×min-agg formulation, with no
-    // per-shingle rows, no k-buffer aggregation state, no signature shuffle.
+    // ONE materialization pass (localCheckpoint truncates lineage) of the
+    // FUSED per-row signature kernel ([[graft.expressions.ShingleMinHash]]):
+    // (doc_id, sz, mh) — ~500 B/doc — feeds both bucket arms of the banding
+    // self-join. The shingle sets themselves are NEVER materialized
+    // corpus-wide: the staged MinHashSig(ShingleSet(text)) spelling built
+    // (and checkpointed) one UTF8String per shingle, which was 6.8 s of the
+    // 9.5 s query on a 50k-doc natural corpus (ProfileLshSkew, round 8) —
+    // at 100 TB that shingle store is a corpus-sized write amplification.
+    // `mh` is bit-identical to the staged form (same XXH64-over-gram-bytes,
+    // same splitmix64 schedule), so banding and results are unchanged.
+    // Docs too short to shingle surface as null signatures and are dropped —
+    // the explode formulation dropped them implicitly; without the guard
+    // every short doc would share the all-MaxValue signature, bucket
+    // together, and emit NaN-jaccard pairs.
     // NOTE: the tempting h1 + i·h2 double-hashing form is BROKEN for
     // min-hashing when h2's range (int) is tiny relative to h1's (long):
     // every "permutation" then shares h1's argmin, all k signature slots
     // collapse to one, and banding degenerates to shared-argmin buckets
     // (measured: 7.6M candidate pairs instead of ~10³).
     val sh = docs.select(col("doc_id"),
-      shingles(col("text"), shingleLen).as("shset"))
-      .filter(size(col("shset")) > 0)
-      .select(col("doc_id"), col("shset"),
-        graft.expressions.MinHashSig(col("shset"), numHashes).as("mh"))
+      graft.expressions.ShingleMinHash(col("text"), shingleLen, numHashes)
+        .as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig.sz").as("sz"), col("sig.mh").as("mh"))
       .localCheckpoint()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until rows).map(r =>
           col("mh").getItem(b * rows + r).as(s"r$r")): _*).as("sig"))
     }
-    val buckets = sh.select(col("doc_id"), size(col("shset")).as("sz"),
+    val buckets = sh.select(col("doc_id"), col("sz"),
       explode(array(bandCols: _*)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -297,14 +292,26 @@ object TextFunctions {
           sizeRatioOk(col("a.sz"), col("b.sz"), threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Sets sorted once per DOCUMENT; the per-pair intersection is then a
-    // linear merge ([[graft.expressions.SortedIntersectSize]]) rather than
-    // an `array_intersect` hash-set rebuild per candidate — the dominant
+      // checkpointed so the banding join runs ONCE: the candidate table
+      // feeds both the id-filter below and the final verify join
+      .localCheckpoint()
+    // Exact verify rebuilds shingle sets ONLY for docs that survived
+    // banding: the distinct candidate ids broadcast into a semi-join filter
+    // of the corpus scan, so the O(|shingles|) string materialization is
+    // O(candidates), not O(corpus). Sets sorted once per DOCUMENT; the
+    // per-pair intersection is then a linear merge
+    // ([[graft.expressions.SortedIntersectSize]]) rather than an
+    // `array_intersect` hash-set rebuild per candidate — the dominant
     // verify cost when hot buckets inflate the candidate count.
-    val setsA = sh.select(col("doc_id").as("doc_a"),
-      array_sort(col("shset")).as("sa"))
-    val setsB = sh.select(col("doc_id").as("doc_b"),
-      array_sort(col("shset")).as("sb"))
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candSets = docs.join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"),
+        array_sort(shingles(col("text"), shingleLen)).as("sset"))
+    val setsA = candSets.select(col("doc_id").as("doc_a"),
+      col("sset").as("sa"))
+    val setsB = candSets.select(col("doc_id").as("doc_b"),
+      col("sset").as("sb"))
     cand.join(setsA, "doc_a").join(setsB, "doc_b")
       .withColumn("inter",
         graft.expressions.SortedIntersectSize(col("sa"), col("sb")))

@@ -35,17 +35,45 @@ object AnalyticsOps {
       .repartition(col("c"))
       .dropDuplicates("c", "sk")
 
+  /** Pair-aggregation strategy threshold: with `nSupp` distinct suppliers
+    * the packed-pair key space is ≤ nSupp·(nSupp−1)/2, and the right
+    * aggregation shape depends on that statistic — exactly the CBO input a
+    * catalog would hold, so [[coshareTop]] reads it from the dimension table
+    * (a metadata-cheap count) and picks the shape.
+    *
+    * Small key space (≤ this cap): map-side partial aggregation collapses
+    * the pair stream before the exchange — each task's hash table tops out
+    * at the key-space size, so the shuffle carries ~keySpace·tasks rows
+    * instead of the full pair stream (131M pairs → 16M shuffled rows on the
+    * 10× fixture). On a NETWORK that volume ratio decides; on local[32] the
+    * shuffle is memcpy, so the always-repartition shape measures ~1-2 s
+    * faster there (ProfileCoshare r8: packed partial 11.9 s vs packed
+    * repartition 9.9 s at 10×) — the partial shape is chosen anyway because
+    * the engine targets the 1000-executor case, where shuffling 8× the
+    * bytes loses by far more than a cache-resident final agg saves.
+    *
+    * Large key space (10k suppliers → 50M pair keys ≈ pair-stream
+    * cardinality): partial agg tables reach input cardinality, buy nothing,
+    * and spill; the explicit repartition-on-key (colocated single-level agg)
+    * measured 2.9× faster on that regime (round-6 ProfileCoshare). */
+  val CosharePairKeySpaceMax = 4L * 1000 * 1000
+
   /** Supplier–supplier co-occurrence projection over a (c, sk) posting list
-    * with the degree cap applied at the source (see [[CoshareCap]]). */
-  def coshareTop(cs: DataFrame, cap: Int): DataFrame = {
+    * with the degree cap applied at the source (see [[CoshareCap]]) and the
+    * aggregation shape chosen from the supplier cardinality (see
+    * [[CosharePairKeySpaceMax]]). */
+  def coshareTop(cs: DataFrame, cap: Int, nSupp: Long): DataFrame = {
     val capped = cs
       .withColumn("rn",
         row_number().over(Window.partitionBy("c").orderBy("sk")))
       .filter(col("rn") <= cap).drop("rn")
-    capped.as("a").join(capped.as("b"),
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.c") === col("b.c") && col("a.sk") < col("b.sk"))
       .select((shiftleft(col("a.sk"), 32) + col("b.sk")).as("pk"))
-      .repartition(col("pk"))
+    val keySpace = nSupp * (nSupp - 1) / 2
+    val routed = if (keySpace <= CosharePairKeySpaceMax) pairs
+                 else pairs.repartition(col("pk"))
+    routed
       .groupBy("pk")
       .agg(count(lit(1)).as("shared_customers"))
       .filter(col("shared_customers") >= 3)
@@ -209,7 +237,8 @@ object AnalyticsOps {
     // hash exchange on c (subset-satisfied clustering + reused exchange).
     // Top-20 via TakeOrderedAndProject.
     QueryDef("g2_coshare",
-      (s, dir) => coshareTop(custSupp(s, dir), CoshareCap),
+      (s, dir) => coshareTop(custSupp(s, dir), CoshareCap,
+        Tables.supplier(s, dir).count()),
       Some("""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
         SELECT a.sk AS supp_a, b.sk AS supp_b,
