@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"grain agg + window + supplier agg, saw $exchanges:\n$p")
   }
 
+  test("e2 minhash verify rebuilds shingles behind the candidate broadcast") {
+    // signature work (fused shingle_minhash) happens ONCE in the eager
+    // checkpoint — it must NOT appear inline in the executed plan (it would
+    // mean the checkpoint was dropped and the corpus is re-signed per join
+    // arm); shingle SETS may appear only for exact verify, and the verify
+    // branch must carry the candidate-id BroadcastHashJoin that keeps the
+    // rebuild O(candidates) — a corpus-wide shingle array rebuild is the
+    // 100-TB write amplification round 8 removed (ProfileLshSkew: 6.8 s of
+    // a 9.5 s query)
+    val p = plan("e2_minhash_lsh")
+    assert(!p.contains("shingle_minhash") && !p.contains("minhash_sig"),
+      s"signature computation must live in the one-time checkpoint:\n$p")
+    assert(p.contains("shingle_set"),
+      s"exact verify still needs candidate shingle sets:\n$p")
+    assert(p.linesIterator.exists(_.contains("BroadcastHashJoin [doc_id")),
+      s"candidate ids must broadcast into the verify-side rebuild:\n$p")
+  }
+
   test("e2 incremental near-dedup never re-signs the persisted store side") {
     val p = plan("e2_neardup_incremental")
     assert(p.contains("graft_sigstore"),
