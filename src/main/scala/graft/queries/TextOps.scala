@@ -346,9 +346,18 @@ object TextOps {
           .select("doc_a", "doc_b")
         val merged = graft.operators.ConnectedComponents
           .mergeNewPairs(labeling, newPairs, "doc_a", "doc_b")
-        val sizes = merged.groupBy(col("cluster_id").as("l"))
-          .agg(count(lit(1)).as("cluster_size"))
-        merged.join(sizes, merged("cluster_id") === sizes("l"))
+        // cluster_size via ONE window pass: the groupBy + join-back spelling
+        // consumed `merged` twice, so every consumer beyond the first re-ran
+        // whatever upstream of mergeNewPairs was not materialized. Together
+        // with the pair-delta checkpoint inside mergeNewPairs this cut the
+        // merge overhead beyond shared pair finding from ~8.8 s to ~4.4 s
+        // warm at 10× (ProfileCCInc, round 8; pair finding itself ~9-12 s,
+        // ambient-noisy). The window shuffles once on cluster_id
+        // (labeling-sized rows, tiny next to the pair graph).
+        import org.apache.spark.sql.expressions.Window
+        merged
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")))
           .select(col("id").as("doc_id"), col("cluster_id"),
             col("cluster_size"))
           .orderBy("doc_id")
