@@ -88,9 +88,17 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int)
     offsets(numChars) = total
     if (numChars < n) return null
     val nGrams = numChars - n + 1
-    // open-addressed distinct table over gram hashes (0 via sentinel flag)
-    var cap = 4
-    while (cap < nGrams * 2) cap <<= 1
+    // open-addressed distinct table over gram hashes (0 via sentinel flag).
+    // Capacity math in Long: for ~2^30-char inputs `nGrams * 2` overflows
+    // Int, which would leave the table undersized and turn the probe loop
+    // below into an unbounded spin once it fills. Inputs needing a table
+    // beyond 2^30 slots (an 8 GiB single document) are rejected loudly.
+    var capL = 4L
+    while (capL < 2L * nGrams) capL <<= 1
+    if (capL > (1L << 30)) throw new IllegalArgumentException(
+      s"shingle_minhash: document with $nGrams grams exceeds the 2^30-slot " +
+        "dedup table; split the document before signing")
+    val cap = capL.toInt
     val table = new Array[Long](cap)
     val mask = cap - 1
     var zeroSeen = false

@@ -25,6 +25,24 @@ object AnalyticsOps {
     * day that stops true VISIBLE (capped_customers > 0) instead of silent. */
   val CoshareCap = 1024
 
+  /** Supplier-dimension row count, memoized per (dir, file token): the
+    * coshare routing statistic is read once per fixture instead of running
+    * a scan-and-count Spark job on every g2 query construction (including
+    * plan-only/explain paths). Real job on first touch — cheap because the
+    * dimension is tiny — then filesystem-metadata-keyed cache hits; a
+    * regenerated fixture at the same path changes the token and re-counts. */
+  private val suppCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  def supplierCount(s: SparkSession, dir: String): Long = {
+    val root = new java.io.File(s"$dir/supplier.parquet")
+    val files: Seq[java.io.File] =
+      if (root.isDirectory) root.listFiles().toSeq.filter(_.isFile)
+      else Seq(root)
+    val token =
+      s"$dir|${files.map(_.length).sum}-${files.map(_.lastModified).foldLeft(0L)(math.max)}"
+    suppCountCache.getOrElseUpdate(token, Tables.supplier(s, dir).count())
+  }
+
   /** Distinct customer→supplier posting list, pre-partitioned on customer so
     * dedup / cap-window / self-join all ride one hash exchange. */
   def custSupp(s: SparkSession, dir: String): DataFrame =
@@ -39,7 +57,9 @@ object AnalyticsOps {
     * the packed-pair key space is ≤ nSupp·(nSupp−1)/2, and the right
     * aggregation shape depends on that statistic — exactly the CBO input a
     * catalog would hold, so [[coshareTop]] reads it from the dimension table
-    * (a metadata-cheap count) and picks the shape.
+    * (one real count job per fixture, memoized in [[supplierCount]] — cheap
+    * because the dimension is tiny, not because it's metadata) and picks the
+    * shape.
     *
     * Small key space (≤ this cap): map-side partial aggregation collapses
     * the pair stream before the exchange — each task's hash table tops out
@@ -238,7 +258,7 @@ object AnalyticsOps {
     // Top-20 via TakeOrderedAndProject.
     QueryDef("g2_coshare",
       (s, dir) => coshareTop(custSupp(s, dir), CoshareCap,
-        Tables.supplier(s, dir).count()),
+        supplierCount(s, dir)),
       Some("""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
         SELECT a.sk AS supp_a, b.sk AS supp_b,

@@ -89,7 +89,13 @@ class SchemaCanarySpec extends SparkSpec {
   test("driver testdata schemas match the families the engine absorbs") {
     val problems = Tables.names.flatMap { t =>
       val actual = Tables.load(spark, dir, t).schema
-      val exp = expected(t)
+      // a table the canary map doesn't know must surface as a diff line,
+      // not a NoSuchElementException that hides the per-column report
+      val exp = expected.getOrElse(t, Seq.empty)
+      if (exp.isEmpty)
+        Seq(s"$t: table missing from the canary's expected-schema map — " +
+          "add its column families here") ++ Nil
+      else {
       val nameDiff =
         if (actual.fieldNames.toSeq == exp.map(_._1)) Nil
         else Seq(s"$t: columns ${actual.fieldNames.toSeq} != expected ${exp.map(_._1)}")
@@ -104,6 +110,7 @@ class SchemaCanarySpec extends SparkSpec {
         }
       }
       nameDiff ++ typeDiff
+      }
     }
     assert(problems.isEmpty, problems.mkString("\n"))
   }
