@@ -150,20 +150,26 @@ object VectorOps {
           (SELECT round(max(cos), 6) FROM scored s WHERE s.dup_id = r.dup_id) AS best_cos
         FROM ranked r WHERE rn = 1 ORDER BY dup_id""")),
 
-    // IVF-bucketed ANN (the inverted-file scale path): deterministic coarse
-    // quantizer → nearest-centroid inverted lists → probe nprobe lists →
-    // exact re-rank. Fully deterministic float math, so unlike LSH it gets a
-    // DuckDB oracle; recall vs brute force asserted in VectorSpec.
+    // IVF-bucketed ANN (the inverted-file scale path): TRAINED coarse
+    // quantizer (lowest-16-id seed + 2 Lloyd iterations, exact
+    // DECIMAL-carrier means so both engines refine to bit-identical
+    // centroids) → nearest-centroid inverted lists → probe nprobe lists →
+    // exact re-rank. Fully deterministic float math, so unlike LSH it gets
+    // a DuckDB oracle (training unrolled as CTE chains); recall vs brute
+    // force — and trained ≥ untrained-seed recall at equal nprobe —
+    // asserted in VectorSpec.
     QueryDef("e3_ivf_ann",
-      (s, dir) => ivfAnnTopK(s, dir, nQueries = 50, k = 3),
+      (s, dir) => ivfAnnTopK(s, dir, nQueries = 50, k = 3, trainIters = 2),
       Some(s"""$baseCte,
         $assignCte,
-        probes AS (SELECT vid AS q_id, c_id AS cluster FROM (
-          SELECT vid, c_id, row_number() OVER (
-            PARTITION BY vid ORDER BY c_cos DESC, c_id) rn FROM cs
-          WHERE vid < 50) t WHERE rn <= 4),
-        cand AS (SELECT DISTINCT q_id, vec_id
-          FROM probes JOIN assign USING (cluster) WHERE q_id <> vec_id),
+        ${lloydCtes(2)},
+        probes AS (SELECT vec_id AS q_id, cluster FROM (
+          SELECT vec_id, cluster, row_number() OVER (
+            PARTITION BY vec_id ORDER BY c_cos DESC, cluster) rn FROM s2
+          WHERE vec_id < 50) t WHERE rn <= 4),
+        cand AS (SELECT DISTINCT q_id, a2.vec_id
+          FROM probes JOIN assign2 a2 USING (cluster)
+          WHERE q_id <> a2.vec_id),
         dots AS (SELECT c.q_id, c.vec_id, sum(a.v * b.v) AS dot
           FROM cand c JOIN x a ON a.vec_id = c.q_id
           JOIN x b ON b.vec_id = c.vec_id AND a.i = b.i
@@ -513,19 +519,76 @@ object VectorOps {
         FROM ranked r WHERE rn = 1 ORDER BY dup_id"""))
   )
 
-  /** IVF ANN: nlist lowest-id vectors act as the coarse quantizer (a
-    * deterministic stand-in for trained centroids — the plumbing, not the
-    * codebook, is what scales). Assignment is a broadcast nlist-way scored
+  /** IVF ANN: nlist lowest-id vectors seed the coarse quantizer; with
+    * `trainIters` > 0 the seed is refined by that many Lloyd iterations
+    * ([[trainedCentroids]]). Assignment is a broadcast nlist-way scored
     * cross join collapsed by a partial-aggregating max_by, so exactly one
     * row per vector crosses the assignment shuffle; queries probe the
     * nprobe nearest centroids and exact-rerank only their inverted lists.
     * At 100 TB: centroids stay broadcast-size (nlist ~ sqrt(n)), assignment
     * is map-side, and the candidate join shuffles on `cluster`. */
-  /** The broadcast coarse quantizer: the `nlist` lowest-id vectors. */
+  /** The broadcast coarse quantizer seed: the `nlist` lowest-id vectors. */
   private def centroidSet(all: DataFrame, nlist: Int): DataFrame =
     broadcast(all.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nrm").as("cn")))
+
+  /** `iters` Lloyd refinements of the lowest-`nlist`-id seed — the TRAINED
+    * coarse quantizer (round-8 verdict item 1; the loop body is exactly
+    * e3_kmeans_iter's proven stage). Each step: broadcast nearest-centroid
+    * assignment (one row per vector through the shuffle), then an exact
+    * DECIMAL-carrier per-(cluster, dim) mean, so the refined centroids are
+    * bit-identical doubles in both engines and the DuckDB oracle replays
+    * training verbatim ([[lloydCtes]] unrolls the same chain in SQL).
+    * Cluster ids keep their 0..nlist-1 seed identity; a cluster that loses
+    * every member drops out in both engines (inner joins throughout). The
+    * nlist × dim result is localCheckpoint'd per step so step t+1's scoring
+    * (and every downstream consumer) reads a materialized table instead of
+    * replaying step t's plan — at scale each step is one bounded job whose
+    * output broadcasts. */
+  private[queries] def trainedCentroids(all: DataFrame, nlist: Int,
+      iters: Int): DataFrame = {
+    var cents = centroidSet(all, nlist)
+    for (_ <- 1 to iters) {
+      val assign = nearestCentroid(all, cents)
+      val cent = all.join(assign, "vec_id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg((sum(col("x").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("c"))
+      cents = broadcast(cent.groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cluster").as("c_id"),
+          transform(col("pc"), p => p.getField("c")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+        .localCheckpoint())
+    }
+    cents
+  }
+
+  /** Unrolled-SQL twin of [[trainedCentroids]]: chains `iters` Lloyd CTE
+    * blocks on top of the shared seed `assign` CTE ([[assignCte]]) and ends
+    * with `assign$iters` / `s$iters` (final assignment + its scored table,
+    * for probe selection). */
+  private def lloydCtes(iters: Int): String =
+    (1 to iters).map { t =>
+      val prev = if (t == 1) "assign" else s"assign${t - 1}"
+      s"""cent$t AS (SELECT cluster, i,
+            CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS c
+          FROM x JOIN $prev USING (vec_id) GROUP BY cluster, i),
+        cn$t AS (SELECT cluster, sqrt(sum(c * c)) AS cn FROM cent$t
+          GROUP BY cluster),
+        d$t AS (SELECT x.vec_id, cent$t.cluster, sum(x.v * cent$t.c) AS dot
+          FROM x JOIN cent$t ON x.i = cent$t.i GROUP BY 1, 2),
+        s$t AS (SELECT d$t.vec_id, d$t.cluster,
+            dot / (norms.nrm * cn$t.cn) AS c_cos
+          FROM d$t JOIN norms ON d$t.vec_id = norms.vec_id
+          JOIN cn$t ON d$t.cluster = cn$t.cluster),
+        assign$t AS (SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster, row_number() OVER (
+            PARTITION BY vec_id ORDER BY c_cos DESC, cluster) rn FROM s$t) z$t
+          WHERE rn = 1)"""
+    }.mkString(",\n        ")
 
   /** Score every row of `df` against every broadcast centroid. */
   private def centScored(df: DataFrame, cents: DataFrame): DataFrame =
@@ -541,9 +604,11 @@ object VectorOps {
         .as("cluster"))
 
   def ivfAnnTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
-                 nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+                 nlist: Int = 16, nprobe: Int = 4,
+                 trainIters: Int = 0): DataFrame = {
     val all = emb(s, dir)
-    val cents = centroidSet(all, nlist)
+    val cents = if (trainIters == 0) centroidSet(all, nlist)
+                else trainedCentroids(all, nlist, trainIters)
     val assign = nearestCentroid(all, cents)
     val probeTop = OrderedOps.topKPerGroup(
         centScored(all.filter(col("vec_id") < nQueries), cents),

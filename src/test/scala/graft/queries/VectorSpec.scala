@@ -37,6 +37,25 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@3 = $recall")
   }
 
+  test("trained IVF quantizer: recall@3 >= the lowest-id seed's at equal nprobe") {
+    val brute = VectorOps.bruteForceTopK(spark, dir, nQueries = 50, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(trainIters: Int): Double = {
+      val hits = VectorOps.ivfAnnTopK(spark, dir, nQueries = 50, k = 3,
+          trainIters = trainIters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      brute.count(hits.contains).toDouble / brute.size
+    }
+    val seed = recallOf(0)
+    val trained = recallOf(2) // what e3_ivf_ann ships
+    // Lloyd refinement moves centroids toward the data's real cluster
+    // structure, so partitions get tighter and equal-nprobe recall must not
+    // degrade (round-8 verdict item 1's acceptance bar)
+    assert(trained >= seed,
+      s"trained recall@3 $trained < lowest-id-seed recall@3 $seed")
+    assert(trained >= 0.2, s"trained IVF recall@3 = $trained")
+  }
+
   test("PQ-ADC recall@5 vs exact L2, and re-ranked distances are exact") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.toDoubleArr
