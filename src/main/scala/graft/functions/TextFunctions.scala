@@ -195,13 +195,24 @@ object TextFunctions {
     * doc_a < doc_b. */
   def minhashIncrementalPairs(storeSig: DataFrame, batch: DataFrame,
       numHashes: Int, bands: Int, shingleLen: Int,
-      threshold: Double): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
+      threshold: Double): DataFrame =
     // ONE eager materialization, batch side only — the store is already
     // materialized (it's last night's parquet artifact).
-    val shBatch = signatureTable(batch, numHashes, shingleLen)
-      .localCheckpoint()
+    minhashIncrementalPairsFromSig(storeSig,
+      signatureTable(batch, numHashes, shingleLen).localCheckpoint(),
+      numHashes, bands, threshold)
+
+  /** [[minhashIncrementalPairs]] with the batch ALREADY signed: `batchSig`
+    * is a materialized `(doc_id, shset, mh)` table ([[signatureTable]]
+    * output, localCheckpoint'd or read from parquet). The streaming
+    * composition ([[graft.streaming.DedupStreaming]]) signs each
+    * micro-batch exactly once and reuses the table here AND as the store
+    * append — signing twice per batch would double the only O(batch) text
+    * pass the incremental contract allows. */
+  def minhashIncrementalPairsFromSig(storeSig: DataFrame, shBatch: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
     def buckets(sh: DataFrame) = {
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band"),

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.TextFunctions
+import graft.operators.ConnectedComponents
+
+/** Streaming INCREMENTAL near-dedup (round-8 verdict item 2): the batch
+  * building blocks — `minhashIncrementalPairsFromSig` (arriving docs
+  * band-join the persisted signature store) and
+  * `ConnectedComponents.mergeNewPairs` (new pairs absorb into the persisted
+  * labeling through cluster roots only) — composed into a Structured
+  * Streaming `foreachBatch` loop. This is the realistic 100 TB deployment
+  * mode of the dedup family: a crawl feed lands as micro-batches, each
+  * micro-batch is signed ONCE (the only O(batch) text pass), pairs form
+  * only through band buckets against the store, the labeling merge touches
+  * O(new pairs) roots, and the signature store grows by exactly the batch.
+  * Nothing historical is ever re-shingled, re-hashed, or re-clustered.
+  *
+  * State lives in two DataFrame snapshots (signature store + labeling),
+  * localCheckpoint'd per batch with the previous snapshot released — the
+  * same bounded-lineage pattern as
+  * [[EventsStreaming.runForeachBatchUpsert]]; a Delta/Iceberg MERGE slots
+  * into the same callback at scale. StreamingDedupSpec pins the parity
+  * contract: a stream-fed store and labeling must equal one batch run
+  * (`signatureTable` / `minLabel(minhashLshPairs(...))`) over everything
+  * processed.
+  *
+  * Contract inherited from the batch entry points: micro-batches arrive in
+  * id order (every id in batch t exceeds every id in batches < t — the
+  * arrival-order contract of a crawl feed with monotone ids). Out-of-order
+  * ids would mis-direct the `doc_a < doc_b` candidate guard, exactly as
+  * documented on [[TextFunctions.minhashIncrementalPairs]].
+  */
+object DedupStreaming {
+
+  /** Mutable per-stream state: the running signature store and labeling.
+    * Exposed so tests (and an operational caller) can read the current
+    * snapshots between micro-batches; volatile because foreachBatch runs on
+    * the stream execution thread. */
+  final class NearDedupState(initSig: DataFrame, initLabels: DataFrame) {
+    @volatile var storeSig: DataFrame = initSig
+    @volatile var labeling: DataFrame = initLabels
+    /** Pairs emitted so far (accumulated delta output — what a downstream
+      * pair sink would have received). */
+    @volatile var pairsSeen: DataFrame = initSig.sparkSession
+      .createDataFrame(
+        initSig.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_b",
+            org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Fresh empty state bound to `spark` (no history: empty store, empty
+    * labeling). An operational deployment seeds it from last night's parquet
+    * artifacts instead. */
+  def emptyState(spark: SparkSession, template: DataFrame,
+                 numHashes: Int, shingleLen: Int): NearDedupState = {
+    val sig = TextFunctions
+      .signatureTable(template.limit(0), numHashes, shingleLen)
+      .localCheckpoint()
+    val lab = template.select(col("doc_id").as("id"),
+      col("doc_id").as("cluster_id")).limit(0).localCheckpoint()
+    new NearDedupState(sig, lab)
+  }
+
+  /** Start the stream: parquet file source over `inputDir` (one or more
+    * document files appearing over time) → per-micro-batch sign + band-join
+    * + root-merge. Callers drive with `processAllAvailable()` and read the
+    * running state from `state`. */
+  def runNearDedupStream(spark: SparkSession, inputDir: String,
+      docSchema: StructType, state: NearDedupState,
+      numHashes: Int = 64, bands: Int = 8, shingleLen: Int = 5,
+      threshold: Double = 0.8): StreamingQuery = {
+    spark.readStream.schema(docSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ONE signing pass per micro-batch; the table then serves both the
+        // pair finding and the store append
+        val batchSig = TextFunctions
+          .signatureTable(batch, numHashes, shingleLen)
+          .localCheckpoint()
+        val newPairs = TextFunctions.minhashIncrementalPairsFromSig(
+            state.storeSig, batchSig, numHashes, bands, threshold)
+          .select("doc_a", "doc_b")
+          .localCheckpoint()
+        val prevLab = state.labeling
+        state.labeling = ConnectedComponents
+          .mergeNewPairs(prevLab, newPairs, "doc_a", "doc_b")
+          .localCheckpoint()
+        val prevSig = state.storeSig
+        state.storeSig = prevSig.unionByName(batchSig).localCheckpoint()
+        val prevPairs = state.pairsSeen
+        state.pairsSeen = prevPairs.unionByName(newPairs).localCheckpoint()
+        // each new checkpoint is eager, so the superseded snapshots can be
+        // released — without this every micro-batch pins one more copy of
+        // the store in the block store (unbounded growth over a long run)
+        prevLab.unpersist()
+        prevSig.unpersist()
+        prevPairs.unpersist()
+        ()
+      }
+      .start()
+  }
+}
