@@ -502,6 +502,37 @@ class PlanSpec extends SparkSpec {
       s"pair aggregation must ride the packed single-long key:\n$p")
   }
 
+  test("g2 coshare routes the aggregation shape on the supplier statistic") {
+    // round-8 verdict item 4: the routing STATISTIC (supplier cardinality
+    // vs CosharePairKeySpaceMax) gets a dimension planted on each side of
+    // the boundary, so a silent routing regression fails here instead of
+    // surfacing as a 2.9× perf cliff at 10×. Result identity between the
+    // two shapes is asserted on the same posting list.
+    val cs = AnalyticsOps.custSupp(spark, dir)
+    val below = 2828L // keySpace 3,997,378 <= 4M -> map-side partial agg
+    val above = 2829L // keySpace 4,000,206 >  4M -> explicit pk repartition
+    assert(below * (below - 1) / 2 <= AnalyticsOps.CosharePairKeySpaceMax)
+    assert(above * (above - 1) / 2 > AnalyticsOps.CosharePairKeySpaceMax)
+    // custSupp's own c-repartition is also REPARTITION_BY_COL (printed
+    // twice by the self-join) — only the packed-pair-key exchange is the
+    // routing signal
+    def pkRepartitions(nSupp: Long) =
+      AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap, nSupp)
+        .queryExecution.executedPlan.toString
+        .linesIterator.count(l =>
+          l.contains("REPARTITION_BY_COL") && l.contains("pk#"))
+    assert(pkRepartitions(below) == 0,
+      "small key space must plan the partial-agg shape (no explicit pk repartition)")
+    assert(pkRepartitions(above) == 1,
+      "large key space must plan the explicit repartition-on-pk shape")
+    val rBelow = AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap, below)
+      .collect().map(_.toSeq).toSeq
+    val rAbove = AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap, above)
+      .collect().map(_.toSeq).toSeq
+    assert(rBelow.nonEmpty && rBelow == rAbove,
+      "the two aggregation shapes must produce identical results")
+  }
+
   test("j12 Q15-shape computes the revenue view once (single fact scan)") {
     val p = plan("j12_top_revenue_supplier")
     assert(p.linesIterator.count(l =>
