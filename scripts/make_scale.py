@@ -11,19 +11,36 @@ catalog queries can be measured at two scale points and their cost curves
 compared. NOT oracle data — cost curves only.
 
 Writes to /root/repo/scale_sf1/ (gitignored). Deterministic, seed 4242.
+
+--mult M scales every table M x beyond the sf~1 base (so --mult 4 is a
+40x-sf0.1 fixture, for the round-9 superlinearity probe on the slowest
+BENCH10 rows). The l_suppkey range intentionally stays fixed: the co-share
+pair key space is a property of the supplier catalog, not of volume, so
+pair DENSITY grows with M the way a real marketplace's would.
 """
+import argparse
 import json
 from pathlib import Path
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--mult", type=int, default=1,
+                help="multiplier on the sf~1 (10x sf0.1) base sizes")
+ap.add_argument("--out", default=None,
+                help="output dir (default scale_sf1 for mult=1, scale_sf{mult} otherwise)")
+ap.add_argument("--seed", type=int, default=4242)
+args = ap.parse_args()
+M = args.mult
 
 import duckdb
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = Path(__file__).resolve().parent.parent / "scale_sf1"
+OUT = Path(__file__).resolve().parent.parent / (
+    args.out if args.out else ("scale_sf1" if M == 1 else f"scale_sf{M}"))
 OUT.mkdir(exist_ok=True)
 SRC = "/root/testdata/sf0.1"
-rng = np.random.default_rng(4242)
+rng = np.random.default_rng(args.seed)
 
 con = duckdb.connect()
 vocab = [r[0] for r in con.sql(
@@ -32,11 +49,11 @@ vocab = [r[0] for r in con.sql(
 assert len(vocab) > 0
 
 # ---- documents: 50k docs, same vocab, uniform 10-100 words, ~0.16% dups
-N_DOC = 50_000
+N_DOC = 50_000 * M
 n_words = rng.integers(10, 101, N_DOC)
 texts = [" ".join(rng.choice(vocab, k)) for k in n_words]
 # exact duplicates at the sf0.1 rate (8/5000)
-for i in rng.choice(N_DOC, 80, replace=False):
+for i in rng.choice(N_DOC, 80 * M, replace=False):
     texts[i] = texts[int(rng.integers(0, N_DOC))]
 langs = rng.choice(["en", "de", "zh", "fr", "es"], N_DOC,
                    p=[0.412, 0.147, 0.147, 0.147, 0.147])
@@ -50,7 +67,7 @@ pq.write_table(pa.table({
 }), OUT / "documents.parquet")
 
 # ---- embeddings: 20k unit-norm 64-dim float32, labels 0..9
-N_EMB = 20_000
+N_EMB = 20_000 * M
 v = rng.standard_normal((N_EMB, 64)).astype(np.float32)
 v /= np.linalg.norm(v, axis=1, keepdims=True)
 pq.write_table(pa.table({
@@ -61,14 +78,14 @@ pq.write_table(pa.table({
 }), OUT / "embeddings.parquet")
 
 # ---- events: 1M rows, 15k users, 30-day span, ns timestamps
-N_EV = 1_000_000
+N_EV = 1_000_000 * M
 ts0 = np.datetime64("2024-01-01T00:00:00", "ns")
 span_ns = 30 * 24 * 3600 * 10**9
 ts = ts0 + np.sort(rng.integers(0, span_ns, N_EV)).astype("timedelta64[ns]")
 pq.write_table(pa.table({
     "event_id": pa.array(range(N_EV), pa.int64()),
     "ts": pa.array(ts, pa.timestamp("ns")),
-    "user_id": pa.array(rng.integers(0, 15_000, N_EV), pa.int64()),
+    "user_id": pa.array(rng.integers(0, 15_000 * M, N_EV), pa.int64()),
     "event_type": rng.choice(
         ["view", "click", "purchase", "signup", "error"], N_EV),
     "value": np.round(np.clip(rng.exponential(50.0, N_EV), 0, 1000), 2),
@@ -76,13 +93,13 @@ pq.write_table(pa.table({
 }), OUT / "events.parquet")
 
 # ---- orders: 1.5M rows, 150k customers, ms timestamps
-N_ORD = 1_500_000
+N_ORD = 1_500_000 * M
 odate = (np.datetime64("1995-01-01", "ms")
          + rng.integers(0, 2404, N_ORD).astype("timedelta64[D]").astype(
              "timedelta64[ms]"))
 pq.write_table(pa.table({
     "o_orderkey": pa.array(range(N_ORD), pa.int64()),
-    "o_custkey": pa.array(rng.integers(0, 150_000, N_ORD), pa.int64()),
+    "o_custkey": pa.array(rng.integers(0, 150_000 * M, N_ORD), pa.int64()),
     "o_orderstatus": rng.choice(["O", "F", "P"], N_ORD),
     "o_totalprice": np.round(rng.uniform(1000, 500_000, N_ORD), 2),
     "o_orderdate": pa.array(odate, pa.timestamp("ms")),
@@ -91,14 +108,14 @@ pq.write_table(pa.table({
 }), OUT / "orders.parquet")
 
 # ---- lineitem: 6M rows over those orders, ms shipdate
-N_LI = 6_000_000
+N_LI = 6_000_000 * M
 lok = rng.integers(0, N_ORD, N_LI)
 ship = (np.datetime64("1995-01-02", "ms")
         + rng.integers(0, 2498, N_LI).astype("timedelta64[D]").astype(
             "timedelta64[ms]"))
 pq.write_table(pa.table({
     "l_orderkey": pa.array(lok, pa.int64()),
-    "l_partkey": pa.array(rng.integers(0, 200_000, N_LI), pa.int64()),
+    "l_partkey": pa.array(rng.integers(0, 200_000 * M, N_LI), pa.int64()),
     "l_suppkey": pa.array(rng.integers(0, 10_000, N_LI), pa.int64()),
     "l_linenumber": pa.array(rng.integers(1, 8, N_LI), pa.int32()),
     "l_quantity": rng.integers(1, 51, N_LI).astype(np.float64),
