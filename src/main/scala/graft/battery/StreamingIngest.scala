@@ -1,0 +1,78 @@
+package graft.battery
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous battery ingestion (round-8 verdict item 7): the reference's
+  * re-run-and-collate workflow (`/root/reference/step13_collate.py` after
+  * each new cycler export lands) as a Structured Streaming job over a
+  * growing raw-CSV landing directory.
+  *
+  * Shape: the stream is an ARRIVAL DETECTOR — a text file source lists
+  * completed files per micro-batch (Spark's file source only surfaces
+  * fully-written files, the completion semantics a landing zone needs) and
+  * foreachBatch routes each NEW file through the untouched batch DAG
+  * (`Normalize` → `Features.all` → `Collate.withCellId`), appending one
+  * per-cycle feature partition per cell to the collated parquet sink. The
+  * batch and streaming paths share every line of pipeline code, so the
+  * parity contract (StreamingBatterySpec) is structural: stream-fed sink ==
+  * batch collate over the same files.
+  *
+  * Per-file orchestration is a driver-side loop over FILE PATHS (bounded by
+  * files-per-trigger, never by data volume): vendor CSVs need per-file
+  * delimiter probing and header mapping (`Normalize.probeDelimiter`), which
+  * is driver metadata work by design. The detector pass line-splits each
+  * arriving file once (cheap next to parsing); the normalize scan itself
+  * stays distributed. Event-time watermarking is deliberately absent: a
+  * cycler export is a COMPLETE per-cell time series and the per-cycle
+  * features are whole-file aggregates — file completion, not event time, is
+  * the correctness boundary (same reasoning as the reference's per-file
+  * batch loop).
+  */
+object StreamingIngest {
+
+  /** Cell id from a raw path: basename minus extension — the same rule the
+    * collate step uses for `*_features_full.csv` stems. */
+  def cellIdOf(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot > 0) base.substring(0, dot) else base
+  }
+
+  /** Per-cycle features for one raw file, tagged with its cell id — the
+    * unit of work both the batch collate and the stream share. */
+  def featuresForFile(spark: SparkSession, path: String, ratedAh: Double,
+                      dV: Double): DataFrame =
+    Collate.withCellId(
+      Features.all(Normalize(spark, path), ratedAh, dV), cellIdOf(path))
+      .select(col("cell_id"), col("cycle_index"), col("Q_dis_Ah"),
+        col("Q_chg_Ah"), col("CE"), col("q_norm"), col("E_dis_Wh"),
+        col("IR_C2_ohm"), col("dQdV_peak_V"), col("dQdV_shift_mV"))
+
+  /** Start the ingestion stream over `rawDir` (new `*.csv` files appearing
+    * over time) → collated per-cycle features appended under `outDir`.
+    * Callers drive with `processAllAvailable()`; the sink is
+    * `outDir/features_collated.parquet`. */
+  def run(spark: SparkSession, rawDir: String, outDir: String,
+          ratedAh: Double = 3.0, dV: Double = 0.05): StreamingQuery = {
+    val sink = s"$outDir/features_collated.parquet"
+    spark.readStream.format("text")
+      .option("pathGlobFilter", "*.csv")
+      .load(rawDir)
+      .select(col("_metadata.file_path").as("path"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // distinct file paths in this micro-batch — bounded by arriving
+        // FILES, not rows; sorted so multi-file batches process in a
+        // deterministic order
+        val paths = batch.select("path").distinct()
+          .collect().map(_.getString(0)).sorted
+        for (p <- paths)
+          featuresForFile(spark, p, ratedAh, dV)
+            .write.mode("append").parquet(sink)
+        ()
+      }
+      .start()
+  }
+}
