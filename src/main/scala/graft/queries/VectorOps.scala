@@ -373,8 +373,12 @@ object VectorOps {
 
     // Product-quantization ANN (IVF-ADC's compression half): split each
     // vector into 8 sub-blocks of 8 dims, encode every sub-block as its
-    // nearest of 16 codewords (the lowest-16-id vectors' sub-blocks — the
-    // same deterministic quantizer-init trick as e3_ivf_ann), then answer
+    // nearest of 16 codewords — a TRAINED codebook: the lowest-16-id
+    // vectors' sub-blocks seed it (the same deterministic init trick as
+    // e3_ivf_ann) and one Lloyd refinement re-centers every codeword on
+    // the exact DECIMAL-carrier mean of its assigned sub-blocks, per
+    // sub-space (k-means on 8-dim blocks, the textbook PQ trainer; the
+    // oracle replays it through the cw1/d1/enc1 CTEs) — then answer
     // queries by Asymmetric Distance Computation: distance(query, doc) ≈
     // Σ_j d(query_subᵢ, codeword(doc, j)) looked up from a tiny precomputed
     // table, never touching doc floats until the exact re-rank of a
@@ -387,50 +391,7 @@ object VectorOps {
     // engine-independent), ties → lowest codeword/id. Recall vs exact L2
     // asserted in VectorSpec.
     QueryDef("e3_pq_adc",
-      (s, dir) => {
-        val all = Tables.embeddings(s, dir)
-          .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
-        // codegen'd fused kernel; bit-identical to the HOF spelling
-        // (L2MicrosSpec pins the parity)
-        def l2m(a: Column, b: Column): Column = l2Micros(a, b)
-        val sub = all
-          .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
-            col("v"))
-          .select(col("vec_id"), col("j"),
-            slice(col("v"), col("j") * lit(8) + lit(1), lit(8)).as("sv"))
-        val cb = sub.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("c"), col("j"), col("sv").as("cv"))
-        // quantized sub-distance of every vector to every codeword (n×8×16
-        // rows, map-side through the broadcast join)
-        val d = sub.join(broadcast(cb), Seq("j"))
-          .select(col("vec_id").as("vid"), col("c"), col("j"),
-            l2m(col("sv"), col("cv")).as("d"))
-        // encode: argmin codeword, ties → lowest c, via the packed-long trick
-        val enc = d.groupBy("vid", "j")
-          .agg(pmod(min(col("d") * 16 + col("c")), lit(16L)).as("code"))
-        // ADC lookup: the query-side distance table broadcasts; one integer
-        // sum of 8 looked-up terms per (query, doc)
-        val qd = d.filter(col("vid") < 10)
-          .select(col("vid").as("q_id"), col("c").as("code"), col("j"),
-            col("d"))
-        val adc = enc.join(broadcast(qd), Seq("j", "code"))
-          .filter(col("vid") =!= col("q_id"))
-          .groupBy("q_id", "vid")
-          .agg(sum("d").as("adc_micros"))
-        val short = OrderedOps.topKPerGroup(adc, Seq("q_id"),
-          Seq(col("adc_micros").asc, col("vid").asc), k = 20).drop("rank")
-        // exact re-rank of the shortlist only (20 candidates/query)
-        val qv = all.select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val nv = all.select(col("vec_id").as("vid"), col("v").as("nv"))
-        val ex = short.join(broadcast(qv.filter(col("q_id") < 10)), Seq("q_id"))
-          .join(nv, Seq("vid"))
-          .withColumn("l2_micros", l2m(col("qv"), col("nv")))
-        OrderedOps.topKPerGroup(ex, Seq("q_id"),
-            Seq(col("l2_micros").asc, col("vid").asc), k = 5)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("vid").as("n_id"), col("adc_micros"), col("l2_micros"))
-          .orderBy("q_id", "rank")
-      },
+      (s, dir) => pqAdcTopK(s, dir, refineIters = 1),
       Some("""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
             unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
         sub AS (SELECT vec_id, (i - 1) // 8 AS j, i, v FROM x),
@@ -443,9 +404,22 @@ object VectorOps {
             SELECT vid, j, c, row_number() OVER (
               PARTITION BY vid, j ORDER BY d, c) AS rn FROM d) t
           WHERE rn = 1),
+        cw1 AS (SELECT e.j, e.code, s.i,
+            CAST(sum(CAST(s.v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS c
+          FROM sub s JOIN enc e ON s.vec_id = e.vid AND s.j = e.j
+          GROUP BY 1, 2, 3),
+        d1 AS (SELECT s.vec_id AS vid, c.code AS c, s.j,
+            CAST(sum(CAST(round((s.v - c.c) * (s.v - c.c) * 1000000)
+              AS BIGINT)) AS BIGINT) AS d
+          FROM sub s JOIN cw1 c ON s.j = c.j AND s.i = c.i
+          GROUP BY 1, 2, 3),
+        enc1 AS (SELECT vid, j, c AS code FROM (
+            SELECT vid, j, c, row_number() OVER (
+              PARTITION BY vid, j ORDER BY d, c) AS rn FROM d1) t1
+          WHERE rn = 1),
         adc AS (SELECT q.vid AS q_id, e.vid AS n_id,
             CAST(sum(q.d) AS BIGINT) AS adc_micros
-          FROM enc e JOIN d q ON q.j = e.j AND q.c = e.code
+          FROM enc1 e JOIN d1 q ON q.j = e.j AND q.c = e.code
           WHERE q.vid < 10 AND e.vid <> q.vid
           GROUP BY 1, 2),
         short AS (SELECT q_id, n_id, adc_micros FROM (
@@ -602,6 +576,78 @@ object VectorOps {
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
         .as("cluster"))
+
+  /** PQ-ADC top-k (see the e3_pq_adc QueryDef comment for the full shape).
+    * `refineIters` Lloyd refinements of the lowest-16-id sub-block seed
+    * codebook, per sub-space: assign (argmin quantized L2, ties → lowest
+    * codeword), re-center on the exact DECIMAL-carrier mean — the same
+    * engine-replayable training recipe as [[trainedCentroids]], keyed by
+    * (sub-space, codeword) instead of cluster. The codebook stays 128 rows
+    * (broadcast at any corpus size); each refinement is one assignment
+    * shuffle of 8 code rows/vector plus a tiny mean — at 100 TB training
+    * runs on a sample, identical shape. */
+  def pqAdcTopK(s: SparkSession, dir: String,
+                refineIters: Int = 1): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+    // codegen'd fused kernel; bit-identical to the HOF spelling
+    // (L2MicrosSpec pins the parity)
+    def l2m(a: Column, b: Column): Column = l2Micros(a, b)
+    val sub = all
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
+        col("v"))
+      .select(col("vec_id"), col("j"),
+        slice(col("v"), col("j") * lit(8) + lit(1), lit(8)).as("sv"))
+    // seed codebook: the lowest-16-id vectors' sub-blocks
+    var cb = broadcast(sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c"), col("j"), col("sv").as("cv")))
+    // quantized sub-distance of every vector to every codeword (n×8×16
+    // rows, map-side through the broadcast join)
+    def distances = sub.join(cb, Seq("j"))
+      .select(col("vec_id").as("vid"), col("c"), col("j"),
+        l2m(col("sv"), col("cv")).as("d"))
+    // encode: argmin codeword, ties → lowest c, via the packed-long trick
+    def encode(d: DataFrame) = d.groupBy("vid", "j")
+      .agg(pmod(min(col("d") * 16 + col("c")), lit(16L)).as("code"))
+    for (_ <- 1 to refineIters) {
+      val enc = encode(distances)
+      cb = broadcast(sub
+        .join(enc.withColumnRenamed("vid", "vec_id"), Seq("vec_id", "j"))
+        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos")
+        .agg((sum(col("x").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("cd"))
+        .groupBy("j", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cd")))).as("pc"))
+        .select(col("code").as("c"), col("j"),
+          transform(col("pc"), p => p.getField("cd")).as("cv"))
+        .localCheckpoint())
+    }
+    val d = distances
+    val enc = encode(d)
+    // ADC lookup: the query-side distance table broadcasts; one integer
+    // sum of 8 looked-up terms per (query, doc)
+    val qd = d.filter(col("vid") < 10)
+      .select(col("vid").as("q_id"), col("c").as("code"), col("j"),
+        col("d"))
+    val adc = enc.join(broadcast(qd), Seq("j", "code"))
+      .filter(col("vid") =!= col("q_id"))
+      .groupBy("q_id", "vid")
+      .agg(sum("d").as("adc_micros"))
+    val short = OrderedOps.topKPerGroup(adc, Seq("q_id"),
+      Seq(col("adc_micros").asc, col("vid").asc), k = 20).drop("rank")
+    // exact re-rank of the shortlist only (20 candidates/query)
+    val qv = all.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nv = all.select(col("vec_id").as("vid"), col("v").as("nv"))
+    val ex = short.join(broadcast(qv.filter(col("q_id") < 10)), Seq("q_id"))
+      .join(nv, Seq("vid"))
+      .withColumn("l2_micros", l2m(col("qv"), col("nv")))
+    OrderedOps.topKPerGroup(ex, Seq("q_id"),
+        Seq(col("l2_micros").asc, col("vid").asc), k = 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vid").as("n_id"), col("adc_micros"), col("l2_micros"))
+      .orderBy("q_id", "rank")
+  }
 
   def ivfAnnTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
                  nlist: Int = 16, nprobe: Int = 4,

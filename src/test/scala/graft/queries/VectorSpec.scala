@@ -85,6 +85,13 @@ class VectorSpec extends SparkSpec {
     // 16-codeword × 8-subspace codebook on seed-42 data is deterministic;
     // conservative floor (measured well above)
     assert(recall >= 0.4, s"PQ recall@5 = $recall")
+    // trained codebook (1 Lloyd refinement, what e3_pq_adc ships) must not
+    // recall worse than the raw lowest-16-id seed at the same shortlist
+    val seedPq = VectorOps.pqAdcTopK(spark, dir, refineIters = 0)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val seedRecall = brute.keySet.count(seedPq.contains).toDouble / brute.size
+    assert(recall >= seedRecall,
+      s"trained PQ recall@5 $recall < seed codebook recall@5 $seedRecall")
   }
 
   test("semdedup: every dup pairs with a lower-id keeper in its own cluster") {
