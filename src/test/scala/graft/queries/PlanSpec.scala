@@ -502,6 +502,20 @@ class PlanSpec extends SparkSpec {
       s"pair aggregation must ride the packed single-long key:\n$p")
   }
 
+  test("ANN serving plans read the persisted quantizer, never retrain") {
+    // the trained centroids/codebook live in a per-fixture parquet artifact
+    // (persistedQuantizer); if the serving plan ever inlines the trainer
+    // again, every query re-pays two corpus-wide Lloyd passes (the
+    // 0.58 -> 2.03 s regression this pin exists to prevent)
+    for (q <- Seq("e3_ivf_ann", "e3_pq_adc")) {
+      val p = plan(q)
+      assert(p.contains("graft_quantizers"),
+        s"$q must serve from the persisted quantizer artifact:\n$p")
+      assert(!p.contains("decimal(27,10)"),
+        s"$q's serving plan must not contain the DECIMAL-carrier trainer:\n$p")
+    }
+  }
+
   test("g2 coshare routes the aggregation shape on the supplier statistic") {
     // round-8 verdict item 4: the routing STATISTIC (supplier cardinality
     // vs CosharePairKeySpaceMax) gets a dimension planted on each side of
