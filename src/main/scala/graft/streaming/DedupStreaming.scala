@@ -44,6 +44,9 @@ object DedupStreaming {
   final class NearDedupState(initSig: DataFrame, initLabels: DataFrame) {
     @volatile var storeSig: DataFrame = initSig
     @volatile var labeling: DataFrame = initLabels
+    /** Highest doc_id absorbed so far (MinValue = nothing yet); the
+      * arrival-order guard below checks each batch against it. */
+    @volatile var maxSeenId: Long = Long.MinValue
     /** Pairs emitted so far (accumulated delta output — what a downstream
       * pair sink would have received). */
     @volatile var pairsSeen: DataFrame = initSig.sparkSession
@@ -86,6 +89,21 @@ object DedupStreaming {
         val batchSig = TextFunctions
           .signatureTable(batch, numHashes, shingleLen)
           .localCheckpoint()
+        // arrival-order contract CHECKED, not assumed: the banding join's
+        // doc_a < doc_b guard silently drops a store-vs-batch candidate
+        // whose store id exceeds the batch id, so an out-of-order feed
+        // would lose pairs without an error anywhere downstream. One tiny
+        // aggregate over the batch-sized signature table per micro-batch.
+        val bounds = batchSig.agg(min(col("doc_id")), max(col("doc_id")))
+          .head()
+        if (!bounds.isNullAt(0)) {
+          if (bounds.getLong(0) <= state.maxSeenId)
+            throw new IllegalStateException(
+              s"out-of-order micro-batch: min doc_id ${bounds.getLong(0)} " +
+                s"<= already-absorbed max ${state.maxSeenId}; the near-dedup " +
+                "stream requires id-ordered arrival (re-key or buffer the feed)")
+          state.maxSeenId = bounds.getLong(1)
+        }
         val newPairs = TextFunctions.minhashIncrementalPairsFromSig(
             state.storeSig, batchSig, numHashes, bands, threshold)
           .select("doc_a", "doc_b")

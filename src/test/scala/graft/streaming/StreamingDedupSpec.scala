@@ -75,4 +75,31 @@ class StreamingDedupSpec extends SparkSpec {
       assert(streamLab == batchLab)
     } finally q.stop()
   }
+
+  test("out-of-order micro-batches fail loudly instead of dropping pairs") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .localCheckpoint()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val inputDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ooo").toString
+    val state = DedupStreaming.emptyState(spark, docs, numHashes, shingleLen)
+    val q = DedupStreaming.runNearDedupStream(spark, inputDir, docs.schema,
+      state, numHashes, bands, shingleLen, threshold)
+    try {
+      // high ids land first, then a batch of LOWER ids — the silent
+      // pair-loss scenario the guard exists for
+      docs.filter(col("doc_id") > maxId / 2)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      q.processAllAvailable()
+      docs.filter(col("doc_id") <= maxId / 2)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("out-of-order micro-batch")),
+        s"expected the arrival-order guard, got: ${messages(e)}")
+    } finally q.stop()
+  }
 }
