@@ -17,10 +17,16 @@ import graft.operators.OrderedOps
   */
 object VectorOps {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+  /** `(vec_id, v, nrm)` view of any batch with the embeddings schema —
+    * shared by the fixture loader below and the streaming ingest path
+    * ([[graft.streaming.AnnStreaming]]), so both sides prep vectors with
+    * the identical expression. */
+  private[graft] def prepEmb(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    prepEmb(Tables.embeddings(s, dir))
 
   /** Shared DuckDB CTE: per-(vec, position) doubles + norms. */
   private val baseCte =
@@ -570,8 +576,9 @@ object VectorOps {
     broadcast(s.read.parquet(path))
   }
 
-  /** [[trainedCentroids]] behind [[persistedQuantizer]]. */
-  private def persistedTrainedCentroids(s: SparkSession, dir: String,
+  /** [[trainedCentroids]] behind [[persistedQuantizer]]. `private[graft]`
+    * so the streaming ingest path serves the same artifact as e3_ivf_ann. */
+  private[graft] def persistedTrainedCentroids(s: SparkSession, dir: String,
       nlist: Int, iters: Int): DataFrame =
     persistedQuantizer(s, dir, s"ivf-centroids|$nlist|$iters")(
       trainedCentroids(emb(s, dir), nlist, iters))
@@ -606,8 +613,10 @@ object VectorOps {
       .withColumn("c_cos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
 
   /** Nearest-centroid assignment `(vec_id, cluster)` — a partial-aggregating
-    * max_by, so exactly one row per vector crosses the shuffle. */
-  private def nearestCentroid(all: DataFrame, cents: DataFrame): DataFrame =
+    * max_by, so exactly one row per vector crosses the shuffle.
+    * `private[graft]` so streaming ingest assigns micro-batches with the
+    * identical rule. */
+  private[graft] def nearestCentroid(all: DataFrame, cents: DataFrame): DataFrame =
     centScored(all, cents)
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
@@ -701,14 +710,26 @@ object VectorOps {
     val cents = if (trainIters == 0) centroidSet(all, nlist)
                 else persistedTrainedCentroids(s, dir, nlist, trainIters)
     val assign = nearestCentroid(all, cents)
+    ivfServeTopK(emb(s, dir), cents, assign, nQueries, k, nprobe)
+  }
+
+  /** The IVF SERVING path alone: probe the `nprobe` nearest centroids per
+    * query, candidate-join the inverted lists (`assign`), exact-rerank the
+    * candidates. Factored out of [[ivfAnnTopK]] so a maintained index — an
+    * `assign` posting store kept current by streaming ingest
+    * ([[graft.streaming.AnnStreaming]]) — serves queries through the
+    * IDENTICAL plan as the from-scratch batch build; the parity spec holds
+    * the two byte-equal. `base` must carry `(vec_id, v, nrm)` for every
+    * indexed vector (queries are the `vec_id < nQueries` subset). */
+  private[graft] def ivfServeTopK(base: DataFrame, cents: DataFrame,
+      assign: DataFrame, nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val probeTop = OrderedOps.topKPerGroup(
-        centScored(all.filter(col("vec_id") < nQueries), cents),
+        centScored(base.filter(col("vec_id") < nQueries), cents),
         Seq("vec_id"), Seq(col("c_cos").desc, col("c_id")), nprobe)
       .select(col("vec_id").as("q_id"), col("c_id").as("cluster"))
     val candIds = probeTop.join(assign, Seq("cluster"))
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
-    val base = emb(s, dir)
     val scored = candIds
       .join(base.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("q_id"))

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.VectorOps
+
+/** Streaming IVF index maintenance — the ANN twin of [[DedupStreaming]].
+  *
+  * The deployment posture behind e3_ivf_ann is: train the coarse quantizer
+  * ONCE at index-build time (persisted per fixture), then keep the inverted
+  * lists current as new vectors land. This module is that second half as a
+  * Structured Streaming composition: an embeddings file source feeds
+  * micro-batches to a foreachBatch loop where each batch is prepped and
+  * assigned map-side against the BROADCAST frozen quantizer
+  * ([[VectorOps.nearestCentroid]] — the identical assignment rule the batch
+  * build uses), and the resulting postings rows `(vec_id, cluster, v, nrm)`
+  * append to the running posting store. Serving reads the store through
+  * [[VectorOps.ivfServeTopK]] — the same probe + candidate-join + re-rank
+  * plan as the from-scratch batch query, so a stream-maintained index
+  * answers queries byte-identically to a batch rebuild
+  * (StreamingAnnSpec pins both the postings and the served top-k).
+  *
+  * Scale shape: per micro-batch cost is O(batch × nlist) map-side scoring
+  * plus one O(batch) append — nothing historical is ever re-assigned, and
+  * the store only ever grows by the batch. At 100 TB this is the nightly
+  * crawl-embedding ingest; the posting store is a partitioned table keyed
+  * by `cluster` (the serving-join key), and quantizer RETRAINING stays an
+  * offline index-rebuild event, exactly as in IVF practice — a retrain
+  * invalidates the store and re-runs the batch build.
+  *
+  * Arrival order is irrelevant to the index (assignment is per-row
+  * independent); the monotone-id guard below only enforces the feed's
+  * no-redelivery contract, because a re-delivered vec_id would duplicate
+  * its postings row (serving hides it behind candidate dedup, but the
+  * store would grow wrong — fail loudly instead).
+  */
+object AnnStreaming {
+
+  /** Mutable per-stream state: the running posting store
+    * `(vec_id, cluster, v, nrm)`. localCheckpoint'd per batch with the
+    * superseded snapshot released — the bounded-lineage pattern shared
+    * with [[DedupStreaming.NearDedupState]]. */
+  final class IvfIndexState(initPostings: DataFrame) {
+    @volatile var postings: DataFrame = initPostings
+    /** Highest vec_id absorbed so far (the no-redelivery guard). */
+    @volatile var maxSeenId: Long = Long.MinValue
+  }
+
+  /** Fresh empty index bound to `spark`. An operational deployment seeds it
+    * from the batch build's posting table instead. */
+  def emptyState(template: DataFrame): IvfIndexState =
+    new IvfIndexState(
+      VectorOps.prepEmb(template.limit(0))
+        .withColumn("cluster", lit(null).cast("long"))
+        .localCheckpoint())
+
+  /** Start the ingest stream: parquet file source over `inputDir` (new
+    * embedding files appearing over time) → per-micro-batch assign + append.
+    * `cents` is the FROZEN broadcast quantizer (e.g.
+    * [[VectorOps.persistedTrainedCentroids]] — the same artifact the batch
+    * query serves from). Callers drive with `processAllAvailable()` and
+    * read the running store from `state`. */
+  def runIvfIngestStream(spark: SparkSession, inputDir: String,
+      embSchema: StructType, state: IvfIndexState,
+      cents: DataFrame): StreamingQuery = {
+    spark.readStream.schema(embSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ONE prep pass per micro-batch; the table serves both the
+        // assignment scoring and the store append
+        val b = VectorOps.prepEmb(batch).localCheckpoint()
+        val bounds = b.agg(min(col("vec_id")), max(col("vec_id"))).head()
+        if (!bounds.isNullAt(0)) {
+          if (bounds.getLong(0) <= state.maxSeenId)
+            throw new IllegalStateException(
+              s"re-delivered micro-batch: min vec_id ${bounds.getLong(0)} " +
+                s"<= already-indexed max ${state.maxSeenId}; the ANN ingest " +
+                "stream requires exactly-once id-ordered arrival (a " +
+                "re-delivered id would duplicate its posting row)")
+          state.maxSeenId = bounds.getLong(1)
+        }
+        val newPostings = b
+          .join(VectorOps.nearestCentroid(b, cents), "vec_id")
+          .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+        val prev = state.postings
+        state.postings = prev.unionByName(newPostings).localCheckpoint()
+        prev.unpersist()
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Serve top-k from the stream-maintained index — the identical plan as
+    * the batch e3_ivf_ann serving path, reading `(v, nrm, cluster)` from
+    * the posting store instead of re-assigning the corpus. */
+  def serveTopK(state: IvfIndexState, cents: DataFrame, nQueries: Int,
+      k: Int, nprobe: Int = 4): DataFrame =
+    VectorOps.ivfServeTopK(
+      state.postings.select("vec_id", "v", "nrm"),
+      cents,
+      state.postings.select("vec_id", "cluster"),
+      nQueries, k, nprobe)
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.queries.VectorOps
+
+/** Parity contract for streaming IVF index maintenance: a posting store
+  * fed micro-batch by micro-batch against the frozen trained quantizer
+  * must equal the from-scratch batch assignment, and the served top-k must
+  * be byte-identical to the batch e3_ivf_ann result. The two checks pin
+  * the two layers (assign-and-append ingest, store-backed serving)
+  * independently, so a regression localizes. */
+class StreamingAnnSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val (nlist, trainIters, nQueries, k, nprobe) = (16, 2, 50, 3, 4)
+
+  test("stream-fed posting store and served top-k equal the batch build") {
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val maxId = embRaw.agg(max("vec_id")).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId + 1)
+    // the same frozen quantizer artifact the batch e3_ivf_ann serves from
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+
+    val inputDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann").toString
+    val state = AnnStreaming.emptyState(embRaw)
+    val q = AnnStreaming.runIvfIngestStream(spark, inputDir, embRaw.schema,
+      state, cents)
+    try {
+      var lo = -1L
+      for ((hi, i) <- cuts.zipWithIndex) {
+        embRaw.filter(col("vec_id") > lo && col("vec_id") <= hi)
+          .coalesce(1).write.mode("append").parquet(inputDir)
+        q.processAllAvailable()
+        lo = hi
+        // the store grows by exactly the vectors seen so far
+        val expect = embRaw.filter(col("vec_id") <= hi).count()
+        assert(state.postings.count() == expect,
+          s"posting store size diverged after micro-batch ${i + 1}")
+      }
+
+      // 1) posting store == one batch assignment of the whole corpus
+      val batchAssign = VectorOps
+        .nearestCentroid(VectorOps.prepEmb(embRaw), cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamAssign = state.postings.select("vec_id", "cluster")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamAssign == batchAssign)
+
+      // 2) serving from the maintained store == the batch e3_ivf_ann plan
+      val batchTopK = VectorOps.ivfAnnTopK(spark, dir, nQueries, k,
+          nlist, nprobe, trainIters)
+        .collect().map(_.toSeq).toSeq
+      val servedTopK = AnnStreaming
+        .serveTopK(state, cents, nQueries, k, nprobe)
+        .collect().map(_.toSeq).toSeq
+      assert(batchTopK.nonEmpty, "batch IVF produced no neighbors")
+      assert(servedTopK == batchTopK)
+    } finally q.stop()
+  }
+
+  test("re-delivered micro-batches fail loudly instead of duplicating rows") {
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val inputDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_dup").toString
+    val state = AnnStreaming.emptyState(embRaw)
+    val q = AnnStreaming.runIvfIngestStream(spark, inputDir, embRaw.schema,
+      state, cents)
+    try {
+      embRaw.filter(col("vec_id") < 100)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      q.processAllAvailable()
+      // the same id range lands again — the duplicated-postings scenario
+      embRaw.filter(col("vec_id") < 100)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("re-delivered micro-batch")),
+        s"expected the redelivery guard, got: ${messages(e)}")
+    } finally q.stop()
+  }
+}
