@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, L2Micros}
+import graft.expressions.{DotProduct, L2Micros, LevWithin, MinHashSig,
+  ShingleMinHash, ShingleSet, SortedIntersectSize}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions in
   * the SQL function registry, so `spark.sql("... vec_dot(a, b) ...")` works
@@ -33,5 +34,64 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "vec_l2_micros(a, b) takes exactly two arguments")
         L2Micros(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("lev_within"),
+      new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "lev_within(a, b, t) takes exactly three arguments")
+        LevWithin(args.head, args(1), intLit(args(2), "lev_within", "t"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "shingle_set(text, n) takes exactly two arguments")
+        ShingleSet(args.head, intLit(args(1), "shingle_set", "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "minhash_sig(shingles, k) takes exactly two arguments")
+        MinHashSig(args.head, intLit(args(1), "minhash_sig", "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "shingle_minhash(text, n, k) takes exactly three arguments")
+        ShingleMinHash(args.head, intLit(args(1), "shingle_minhash", "n"),
+          intLit(args(2), "shingle_minhash", "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "sorted_intersect_size"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sorted_intersect_size(a, b) takes exactly two arguments")
+        SortedIntersectSize(args.head, args(1))
+      }))
+  }
+
+  /** Fold a SQL argument that parameterizes a kernel (band width, signature
+    * length, edit threshold) down to the Int the expression constructor
+    * takes. These are STRUCTURAL parameters — they shape the generated
+    * code — so only foldable integer literals are accepted; a column
+    * reference fails loudly at analysis time. */
+  private def intLit(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long    => math.toIntExact(l.longValue)
+      case s: java.lang.Short   => s.intValue
+      case b: java.lang.Byte    => b.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
   }
 }

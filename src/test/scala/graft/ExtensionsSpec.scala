@@ -17,6 +17,50 @@ class ExtensionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("every text kernel is callable from SQL and agrees with the Column API") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"))).toDF("id", "t")
+    df.createOrReplaceTempView("ext_docs")
+
+    // lev_within: exact distance on the <= t set, -1 past the threshold
+    val lev = spark.sql(
+      """SELECT lev_within(a.t, b.t, 3) AS d3, lev_within(a.t, b.t, 1) AS d1
+         FROM ext_docs a JOIN ext_docs b ON a.id = 1 AND b.id = 2""").head()
+    assert(lev.getInt(0) == 2 && lev.getInt(1) == -1)
+
+    // shingle_set / minhash_sig / shingle_minhash: SQL spelling equals the
+    // Column-API spelling bit for bit
+    val sqlSide = spark.sql(
+      """SELECT id, shingle_set(t, 5) AS ss, minhash_sig(shingle_set(t, 5), 16) AS mh,
+         shingle_minhash(t, 5, 16) AS smh FROM ext_docs ORDER BY id""").collect()
+    import org.apache.spark.sql.graftbridge.Bridge
+    def ex(c: org.apache.spark.sql.Column) = Bridge.expression(c)
+    val colSide = df.select(col("id"),
+        Bridge.column(graft.expressions.ShingleSet(ex(col("t")), 5)).as("ss"),
+        Bridge.column(graft.expressions.MinHashSig(
+          graft.expressions.ShingleSet(ex(col("t")), 5), 16)).as("mh"),
+        Bridge.column(
+          graft.expressions.ShingleMinHash(ex(col("t")), 5, 16)).as("smh"))
+      .orderBy("id").collect()
+    assert(sqlSide.map(_.toString).toSeq == colSide.map(_.toString).toSeq)
+
+    // sorted_intersect_size over two sorted shingle arrays
+    val isz = spark.sql(
+      """SELECT sorted_intersect_size(shingle_set(a.t, 5), shingle_set(b.t, 5)) AS n,
+         size(shingle_set(a.t, 5)) AS na
+         FROM ext_docs a JOIN ext_docs b ON a.id = 1 AND b.id = 2""").head()
+    assert(isz.getInt(0) > 0 && isz.getInt(0) < isz.getInt(1))
+
+    // structural parameters must be literals — a column reference fails
+    // at analysis, not with a wrong answer
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_set(t, CAST(id AS INT)) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("optimizer rewrites the HOF dot-product spelling to vec_dot") {
     import org.apache.spark.sql.functions._
     val df = spark.range(3).select(
