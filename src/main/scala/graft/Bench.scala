@@ -85,12 +85,19 @@ object Bench {
     // per-rep record in `rep_times` below, lets a cross-round diff tell
     // drift (all reps moved) from noise (one rep spiked) without a
     // ProfileRegress session.
+    // an extra rep must carry its ok flag: a failed rep's (fast) elapsed
+    // time in `runs` could become the reported min while the row stays out
+    // of `failed` — the fast-failing-regression-as-speedup case the min
+    // protocol exists to prevent. A failed extra rep flips the row to
+    // failed instead of contributing a phantom time.
+    def addRep(r: Res, t: (Double, Long, Boolean)): Res =
+      if (t._3) r.copy(runs = r.runs :+ ((t._1, t._2)))
+      else r.copy(ok = false)
     if (reps > 1) {
       results = results.map { r =>
-        if (r.ok && r.min < 2.0) {
-          val t = timeOne(r.name, SparkEntry.queries(r.name))
-          r.copy(runs = r.runs :+ ((t._1, t._2)))
-        } else r
+        if (r.ok && r.min < 2.0)
+          addRep(r, timeOne(r.name, SparkEntry.queries(r.name)))
+        else r
       }
     }
     // the slowest decile gets ONE extra rep at the END of the session: the
@@ -106,7 +113,7 @@ object Bench {
           val t = timeOne(r.name, SparkEntry.queries(r.name))
           System.err.println(
             f"[bench] ${r.name}%-24s ${t._1}%8.2f s  (decile re-rep)")
-          r.copy(runs = r.runs :+ ((t._1, t._2)))
+          addRep(r, t)
         } else r
       }
     }

@@ -39,6 +39,63 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(s, d, "events"))
 
+  /** Cheap content fingerprint of one fixture table — total parquet byte
+    * size + newest file mtime. Folded into memo keys and every /tmp
+    * artifact key so a fixture REGENERATED at the same path invalidates
+    * persisted state (signature stores, trained quantizers, cached counts)
+    * instead of silently serving stale artifacts. Filesystem metadata only —
+    * no Spark job. One definition for every call site (sig store, routing
+    * statistic, quantizer) so the invalidation semantics cannot drift. */
+  def fixtureToken(dir: String, table: String): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val files: Seq[java.io.File] =
+      if (root.isDirectory) root.listFiles().toSeq.filter(_.isFile)
+      else Seq(root)
+    s"${files.map(_.length).sum}-${files.map(_.lastModified).foldLeft(0L)(math.max)}"
+  }
+
+  private val codeTokenCache =
+    scala.collection.concurrent.TrieMap.empty[Class[_], String]
+
+  /** md5 (truncated) of `owner`'s compiled class bytes, memoized. Folded
+    * into persisted-artifact keys so EDITING the builder's defining class
+    * invalidates its /tmp artifacts automatically — a manual version tag
+    * only invalidates when someone remembers to bump it, and a stale
+    * artifact makes tests green-light code they never executed.
+    * Over-invalidates (any edit to the class rebuilds its artifacts once) —
+    * the safe direction; builder logic living in OTHER classes still needs
+    * a manual tag bump, so keep params + a version in the key too. */
+  def codeToken(owner: Class[_]): String =
+    codeTokenCache.getOrElseUpdate(owner, {
+      val res = owner.getName.replace('.', '/') + ".class"
+      val in = owner.getClassLoader.getResourceAsStream(res)
+      if (in == null) "no-classfile"
+      else
+        try {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+          md.digest().map("%02x".format(_)).mkString.take(12)
+        } finally in.close()
+    })
+
+  /** Build-once parquet artifact: materializes `build` the first time this
+    * exact `key` is seen under `/tmp/<family>/`, reads it back on every
+    * later use (the index-build-time posture: nightly artifacts are built
+    * once and served, never recomputed per query). The _SUCCESS marker
+    * gates against a partial write. Callers fold [[fixtureToken]] (input
+    * invalidation) and [[codeToken]] (builder invalidation) into `key`. */
+  def persistedArtifact(s: SparkSession, family: String, key: String)
+      (build: => DataFrame): DataFrame = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"/tmp/$family/$md5"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Canonicalize `ts` to ns-since-epoch long + add the µs `ts_utc` view,
     * whatever logical type the parquet writer chose (see class doc). Pure
     * column expressions — safe on both batch and streaming DataFrames. */

@@ -10,14 +10,33 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * growing raw-CSV landing directory.
   *
   * Shape: the stream is an ARRIVAL DETECTOR — a text file source lists
-  * completed files per micro-batch (Spark's file source only surfaces
-  * fully-written files, the completion semantics a landing zone needs) and
-  * foreachBatch routes each NEW file through the untouched batch DAG
-  * (`Normalize` → `Features.all` → `Collate.withCellId`), appending one
-  * per-cycle feature partition per cell to the collated parquet sink. The
-  * batch and streaming paths share every line of pipeline code, so the
-  * parity contract (StreamingBatterySpec) is structural: stream-fed sink ==
-  * batch collate over the same files.
+  * new files per micro-batch and foreachBatch routes each NEW file through
+  * the untouched batch DAG (`Normalize` → `Features.all` →
+  * `Collate.withCellId`), appending one per-cycle feature partition per
+  * cell to the collated parquet sink. The batch and streaming paths share
+  * every line of pipeline code, so the parity contract
+  * (StreamingBatterySpec) is structural: stream-fed sink == batch collate
+  * over the same files.
+  *
+  * LANDING CONTRACT — files must appear ATOMICALLY. Spark's file source
+  * lists whatever paths exist at trigger time; a file still being copied
+  * is picked up once in its truncated form and never revisited, silently
+  * losing its remaining cycles. Producers must write to a temp name and
+  * rename into place — the `pathGlobFilter("*.csv")` makes that natural:
+  * land as `X.csv.tmp`, then an atomic same-filesystem rename to `X.csv`
+  * (StreamingBatterySpec lands its fixtures exactly this way).
+  *
+  * Idempotency: each raw file is one cell, so the sink is guarded at cell
+  * granularity — a micro-batch first drops paths whose cell_id already
+  * exists in the sink, then appends ALL remaining files in ONE write job
+  * (task files commit via the normal job-commit protocol). A batch retried
+  * after a mid-write failure re-lists the same paths, finds the committed
+  * cells present, and appends only what is missing — no duplicate feature
+  * rows, unlike a per-file append loop whose partial progress a retry
+  * would repeat. True transactional exactly-once needs a table format with
+  * atomic MERGE (Delta/Iceberg) in the same callback; the cell-level guard
+  * is the plain-parquet equivalent for this workload because cell_id is
+  * the natural idempotency key.
   *
   * Per-file orchestration is a driver-side loop over FILE PATHS (bounded by
   * files-per-trigger, never by data volume): vendor CSVs need per-file
@@ -68,9 +87,22 @@ object StreamingIngest {
         // deterministic order
         val paths = batch.select("path").distinct()
           .collect().map(_.getString(0)).sorted
-        for (p <- paths)
-          featuresForFile(spark, p, ratedAh, dV)
-            .write.mode("append").parquet(sink)
+        if (paths.nonEmpty) {
+          // cell-level idempotency guard (see class doc): a retried or
+          // re-delivered file whose cell already committed is skipped
+          val done: Set[String] =
+            if (new java.io.File(sink).isDirectory)
+              spark.read.parquet(sink).select("cell_id").distinct()
+                .collect().map(_.getString(0)).toSet
+            else Set.empty
+          val fresh = paths.filterNot(p => done(cellIdOf(p)))
+          // ONE append per micro-batch: partial progress cannot be
+          // repeated by a retry, because nothing is visible in the sink
+          // until the single write job commits
+          fresh.map(p => featuresForFile(spark, p, ratedAh, dV))
+            .reduceOption(_.unionByName(_))
+            .foreach(_.write.mode("append").parquet(sink))
+        }
         ()
       }
       .start()

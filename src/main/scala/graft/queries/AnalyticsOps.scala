@@ -33,15 +33,10 @@ object AnalyticsOps {
     * regenerated fixture at the same path changes the token and re-counts. */
   private val suppCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
-  def supplierCount(s: SparkSession, dir: String): Long = {
-    val root = new java.io.File(s"$dir/supplier.parquet")
-    val files: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.filter(_.isFile)
-      else Seq(root)
-    val token =
-      s"$dir|${files.map(_.length).sum}-${files.map(_.lastModified).foldLeft(0L)(math.max)}"
-    suppCountCache.getOrElseUpdate(token, Tables.supplier(s, dir).count())
-  }
+  def supplierCount(s: SparkSession, dir: String): Long =
+    suppCountCache.getOrElseUpdate(
+      s"$dir|${Tables.fixtureToken(dir, "supplier")}",
+      Tables.supplier(s, dir).count())
 
   /** Distinct customer→supplier posting list, pre-partitioned on customer so
     * dedup / cap-window / self-join all ride one hash exchange. */

@@ -36,21 +36,12 @@ object TextOps {
     cutoffCache.getOrElseUpdate(s"$dir|${docsToken(dir)}",
       docs(s, dir).agg(max("doc_id")).head().getLong(0) * 4 / 5)
 
-  /** Cheap content fingerprint of the documents table — total parquet byte
-    * size + newest file mtime. Folded into the cutoff memo and every /tmp
-    * artifact key so a fixture REGENERATED at the same path invalidates the
-    * persisted store/labeling instead of silently serving stale signatures
-    * (round-5 advice: the md5(dir|params|version) key alone keyed only on
-    * the path). Filesystem metadata only — no Spark job. */
-  private def docsToken(dir: String): String = {
-    val root = new java.io.File(s"$dir/documents.parquet")
-    val files: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.filter(_.isFile)
-      else Seq(root)
-    val size = files.map(_.length).sum
-    val mtime = if (files.isEmpty) 0L else files.map(_.lastModified).max
-    s"$size-$mtime"
-  }
+  /** Cheap content fingerprint of the documents table, for the cutoff memo
+    * and every /tmp artifact key — see [[Tables.fixtureToken]] (one shared
+    * definition; round-5 advice: the md5(dir|params|version) key alone
+    * keyed only on the path). */
+  private def docsToken(dir: String): String =
+    Tables.fixtureToken(dir, "documents")
   private val cutoffSql = "(SELECT max(doc_id) * 4 // 5 FROM documents)"
 
   /** Materializes the store-side signature artifact ONCE per (sf dir,
@@ -59,39 +50,28 @@ object TextOps {
     * never historical text. Keyed under /tmp by an md5 of the inputs; the
     * _SUCCESS marker gates against a partial write. */
   private def persistedSigStore(s: SparkSession, dir: String,
-      store: DataFrame, numHashes: Int, shingleLen: Int): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${docsToken(dir)}|$numHashes|$shingleLen|store-p80|v2"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_sigstore/$key"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      signatureTable(store, numHashes, shingleLen)
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+      store: DataFrame, numHashes: Int, shingleLen: Int): DataFrame =
+    Tables.persistedArtifact(s, "graft_sigstore",
+      s"$dir|${docsToken(dir)}|$numHashes|$shingleLen|store-p80|v2" +
+        s"|${Tables.codeToken(graft.functions.TextFunctions.getClass)}")(
+      signatureTable(store, numHashes, shingleLen))
 
   /** Materializes the persisted (id, cluster_id) dedup labeling ONCE per sf
     * dir — the artifact the nightly run left behind: connected components
     * over the HISTORICAL (bottom-80% of ids) near-dup pair graph. Read back
     * from parquet so the incremental merge plan never recomputes it. */
-  private def persistedClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${docsToken(dir)}|cc-labels|64|8|5|0.8|store-p80|v2"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_sigstore/$key"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+  private def persistedClusterLabels(s: SparkSession, dir: String): DataFrame =
+    Tables.persistedArtifact(s, "graft_sigstore",
+      s"$dir|${docsToken(dir)}|cc-labels|64|8|5|0.8|store-p80|v2" +
+        s"|${Tables.codeToken(graft.functions.TextFunctions.getClass)}" +
+        s"|${Tables.codeToken(graft.operators.ConnectedComponents.getClass)}") {
       val storePairs = minhashLshPairs(
         docs(s, dir).filter(col("doc_id") < storeCutoff(s, dir)),
         numHashes = 64, bands = 8, shingleLen = 5, threshold = 0.8)
       graft.operators.ConnectedComponents
         .minLabel(storePairs, "doc_a", "doc_b")
         .select(col("id"), col("label").as("cluster_id"))
-        .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
-  }
 
   /** Exact 5-gram Jaccard pairs over `bounded` via the shingle posting-list
     * join (pairs only materialize for docs sharing a shingle). Shared by the

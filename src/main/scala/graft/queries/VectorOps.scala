@@ -546,35 +546,22 @@ object VectorOps {
     cents
   }
 
-  /** Cheap content fingerprint of the embeddings table (size + mtime), so a
-    * regenerated fixture at the same path invalidates persisted quantizer
-    * artifacts instead of serving stale centroids — the docsToken pattern
-    * from the dedup signature store. */
-  private def embToken(dir: String): String = {
-    val root = new java.io.File(s"$dir/embeddings.parquet")
-    val files: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.filter(_.isFile)
-      else Seq(root)
-    s"${files.map(_.length).sum}-${files.map(_.lastModified).foldLeft(0L)(math.max)}"
-  }
-
-  /** A trained quantizer behind a per-(fixture, params) parquet artifact:
-    * `build` runs ONCE per fixture (the deployment posture — codebooks are
-    * trained at index-build time and persisted, never per query), read back
-    * broadcast on every subsequent use. Doubles round-trip parquet exactly,
-    * so the served values are bit-identical to a fresh training run and the
-    * oracle replay stays hash-green; the serving-path cost of the ANN rows
-    * is then the probe + re-rank, not the trainer. */
+  /** A trained quantizer behind a per-(fixture, params, code) parquet
+    * artifact: `build` runs ONCE per fixture (the deployment posture —
+    * codebooks are trained at index-build time and persisted, never per
+    * query), read back broadcast on every subsequent use. Doubles
+    * round-trip parquet exactly, so the served values are bit-identical to
+    * a fresh training run and the oracle replay stays hash-green; the
+    * serving-path cost of the ANN rows is then the probe + re-rank, not
+    * the trainer. The key folds [[Tables.fixtureToken]] (a regenerated
+    * fixture re-trains) AND [[Tables.codeToken]] of this class (an edited
+    * trainer re-trains — a manual version tag alone kept serving stale
+    * centroids until someone remembered to bump it). */
   private def persistedQuantizer(s: SparkSession, dir: String, tag: String)
-      (build: => DataFrame): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${embToken(dir)}|$tag|v1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_quantizers/$key"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      build.write.mode("overwrite").parquet(path)
-    broadcast(s.read.parquet(path))
-  }
+      (build: => DataFrame): DataFrame =
+    broadcast(Tables.persistedArtifact(s, "graft_quantizers",
+      s"$dir|${Tables.fixtureToken(dir, "embeddings")}|$tag|v1" +
+        s"|${Tables.codeToken(getClass)}")(build))
 
   /** [[trainedCentroids]] behind [[persistedQuantizer]]. `private[graft]`
     * so the streaming ingest path serves the same artifact as e3_ivf_ann. */
@@ -621,6 +608,18 @@ object VectorOps {
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
         .as("cluster"))
+
+  /** [[nearestCentroid]] carrying `(v, nrm)` through the SAME single
+    * assignment shuffle — the streaming ingest path builds its posting rows
+    * in one exchange instead of re-joining the batch on vec_id afterwards.
+    * `first` is deterministic here: v/nrm are constant per vec_id. */
+  private[graft] def assignWithVectors(all: DataFrame,
+      cents: DataFrame): DataFrame =
+    centScored(all, cents)
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+          .as("cluster"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
 
   /** PQ-ADC top-k (see the e3_pq_adc QueryDef comment for the full shape).
     * `refineIters` Lloyd refinements of the lowest-16-id sub-block seed

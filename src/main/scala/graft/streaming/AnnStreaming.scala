@@ -71,9 +71,14 @@ object AnnStreaming {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // ONE prep pass per micro-batch; the table serves both the
-        // assignment scoring and the store append
+        // redelivery guard and the assignment scoring
         val b = VectorOps.prepEmb(batch).localCheckpoint()
-        val bounds = b.agg(min(col("vec_id")), max(col("vec_id"))).head()
+        // the same aggregate also catches a vec_id duplicated WITHIN the
+        // batch (two landed copies coalesced into one micro-batch), which
+        // would duplicate posting rows just as silently as a cross-batch
+        // redelivery
+        val bounds = b.agg(min(col("vec_id")), max(col("vec_id")),
+          count(col("vec_id")), countDistinct(col("vec_id"))).head()
         if (!bounds.isNullAt(0)) {
           if (bounds.getLong(0) <= state.maxSeenId)
             throw new IllegalStateException(
@@ -81,13 +86,24 @@ object AnnStreaming {
                 s"<= already-indexed max ${state.maxSeenId}; the ANN ingest " +
                 "stream requires exactly-once id-ordered arrival (a " +
                 "re-delivered id would duplicate its posting row)")
-          state.maxSeenId = bounds.getLong(1)
+          if (bounds.getLong(2) != bounds.getLong(3))
+            throw new IllegalStateException(
+              s"duplicated vec_id within a micro-batch (${bounds.getLong(2)} " +
+                s"rows, ${bounds.getLong(3)} distinct ids); the ANN ingest " +
+                "stream requires exactly-once vectors (dedupe the landing feed)")
         }
-        val newPostings = b
-          .join(VectorOps.nearestCentroid(b, cents), "vec_id")
+        // posting rows in ONE exchange: the assignment aggregate carries
+        // (v, nrm) through its own shuffle instead of re-joining the batch
+        val newPostings = VectorOps.assignWithVectors(b, cents)
           .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+        // build the new snapshot (eager checkpoint) BEFORE mutating any
+        // state, and advance maxSeenId only after the swap — a mid-batch
+        // failure then leaves the previous consistent state intact, so a
+        // retry of the lost batch passes the guard
+        val next = state.postings.unionByName(newPostings).localCheckpoint()
         val prev = state.postings
-        state.postings = prev.unionByName(newPostings).localCheckpoint()
+        state.postings = next
+        if (!bounds.isNullAt(0)) state.maxSeenId = bounds.getLong(1)
         prev.unpersist()
         b.unpersist()
         ()

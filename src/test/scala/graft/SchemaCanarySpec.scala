@@ -94,7 +94,7 @@ class SchemaCanarySpec extends SparkSpec {
       val exp = expected.getOrElse(t, Seq.empty)
       if (exp.isEmpty)
         Seq(s"$t: table missing from the canary's expected-schema map — " +
-          "add its column families here") ++ Nil
+          "add its column families here")
       else {
       val nameDiff =
         if (actual.fieldNames.toSeq == exp.map(_._1)) Nil

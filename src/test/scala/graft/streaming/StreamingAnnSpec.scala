@@ -81,10 +81,35 @@ class StreamingAnnSpec extends SparkSpec {
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
       }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(e).exists(_.contains("re-delivered micro-batch")),
         s"expected the redelivery guard, got: ${messages(e)}")
     } finally q.stop()
   }
+
+  test("a vec_id duplicated WITHIN one micro-batch fails loudly too") {
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val inputDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_intra").toString
+    val state = AnnStreaming.emptyState(embRaw)
+    val q = AnnStreaming.runIvfIngestStream(spark, inputDir, embRaw.schema,
+      state, cents)
+    try {
+      // two landed copies coalesce into ONE micro-batch: the min-vs-max
+      // guard alone cannot see this (min > maxSeen holds), so the
+      // count-vs-distinct check must catch it
+      val slice = embRaw.filter(col("vec_id") < 50)
+      slice.unionAll(slice)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(messages(e).exists(_.contains("duplicated vec_id within")),
+        s"expected the intra-batch duplicate guard, got: ${messages(e)}")
+    } finally q.stop()
+  }
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
 }

@@ -96,10 +96,34 @@ class StreamingDedupSpec extends SparkSpec {
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
       }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(e).exists(_.contains("out-of-order micro-batch")),
         s"expected the arrival-order guard, got: ${messages(e)}")
     } finally q.stop()
   }
+
+  test("a doc_id duplicated WITHIN one micro-batch fails loudly too") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .localCheckpoint()
+    val inputDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_intra").toString
+    val state = DedupStreaming.emptyState(spark, docs, numHashes, shingleLen)
+    val q = DedupStreaming.runNearDedupStream(spark, inputDir, docs.schema,
+      state, numHashes, bands, shingleLen, threshold)
+    try {
+      // two landed copies coalesce into ONE micro-batch: the min-vs-max
+      // arrival guard alone cannot see this, so the count-vs-distinct
+      // check must catch the store corruption before it happens
+      val slice = docs.filter(col("doc_id") < 50)
+      slice.unionAll(slice)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(messages(e).exists(_.contains("duplicated doc_id within")),
+        s"expected the intra-batch duplicate guard, got: ${messages(e)}")
+    } finally q.stop()
+  }
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
 }
