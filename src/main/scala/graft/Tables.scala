@@ -87,13 +87,25 @@ object Tables {
     * gates against a partial write. Callers fold [[fixtureToken]] (input
     * invalidation) and [[codeToken]] (builder invalidation) into `key`. */
   def persistedArtifact(s: SparkSession, family: String, key: String)
-      (build: => DataFrame): DataFrame = {
+      (build: => DataFrame): DataFrame =
+    s.read.parquet(persistedArtifactPath(s, family, key)(build))
+
+  /** [[persistedArtifact]] returning the on-disk PATH instead of a read —
+    * for artifacts whose directory LAYOUT is part of the contract (e.g. a
+    * `partitionBy` posting store whose serving plan must see the partition
+    * columns). `partitionBy` columns become hive-style directory keys; the
+    * reader re-infers their types, so callers cast them back explicitly. */
+  def persistedArtifactPath(s: SparkSession, family: String, key: String,
+      partitionBy: Seq[String] = Nil)(build: => DataFrame): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = s"/tmp/$family/$md5"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      build.write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val w = build.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(path)
+    }
+    path
   }
 
   /** Canonicalize `ts` to ns-since-epoch long + add the µs `ts_utc` view,

@@ -166,27 +166,20 @@ object VectorOps {
     // asserted in VectorSpec.
     QueryDef("e3_ivf_ann",
       (s, dir) => ivfAnnTopK(s, dir, nQueries = 50, k = 3, trainIters = 2),
-      Some(s"""$baseCte,
-        $assignCte,
-        ${lloydCtes(2)},
-        probes AS (SELECT vec_id AS q_id, cluster FROM (
-          SELECT vec_id, cluster, row_number() OVER (
-            PARTITION BY vec_id ORDER BY c_cos DESC, cluster) rn FROM s2
-          WHERE vec_id < 50) t WHERE rn <= 4),
-        cand AS (SELECT DISTINCT q_id, a2.vec_id
-          FROM probes JOIN assign2 a2 USING (cluster)
-          WHERE q_id <> a2.vec_id),
-        dots AS (SELECT c.q_id, c.vec_id, sum(a.v * b.v) AS dot
-          FROM cand c JOIN x a ON a.vec_id = c.q_id
-          JOIN x b ON b.vec_id = c.vec_id AND a.i = b.i
-          GROUP BY 1, 2),
-        scored AS (SELECT q_id, dots.vec_id AS n_id, dot / (na.nrm * nb.nrm) AS cos
-          FROM dots JOIN norms na ON q_id = na.vec_id
-          JOIN norms nb ON dots.vec_id = nb.vec_id),
-        ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
-          PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
-        SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim
-        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+      Some(ivfOracleSql)),
+
+    // The SAME trained-IVF semantics served from the ON-DISK index layout:
+    // posting rows written partitionBy(cluster) once per fixture (the
+    // inverted lists ARE parquet partition directories), serving joins the
+    // store on its partition column against the broadcast probe set, and
+    // dynamic partition pruning skips every un-probed list at the file
+    // level. Identical results to e3_ivf_ann by construction (same
+    // quantizer artifact, same assignment rule, same re-rank), so it shares
+    // the oracle verbatim; PlanSpec pins the dynamicpruning subquery in the
+    // scan and VectorSpec pins the byte-parity.
+    QueryDef("e3_ivf_store",
+      (s, dir) => ivfStoreTopK(s, dir, nQueries = 50, k = 3, trainIters = 2),
+      Some(ivfOracleSql)),
 
     // per-cluster centroid embeddings (k-means-style update step / cluster
     // summarization): nearest-centroid assignment (broadcast quantizer, one
@@ -570,6 +563,34 @@ object VectorOps {
     persistedQuantizer(s, dir, s"ivf-centroids|$nlist|$iters")(
       trainedCentroids(emb(s, dir), nlist, iters))
 
+  /** Shared DuckDB oracle for e3_ivf_ann AND e3_ivf_store (identical
+    * results by construction — same trained quantizer, assignment rule, and
+    * re-rank; the store row only changes WHERE the posting rows live):
+    * replay the 2-iteration Lloyd training, probe 4 lists per query, rerank
+    * candidates exactly. */
+  private lazy val ivfOracleSql: String =
+    s"""$baseCte,
+        $assignCte,
+        ${lloydCtes(2)},
+        probes AS (SELECT vec_id AS q_id, cluster FROM (
+          SELECT vec_id, cluster, row_number() OVER (
+            PARTITION BY vec_id ORDER BY c_cos DESC, cluster) rn FROM s2
+          WHERE vec_id < 50) t WHERE rn <= 4),
+        cand AS (SELECT DISTINCT q_id, a2.vec_id
+          FROM probes JOIN assign2 a2 USING (cluster)
+          WHERE q_id <> a2.vec_id),
+        dots AS (SELECT c.q_id, c.vec_id, sum(a.v * b.v) AS dot
+          FROM cand c JOIN x a ON a.vec_id = c.q_id
+          JOIN x b ON b.vec_id = c.vec_id AND a.i = b.i
+          GROUP BY 1, 2),
+        scored AS (SELECT q_id, dots.vec_id AS n_id, dot / (na.nrm * nb.nrm) AS cos
+          FROM dots JOIN norms na ON q_id = na.vec_id
+          JOIN norms nb ON dots.vec_id = nb.vec_id),
+        ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+        SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+
   /** Unrolled-SQL twin of [[trainedCentroids]]: chains `iters` Lloyd CTE
     * blocks on top of the shared seed `assign` CTE ([[assignCte]]) and ends
     * with `assign$iters` / `s$iters` (final assignment + its scored table,
@@ -733,6 +754,72 @@ object VectorOps {
       .join(base.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("q_id"))
       .join(base, Seq("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+    OrderedOps.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Schema of the on-disk posting store (explicit so the partition column
+    * `cluster` reads back as LONG instead of the inferred INT — hive-style
+    * partition values are strings on disk). */
+  private val postingStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The IVF index as it actually lives on disk at scale: posting rows
+    * `(vec_id, v, nrm)` written `partitionBy("cluster")`, so each inverted
+    * list IS a parquet partition directory. Built once per (fixture, params,
+    * code) — the same index-build-time posture as [[persistedQuantizer]] —
+    * with the assignment rule shared with the batch and streaming builds
+    * ([[assignWithVectors]]). Serving ([[ivfStoreTopK]]) then skips every
+    * un-probed list at the FILE level via dynamic partition pruning, which
+    * is the property that makes an IVF index pay at 100 TB: nprobe/nlist of
+    * the corpus is read, not filtered. */
+  private[graft] def postingStorePath(s: SparkSession, dir: String,
+      nlist: Int, trainIters: Int): String =
+    Tables.persistedArtifactPath(s, "graft_ivf_store",
+      s"$dir|${Tables.fixtureToken(dir, "embeddings")}" +
+        s"|posting-store|$nlist|$trainIters|v1|${Tables.codeToken(getClass)}",
+      partitionBy = Seq("cluster"))(
+      assignWithVectors(emb(s, dir),
+        persistedTrainedCentroids(s, dir, nlist, trainIters))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cluster")))
+
+  /** Serve top-k from the ON-DISK partitioned posting store: probe the
+    * nprobe nearest centroids per query (broadcast quantizer, tiny), then
+    * join the store ON ITS PARTITION COLUMN with the broadcast probe set —
+    * Catalyst inserts a dynamic-partition-pruning filter on the scan, so
+    * only the probed lists' files are read (PlanSpec pins the
+    * `dynamicpruning` subquery; VectorSpec pins byte-parity with
+    * [[ivfAnnTopK]] at equal params). Candidate vectors ride the store row,
+    * so the re-rank needs no join back to the corpus — one broadcast-join
+    * chain from scan to top-k. */
+  def ivfStoreTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 2): DataFrame = {
+    val cents = persistedTrainedCentroids(s, dir, nlist, trainIters)
+    val store = s.read.schema(postingStoreSchema)
+      .parquet(postingStorePath(s, dir, nlist, trainIters))
+    val q = emb(s, dir).filter(col("vec_id") < nQueries)
+    val probeTop = OrderedOps.topKPerGroup(centScored(q, cents),
+        Seq("vec_id"), Seq(col("c_cos").desc, col("c_id")), nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cluster"))
+    val cand = store.join(broadcast(probeTop), Seq("cluster"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand
+      .join(broadcast(q.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))), Seq("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
     OrderedOps.topKPerGroup(scored, Seq("q_id"),
         Seq(col("cos").desc, col("vec_id")), k)

@@ -516,6 +516,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e3 ivf store prunes un-probed inverted lists at the file level (DPP)") {
+    // the partitioned posting store only pays at scale if serving READS
+    // nprobe/nlist of the corpus instead of scanning-then-filtering it:
+    // the store-side scan must carry a dynamic-partition-pruning filter fed
+    // by the broadcast probe set, and the store must be read from the
+    // persisted artifact (index-build posture), never rebuilt per query
+    val p = plan("e3_ivf_store")
+    assert(p.contains("graft_ivf_store"),
+      s"serving must read the persisted partitioned store:\n$p")
+    assert(!p.contains("decimal(27,10)"),
+      s"the serving plan must not inline the trainer:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the store scan must be dynamically partition-pruned by the probe set:\n$p")
+  }
+
   test("g2 coshare routes the aggregation shape on the supplier statistic") {
     // round-8 verdict item 4: the routing STATISTIC (supplier cardinality
     // vs CosharePairKeySpaceMax) gets a dimension planted on each side of

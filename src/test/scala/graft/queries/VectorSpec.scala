@@ -94,6 +94,25 @@ class VectorSpec extends SparkSpec {
       s"trained PQ recall@5 $recall < seed codebook recall@5 $seedRecall")
   }
 
+  test("IVF store serving: byte-parity with the batch plan, partitioned layout on disk") {
+    // the on-disk partitioned posting store must answer queries exactly as
+    // the from-scratch batch build — same quantizer artifact, same
+    // assignment, same re-rank; only WHERE the posting rows live differs
+    val batch = VectorOps.ivfAnnTopK(spark, dir, nQueries = 50, k = 3,
+      trainIters = 2).collect().toSeq
+    val store = VectorOps.ivfStoreTopK(spark, dir, nQueries = 50, k = 3,
+      trainIters = 2).collect().toSeq
+    assert(batch.nonEmpty)
+    assert(store == batch, "store-served top-k must equal the batch plan's")
+    // the layout claim is real: one hive-style directory per inverted list
+    val path = VectorOps.postingStorePath(spark, dir, nlist = 16,
+      trainIters = 2)
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(parts.length > 1,
+      s"expected one directory per inverted list under $path")
+  }
+
   test("semdedup: every dup pairs with a lower-id keeper in its own cluster") {
     val rows = QueryCatalog.queries("e3_semdedup")(spark, dir).collect()
     assert(rows.nonEmpty)
