@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
 import graft.operators.OrderedOps
 
@@ -180,6 +181,118 @@ object VectorOps {
     QueryDef("e3_ivf_store",
       (s, dir) => ivfStoreTopK(s, dir, nQueries = 50, k = 3, trainIters = 2),
       Some(ivfOracleSql)),
+
+    // Hybrid retrieval with reciprocal-rank fusion — the serving pattern
+    // behind RAG search: a DENSE retriever (embedding cosine) and a SPARSE
+    // retriever (TF-IDF cosine over the text, e4_tfidf_cosine's
+    // micro-quantized carrier) each rank candidates per query over the SAME
+    // candidate universe, then RRF sums 1/(60 + rank) across the lists and
+    // re-ranks — robust to the two retrievers' incomparable score scales,
+    // which is why hybrid search fuses on rank, not score. Retrieval depth
+    // 10 per list, final k 3, ids < 150 as the shared universe (the same
+    // bounded-corpus rationale as e4_tfidf_cosine on this 31-word synthetic
+    // vocabulary). At 100 TB both candidate generators swap for their
+    // indexed paths (the IVF posting store / an impact-ordered TF-IDF
+    // posting list); the fusion itself is one union + (q_id, n_id) key
+    // shuffle over O(queries × depth) rows — independent of corpus size.
+    QueryDef("e3_hybrid_rrf",
+      (s, dir) => {
+        val nQ = 10; val universe = 150; val depth = 10; val k = 3
+        val all = emb(s, dir).filter(col("vec_id") < universe)
+        val qv = all.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val denseScored = broadcast(qv)
+          .join(all, col("q_id") =!= col("vec_id"))
+          .withColumn("cos",
+            cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        val dense = OrderedOps.topKPerGroup(denseScored, Seq("q_id"),
+            Seq(col("cos").desc, col("vec_id")), depth)
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            col("rank").cast("long").as("r"))
+        val bounded = Tables.documents(s, dir)
+          .filter(col("doc_id") < universe)
+        val toks = bounded.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+        val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val nDocs = bounded.agg(count(lit(1)).as("n_docs"))
+        val w = tf.join(dfreq, "t").crossJoin(broadcast(nDocs))
+          .withColumn("w", col("tf") *
+            (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+        val tn = w.groupBy("doc_id")
+          .agg(sqrt(sum(round(col("w") * col("w") * 1e6, 0).cast("long"))
+            .cast("double") / 1e6).as("nrm"))
+        val sdots = w.as("a")
+          .join(w.as("b"), col("a.t") === col("b.t") &&
+            col("a.doc_id") < nQ && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("q_id"), col("b.doc_id").as("n_id"))
+          .agg((sum(round(col("a.w") * col("b.w") * 1e6, 0).cast("long"))
+            .cast("double") / 1e6).as("dot"))
+        val sparseScored = sdots
+          .join(tn.select(col("doc_id").as("q_id"), col("nrm").as("na")),
+            "q_id")
+          .join(tn.select(col("doc_id").as("n_id"), col("nrm").as("nb")),
+            "n_id")
+          .withColumn("cos", col("dot") / (col("na") * col("nb")))
+        val sparse = OrderedOps.topKPerGroup(sparseScored, Seq("q_id"),
+            Seq(col("cos").desc, col("n_id")), depth)
+          .select(col("q_id"), col("n_id"), col("rank").cast("long").as("r"))
+        val fused = dense.unionByName(sparse)
+          .groupBy("q_id", "n_id")
+          .agg(sum(lit(1.0) / (col("r") + 60.0)).as("rrf"),
+            count(lit(1)).as("n_lists"))
+        OrderedOps.topKPerGroup(fused, Seq("q_id"),
+            Seq(col("rrf").desc, col("n_id")), k)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("n_id"), col("n_lists"), round(col("rrf"), 6).as("rrf_score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            unnest(generate_series(1, len(embedding))) AS i FROM embeddings
+          WHERE vec_id < 150),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x
+          GROUP BY vec_id),
+        dd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.v * b.v) AS dot
+          FROM x a JOIN x b ON a.i = b.i
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        dscore AS (SELECT q_id, n_id, dot / (na.nrm * nb.nrm) AS cos
+          FROM dd JOIN norms na ON q_id = na.vec_id
+          JOIN norms nb ON n_id = nb.vec_id),
+        dense AS (SELECT q_id, n_id, r FROM (SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+          FROM dscore) z WHERE r <= 10),
+        tok AS (SELECT doc_id, unnest(${TextFunctions.tokensSql}) AS t
+          FROM documents WHERE doc_id < 150),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 150),
+        w AS (SELECT doc_id, t,
+            tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+          FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+        tn AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w * 1000000)
+            AS BIGINT)) AS DOUBLE) / 1000000) AS nrm
+          FROM w GROUP BY doc_id),
+        sd AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id,
+            CAST(sum(CAST(round(a.w * b.w * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000 AS dot
+          FROM w a JOIN w b ON a.t = b.t
+            AND a.doc_id < 10 AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        sscore AS (SELECT q_id, n_id, dot / (na.nrm * nb.nrm) AS cos
+          FROM sd JOIN tn na ON q_id = na.doc_id
+          JOIN tn nb ON n_id = nb.doc_id),
+        sparse AS (SELECT q_id, n_id, r FROM (SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+          FROM sscore) z2 WHERE r <= 10),
+        fused AS (SELECT q_id, n_id, sum(1.0 / (r + 60.0)) AS rrf,
+            count(*) AS n_lists
+          FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse) u
+          GROUP BY 1, 2),
+        ranked AS (SELECT q_id, n_id, n_lists, rrf, row_number() OVER (
+            PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rank FROM fused)
+        SELECT q_id, rank, n_id, n_lists, round(rrf, 6) AS rrf_score
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     // per-cluster centroid embeddings (k-means-style update step / cluster
     // summarization): nearest-centroid assignment (broadcast quantizer, one

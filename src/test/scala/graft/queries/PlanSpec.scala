@@ -531,6 +531,26 @@ class PlanSpec extends SparkSpec {
       s"the store scan must be dynamically partition-pruned by the probe set:\n$p")
   }
 
+  test("e3 hybrid RRF: pairs form only through term/broadcast joins, aggs partial") {
+    val p = plan("e3_hybrid_rrf")
+    // candidate pairs must form through joins that scale: the sparse side
+    // through the term hash join, the dense side through the broadcast
+    // query set (a non-equi BNLJ whose build side is the bounded query
+    // list — the e3_cosine_topk shape). The only OTHER nested loops
+    // allowed are the 1-row n_docs idf-constant cross joins (one per reuse
+    // of the weight table, matching e4_tfidf_cosine's pure plan).
+    assert(!p.contains("CartesianProduct"), s"cartesian in hybrid plan:\n$p")
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    val nonCross = bnlj.filterNot(_.contains(", Cross"))
+    assert(nonCross.size == 1,
+      s"exactly the broadcast-query dense join may be a non-cross BNLJ:\n$p")
+    assert(p.contains("BroadcastHashJoin [t#"),
+      s"sparse pairs must form through the term hash join:\n$p")
+    // tf and the fused rrf sum must combine map-side
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected partial aggregation:\n$p")
+  }
+
   test("g2 coshare routes the aggregation shape on the supplier statistic") {
     // round-8 verdict item 4: the routing STATISTIC (supplier cardinality
     // vs CosharePairKeySpaceMax) gets a dimension planted on each side of

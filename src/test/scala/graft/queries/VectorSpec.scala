@@ -113,6 +113,41 @@ class VectorSpec extends SparkSpec {
       s"expected one directory per inverted list under $path")
   }
 
+  test("hybrid RRF: contiguous ranks, sane scores, two-list hits score higher") {
+    val rows = QueryCatalog.queries("e3_hybrid_rrf")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per query: ranks are 1..n contiguous, scores non-increasing
+    for ((q, rs0) <- rows.groupBy(_.getAs[Long]("q_id"))) {
+      val rs = rs0.sortBy(_.getAs[Long]("rank"))
+      assert(rs.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length).toSeq,
+        s"q$q: ranks not contiguous")
+      val scores = rs.map(_.getAs[Double]("rrf_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q$q: scores not non-increasing")
+    }
+    for (r <- rows) {
+      val nLists = r.getAs[Long]("n_lists")
+      val score = r.getAs[Double]("rrf_score")
+      assert(nLists == 1L || nLists == 2L)
+      // depth-10 lists with k0=60: a single-list hit scores in
+      // [1/70, 1/61]; a both-lists hit in [2/70, 2/61] (1e-6 margin for
+      // the round-to-6 in the emitted score)
+      if (nLists == 1L) assert(score >= 1.0 / 70 - 1e-6 && score <= 1.0 / 61 + 1e-6)
+      else assert(score >= 2.0 / 70 - 1e-6 && score <= 2.0 / 61 + 1e-6)
+    }
+    // RRF's defining property at this depth/k0: appearing in BOTH lists
+    // (any ranks) beats appearing in one (best rank): 2/70 > 1/61
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    for ((q, rs) <- byQ) {
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val firstSingle = sorted.indexWhere(_.getAs[Long]("n_lists") == 1L)
+      val lastDouble = sorted.lastIndexWhere(_.getAs[Long]("n_lists") == 2L)
+      if (firstSingle >= 0 && lastDouble >= 0)
+        assert(lastDouble < firstSingle,
+          s"q$q: a one-list hit outranked a two-list hit")
+    }
+  }
+
   test("semdedup: every dup pairs with a lower-id keeper in its own cluster") {
     val rows = QueryCatalog.queries("e3_semdedup")(spark, dir).collect()
     assert(rows.nonEmpty)
