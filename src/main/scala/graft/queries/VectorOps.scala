@@ -878,8 +878,9 @@ object VectorOps {
 
   /** Schema of the on-disk posting store (explicit so the partition column
     * `cluster` reads back as LONG instead of the inferred INT — hive-style
-    * partition values are strings on disk). */
-  private val postingStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    * partition values are strings on disk). `private[graft]` so the
+    * streaming append sink writes rows under the identical contract. */
+  private[graft] val postingStoreSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("v",
@@ -919,20 +920,30 @@ object VectorOps {
     * so the re-rank needs no join back to the corpus — one broadcast-join
     * chain from scan to top-k. */
   def ivfStoreTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 2): DataFrame = {
-    val cents = persistedTrainedCentroids(s, dir, nlist, trainIters)
-    val store = s.read.schema(postingStoreSchema)
-      .parquet(postingStorePath(s, dir, nlist, trainIters))
-    val q = emb(s, dir).filter(col("vec_id") < nQueries)
-    val probeTop = OrderedOps.topKPerGroup(centScored(q, cents),
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 2): DataFrame =
+    serveFromStorePath(s, postingStorePath(s, dir, nlist, trainIters),
+      emb(s, dir).filter(col("vec_id") < nQueries),
+      persistedTrainedCentroids(s, dir, nlist, trainIters), k, nprobe)
+
+  /** The partitioned-store serving plan against an explicit store PATH —
+    * shared by [[ivfStoreTopK]] (batch-built store) and the streaming
+    * append sink's spec (stream-appended store), so both layouts serve
+    * through the identical DPP-pruned plan. `queries` must carry
+    * `(vec_id, v, nrm)`. The candidate dedup on (q_id, vec_id) also makes
+    * serving insensitive to a duplicated posting row — the property that
+    * lets an at-least-once append sink serve exact results. */
+  private[graft] def serveFromStorePath(s: SparkSession, storePath: String,
+      queries: DataFrame, cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val store = s.read.schema(postingStoreSchema).parquet(storePath)
+    val probeTop = OrderedOps.topKPerGroup(centScored(queries, cents),
         Seq("vec_id"), Seq(col("c_cos").desc, col("c_id")), nprobe)
       .select(col("vec_id").as("q_id"), col("c_id").as("cluster"))
     val cand = store.join(broadcast(probeTop), Seq("cluster"))
       .filter(col("q_id") =!= col("vec_id"))
       .dropDuplicates("q_id", "vec_id")
     val scored = cand
-      .join(broadcast(q.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"))), Seq("q_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))), Seq("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
     OrderedOps.topKPerGroup(scored, Seq("q_id"),
         Seq(col("cos").desc, col("vec_id")), k)

@@ -111,6 +111,55 @@ object AnnStreaming {
       .start()
   }
 
+  /** Mutable state for the ON-DISK append stream: only the no-redelivery
+    * high-water mark (the posting rows themselves live in the partitioned
+    * parquet store, not on the heap). */
+  final class StoreAppendState {
+    @volatile var maxSeenId: Long = Long.MinValue
+  }
+
+  /** Start the ingest stream APPENDING to the on-disk partitioned posting
+    * store ([[VectorOps.postingStorePath]]'s layout): each micro-batch is
+    * assigned map-side against the frozen broadcast quantizer, then its
+    * posting rows land as NEW parquet files under their `cluster=`
+    * directories — existing lists are never rewritten, and serving reads
+    * the directory through the same DPP-pruned plan as the batch-built
+    * store ([[VectorOps.serveFromStorePath]]; StreamingAnnSpec pins
+    * stream-appended == batch-built served results). Delivery contract:
+    * the parquet append is at-least-once under a mid-batch crash (a retry
+    * re-appends the partial batch's rows — a transactional table format
+    * slots in here at scale); serving stays EXACT regardless because the
+    * candidate join dedups on (q_id, vec_id), so the guard below only
+    * protects the store's row count, not correctness. */
+  def runIvfStoreAppendStream(spark: SparkSession, inputDir: String,
+      embSchema: StructType, storePath: String, state: StoreAppendState,
+      cents: DataFrame): StreamingQuery = {
+    spark.readStream.schema(embSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = VectorOps.prepEmb(batch).localCheckpoint()
+        val bounds = b.agg(min(col("vec_id")), max(col("vec_id")),
+          count(col("vec_id")), countDistinct(col("vec_id"))).head()
+        if (!bounds.isNullAt(0)) {
+          if (bounds.getLong(0) <= state.maxSeenId)
+            throw new IllegalStateException(
+              s"re-delivered micro-batch: min vec_id ${bounds.getLong(0)} " +
+                s"<= already-appended max ${state.maxSeenId}")
+          if (bounds.getLong(2) != bounds.getLong(3))
+            throw new IllegalStateException(
+              "duplicated vec_id within a micro-batch")
+        }
+        VectorOps.assignWithVectors(b, cents)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+          .write.mode("append").partitionBy("cluster").parquet(storePath)
+        if (!bounds.isNullAt(0)) state.maxSeenId = bounds.getLong(1)
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Serve top-k from the stream-maintained index — the identical plan as
     * the batch e3_ivf_ann serving path, reading `(v, nrm, cluster)` from
     * the posting store instead of re-assigning the corpus. */

@@ -62,6 +62,47 @@ class StreamingAnnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-APPENDED on-disk store serves byte-identically to the batch-built store") {
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val maxId = embRaw.agg(max("vec_id")).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId + 1)
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val inputDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_annstore_in").toString
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_stream_annstore").toString + "/store"
+    val state = new AnnStreaming.StoreAppendState
+    val q = AnnStreaming.runIvfStoreAppendStream(spark, inputDir,
+      embRaw.schema, storePath, state, cents)
+    try {
+      var lo = -1L
+      for (hi <- cuts) {
+        embRaw.filter(col("vec_id") > lo && col("vec_id") <= hi)
+          .coalesce(1).write.mode("append").parquet(inputDir)
+        q.processAllAvailable()
+        lo = hi
+      }
+      // the appended layout is the partitioned-store contract: hive-style
+      // cluster= directories, never a rewrite of earlier files
+      val parts = new java.io.File(storePath).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      assert(parts.length > 1, s"expected cluster= directories at $storePath")
+      // serving the stream-appended store == serving the batch-built store
+      // (same plan: VectorOps.serveFromStorePath), which VectorSpec already
+      // holds byte-equal to the from-scratch e3_ivf_ann
+      val queries = VectorOps.prepEmb(embRaw).filter(col("vec_id") < nQueries)
+        .localCheckpoint()
+      val batchStore = VectorOps.ivfStoreTopK(spark, dir, nQueries, k,
+        nlist, nprobe, trainIters).collect().toSeq
+      val streamed = VectorOps.serveFromStorePath(spark, storePath,
+        queries, cents, k, nprobe).collect().toSeq
+      assert(batchStore.nonEmpty)
+      assert(streamed == batchStore,
+        "stream-appended store served differently from the batch-built store")
+    } finally q.stop()
+  }
+
   test("re-delivered micro-batches fail loudly instead of duplicating rows") {
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
