@@ -97,8 +97,12 @@ object Tables {
     * reader re-infers their types, so callers cast them back explicitly. */
   def persistedArtifactPath(s: SparkSession, family: String, key: String,
       partitionBy: Seq[String] = Nil)(build: => DataFrame): String = {
+    // the layout is part of the artifact's identity: the same (family, key)
+    // requested with a different partitionBy must NOT serve the
+    // previously-written directory with the wrong directory structure
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$key|layout=${partitionBy.mkString(",")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val path = s"/tmp/$family/$md5"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val w = build.write.mode("overwrite")

@@ -616,24 +616,15 @@ object TextOps {
     // e2_ngram_jaccard, measured there).
     QueryDef("e4_tfidf_cosine",
       (s, dir) => {
-        val bounded = docs(s, dir).filter(col("doc_id") < 150)
-        val toks = bounded
-          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        val nDocs = bounded.agg(count(lit(1)).as("n_docs"))
-        val w = tf.join(dfreq, "t").crossJoin(broadcast(nDocs))
-          .withColumn("w", col("tf") *
-            (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
-        val nrm = w.groupBy("doc_id")
-          .agg(sqrt(sum(round(col("w") * col("w") * 1e6, 0).cast("long"))
-            .cast(DoubleType) / 1e6).as("nrm"))
+        // weight/norm/dot definitions shared with e3_hybrid_rrf's sparse
+        // retriever through the single TfIdf contract object
+        val w = TfIdf.weights(docs(s, dir).filter(col("doc_id") < 150))
+        val nrm = TfIdf.norms(w)
         val dots = w.as("a")
           .join(w.as("b"),
             col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg((sum(round(col("a.w") * col("b.w") * 1e6, 0).cast("long"))
-            .cast(DoubleType) / 1e6).as("dot"))
+          .agg(TfIdf.quantizedDot(col("a.w"), col("b.w")).as("dot"))
         dots
           .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
             "doc_a")
@@ -644,26 +635,15 @@ object TextOps {
           .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos_sim"))
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t
-          FROM documents WHERE doc_id < 150),
-        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
-        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-        n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 150),
-        w AS (SELECT doc_id, t,
-            tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
-          FROM tf JOIN dfreq USING (t) CROSS JOIN n),
-        nrm AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w * 1000000)
-            AS BIGINT)) AS DOUBLE) / 1000000) AS nrm
-          FROM w GROUP BY doc_id),
+      Some(s"""WITH ${TfIdf.oracleCtes(150)},
         dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            CAST(sum(CAST(round(a.w * b.w * 1000000) AS BIGINT)) AS DOUBLE)
-              / 1000000 AS dot
+            ${TfIdf.oracleQuantizedDot("a.w", "b.w")} AS dot
           FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
           round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
-        FROM dots JOIN nrm na ON doc_a = na.doc_id
-        JOIN nrm nb ON doc_b = nb.doc_id
+        FROM dots JOIN tn na ON doc_a = na.doc_id
+        JOIN tn nb ON doc_b = nb.doc_id
         WHERE dot / (na.nrm * nb.nrm) >= 0.5
         ORDER BY doc_a, doc_b""")),
 

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
 import graft.operators.OrderedOps
 
@@ -184,17 +183,21 @@ object VectorOps {
 
     // Hybrid retrieval with reciprocal-rank fusion — the serving pattern
     // behind RAG search: a DENSE retriever (embedding cosine) and a SPARSE
-    // retriever (TF-IDF cosine over the text, e4_tfidf_cosine's
-    // micro-quantized carrier) each rank candidates per query over the SAME
-    // candidate universe, then RRF sums 1/(60 + rank) across the lists and
-    // re-ranks — robust to the two retrievers' incomparable score scales,
-    // which is why hybrid search fuses on rank, not score. Retrieval depth
-    // 10 per list, final k 3, ids < 150 as the shared universe (the same
-    // bounded-corpus rationale as e4_tfidf_cosine on this 31-word synthetic
-    // vocabulary). At 100 TB both candidate generators swap for their
-    // indexed paths (the IVF posting store / an impact-ordered TF-IDF
-    // posting list); the fusion itself is one union + (q_id, n_id) key
-    // shuffle over O(queries × depth) rows — independent of corpus size.
+    // retriever (TF-IDF cosine over the text, THE SAME contract object as
+    // e4_tfidf_cosine — see TfIdf) each rank candidates per query over the
+    // SAME candidate universe, then RRF sums 1/(60 + rank) across the
+    // lists and re-ranks — robust to the two retrievers' incomparable
+    // score scales, which is why hybrid search fuses on rank, not score.
+    // MODELING ASSUMPTION (pinned by VectorSpec's id-alignment canary):
+    // embeddings.vec_id IS documents.doc_id — the fixture's embeddings are
+    // the documents' embeddings, 1:1 by id at every SF, so the two lists
+    // rank the same entities. Retrieval depth 10 per list, final k 3,
+    // ids < 150 as the shared universe (the bounded-corpus rationale of
+    // e4_tfidf_cosine on this 31-word synthetic vocabulary). At 100 TB
+    // both candidate generators swap for their indexed paths (the IVF
+    // posting store / an impact-ordered TF-IDF posting list); the fusion
+    // itself is one union + (q_id, n_id) key shuffle over
+    // O(queries × depth) rows — independent of corpus size.
     QueryDef("e3_hybrid_rrf",
       (s, dir) => {
         val nQ = 10; val universe = 150; val depth = 10; val k = 3
@@ -210,25 +213,17 @@ object VectorOps {
             Seq(col("cos").desc, col("vec_id")), depth)
           .select(col("q_id"), col("vec_id").as("n_id"),
             col("rank").cast("long").as("r"))
-        val bounded = Tables.documents(s, dir)
-          .filter(col("doc_id") < universe)
-        val toks = bounded.select(col("doc_id"),
-          explode(TextFunctions.tokens(col("text"))).as("t"))
-        val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        val nDocs = bounded.agg(count(lit(1)).as("n_docs"))
-        val w = tf.join(dfreq, "t").crossJoin(broadcast(nDocs))
-          .withColumn("w", col("tf") *
-            (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
-        val tn = w.groupBy("doc_id")
-          .agg(sqrt(sum(round(col("w") * col("w") * 1e6, 0).cast("long"))
-            .cast("double") / 1e6).as("nrm"))
+        // w feeds the norm table AND both sides of the pair join:
+        // materialize it once (the e4_tfidf tf-checkpoint rationale) or
+        // the tokenize+explode+aggregate chain replays per consumer
+        val w = TfIdf.weights(Tables.documents(s, dir)
+          .filter(col("doc_id") < universe)).localCheckpoint()
+        val tn = TfIdf.norms(w)
         val sdots = w.as("a")
           .join(w.as("b"), col("a.t") === col("b.t") &&
             col("a.doc_id") < nQ && col("a.doc_id") =!= col("b.doc_id"))
           .groupBy(col("a.doc_id").as("q_id"), col("b.doc_id").as("n_id"))
-          .agg((sum(round(col("a.w") * col("b.w") * 1e6, 0).cast("long"))
-            .cast("double") / 1e6).as("dot"))
+          .agg(TfIdf.quantizedDot(col("a.w"), col("b.w")).as("dot"))
         val sparseScored = sdots
           .join(tn.select(col("doc_id").as("q_id"), col("nrm").as("na")),
             "q_id")
@@ -262,20 +257,9 @@ object VectorOps {
         dense AS (SELECT q_id, n_id, r FROM (SELECT q_id, n_id,
             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
           FROM dscore) z WHERE r <= 10),
-        tok AS (SELECT doc_id, unnest(${TextFunctions.tokensSql}) AS t
-          FROM documents WHERE doc_id < 150),
-        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
-        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-        n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 150),
-        w AS (SELECT doc_id, t,
-            tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
-          FROM tf JOIN dfreq USING (t) CROSS JOIN n),
-        tn AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w * 1000000)
-            AS BIGINT)) AS DOUBLE) / 1000000) AS nrm
-          FROM w GROUP BY doc_id),
+        ${TfIdf.oracleCtes(150)},
         sd AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id,
-            CAST(sum(CAST(round(a.w * b.w * 1000000) AS BIGINT)) AS DOUBLE)
-              / 1000000 AS dot
+            ${TfIdf.oracleQuantizedDot("a.w", "b.w")} AS dot
           FROM w a JOIN w b ON a.t = b.t
             AND a.doc_id < 10 AND a.doc_id <> b.doc_id
           GROUP BY 1, 2),

@@ -71,44 +71,61 @@ object AnnStreaming {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // ONE prep pass per micro-batch; the table serves both the
-        // redelivery guard and the assignment scoring
+        // redelivery guard and the assignment scoring. unpersist rides a
+        // finally so a guard throw cannot leak the checkpointed blocks;
+        // an empty micro-batch (idle trigger) skips the assignment and
+        // snapshot work entirely.
         val b = VectorOps.prepEmb(batch).localCheckpoint()
-        // the same aggregate also catches a vec_id duplicated WITHIN the
-        // batch (two landed copies coalesced into one micro-batch), which
-        // would duplicate posting rows just as silently as a cross-batch
-        // redelivery
-        val bounds = b.agg(min(col("vec_id")), max(col("vec_id")),
-          count(col("vec_id")), countDistinct(col("vec_id"))).head()
-        if (!bounds.isNullAt(0)) {
-          if (bounds.getLong(0) <= state.maxSeenId)
-            throw new IllegalStateException(
-              s"re-delivered micro-batch: min vec_id ${bounds.getLong(0)} " +
-                s"<= already-indexed max ${state.maxSeenId}; the ANN ingest " +
-                "stream requires exactly-once id-ordered arrival (a " +
-                "re-delivered id would duplicate its posting row)")
-          if (bounds.getLong(2) != bounds.getLong(3))
-            throw new IllegalStateException(
-              s"duplicated vec_id within a micro-batch (${bounds.getLong(2)} " +
-                s"rows, ${bounds.getLong(3)} distinct ids); the ANN ingest " +
-                "stream requires exactly-once vectors (dedupe the landing feed)")
-        }
-        // posting rows in ONE exchange: the assignment aggregate carries
-        // (v, nrm) through its own shuffle instead of re-joining the batch
-        val newPostings = VectorOps.assignWithVectors(b, cents)
-          .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-        // build the new snapshot (eager checkpoint) BEFORE mutating any
-        // state, and advance maxSeenId only after the swap — a mid-batch
-        // failure then leaves the previous consistent state intact, so a
-        // retry of the lost batch passes the guard
-        val next = state.postings.unionByName(newPostings).localCheckpoint()
-        val prev = state.postings
-        state.postings = next
-        if (!bounds.isNullAt(0)) state.maxSeenId = bounds.getLong(1)
-        prev.unpersist()
-        b.unpersist()
+        try {
+          val bounds = checkBatchContract(b, state.maxSeenId)
+          if (!bounds.isNullAt(0)) {
+            // posting rows in ONE exchange: the assignment aggregate
+            // carries (v, nrm) through its own shuffle instead of
+            // re-joining the batch
+            val newPostings = VectorOps.assignWithVectors(b, cents)
+              .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+            // build the new snapshot (eager checkpoint) BEFORE mutating
+            // any state, and advance maxSeenId only after the swap — a
+            // mid-batch failure then leaves the previous consistent state
+            // intact, so a retry of the lost batch passes the guard
+            val next = state.postings.unionByName(newPostings)
+              .localCheckpoint()
+            val prev = state.postings
+            state.postings = next
+            state.maxSeenId = bounds.getLong(1)
+            prev.unpersist()
+          }
+        } finally b.unpersist()
         ()
       }
       .start()
+  }
+
+  /** The micro-batch delivery contract, shared by BOTH ingest modes (heap
+    * snapshot and on-disk append) so the two paths cannot drift apart: one
+    * tiny aggregate per batch rejects (a) a re-delivered batch — min id at
+    * or below the high-water mark — and (b) a vec_id duplicated WITHIN the
+    * batch (two landed copies coalesced into one trigger), which the
+    * min-vs-max guard alone cannot see. Returns the
+    * (min, max, count, distinct) bounds row; all-null row 0 = empty batch. */
+  private def checkBatchContract(b: DataFrame,
+      maxSeenId: Long): org.apache.spark.sql.Row = {
+    val bounds = b.agg(min(col("vec_id")), max(col("vec_id")),
+      count(col("vec_id")), countDistinct(col("vec_id"))).head()
+    if (!bounds.isNullAt(0)) {
+      if (bounds.getLong(0) <= maxSeenId)
+        throw new IllegalStateException(
+          s"re-delivered micro-batch: min vec_id ${bounds.getLong(0)} " +
+            s"<= already-indexed max $maxSeenId; the ANN ingest " +
+            "stream requires exactly-once id-ordered arrival (a " +
+            "re-delivered id would duplicate its posting row)")
+      if (bounds.getLong(2) != bounds.getLong(3))
+        throw new IllegalStateException(
+          s"duplicated vec_id within a micro-batch (${bounds.getLong(2)} " +
+            s"rows, ${bounds.getLong(3)} distinct ids); the ANN ingest " +
+            "stream requires exactly-once vectors (dedupe the landing feed)")
+    }
+    bounds
   }
 
   /** Mutable state for the ON-DISK append stream: only the no-redelivery
@@ -139,22 +156,15 @@ object AnnStreaming {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = VectorOps.prepEmb(batch).localCheckpoint()
-        val bounds = b.agg(min(col("vec_id")), max(col("vec_id")),
-          count(col("vec_id")), countDistinct(col("vec_id"))).head()
-        if (!bounds.isNullAt(0)) {
-          if (bounds.getLong(0) <= state.maxSeenId)
-            throw new IllegalStateException(
-              s"re-delivered micro-batch: min vec_id ${bounds.getLong(0)} " +
-                s"<= already-appended max ${state.maxSeenId}")
-          if (bounds.getLong(2) != bounds.getLong(3))
-            throw new IllegalStateException(
-              "duplicated vec_id within a micro-batch")
-        }
-        VectorOps.assignWithVectors(b, cents)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
-          .write.mode("append").partitionBy("cluster").parquet(storePath)
-        if (!bounds.isNullAt(0)) state.maxSeenId = bounds.getLong(1)
-        b.unpersist()
+        try {
+          val bounds = checkBatchContract(b, state.maxSeenId)
+          if (!bounds.isNullAt(0)) {
+            VectorOps.assignWithVectors(b, cents)
+              .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+              .write.mode("append").partitionBy("cluster").parquet(storePath)
+            state.maxSeenId = bounds.getLong(1)
+          }
+        } finally b.unpersist()
         ()
       }
       .start()

@@ -85,59 +85,68 @@ object DedupStreaming {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // ONE signing pass per micro-batch; the table then serves both the
-        // pair finding and the store append
+        // pair finding and the store append. Its unpersist rides a finally
+        // so a guard throw cannot leak the checkpointed blocks; an empty
+        // micro-batch (idle trigger) skips the merge entirely.
         val batchSig = TextFunctions
           .signatureTable(batch, numHashes, shingleLen)
           .localCheckpoint()
-        // arrival-order contract CHECKED, not assumed: the banding join's
-        // doc_a < doc_b guard silently drops a store-vs-batch candidate
-        // whose store id exceeds the batch id, so an out-of-order feed
-        // would lose pairs without an error anywhere downstream. The same
-        // aggregate also catches a doc_id duplicated WITHIN the batch (a
-        // double-landed file coalesced into one micro-batch), which would
-        // corrupt the store just as silently. One tiny aggregate over the
-        // batch-sized signature table per micro-batch.
-        val bounds = batchSig.agg(min(col("doc_id")), max(col("doc_id")),
-          count(col("doc_id")), countDistinct(col("doc_id"))).head()
-        if (!bounds.isNullAt(0)) {
-          if (bounds.getLong(0) <= state.maxSeenId)
-            throw new IllegalStateException(
-              s"out-of-order micro-batch: min doc_id ${bounds.getLong(0)} " +
-                s"<= already-absorbed max ${state.maxSeenId}; the near-dedup " +
-                "stream requires id-ordered arrival (re-key or buffer the feed)")
-          if (bounds.getLong(2) != bounds.getLong(3))
-            throw new IllegalStateException(
-              s"duplicated doc_id within a micro-batch (${bounds.getLong(2)} " +
-                s"rows, ${bounds.getLong(3)} distinct ids); the near-dedup " +
-                "stream requires exactly-once docs (dedupe the landing feed)")
-        }
-        val newPairs = TextFunctions.minhashIncrementalPairsFromSig(
-            state.storeSig, batchSig, numHashes, bands, threshold)
-          .select("doc_a", "doc_b")
-          .localCheckpoint()
-        // build EVERY new snapshot (eager checkpoints) before mutating any
-        // state: a mid-batch failure then leaves the previous consistent
-        // state intact — maxSeenId still points at the last fully-absorbed
-        // batch, so a retry of the lost batch passes the arrival guard
-        // instead of being rejected as out-of-order
-        val newLab = ConnectedComponents
-          .mergeNewPairs(state.labeling, newPairs, "doc_a", "doc_b")
-          .localCheckpoint()
-        val newSig = state.storeSig.unionByName(batchSig).localCheckpoint()
-        val newPairsSeen = state.pairsSeen.unionByName(newPairs)
-          .localCheckpoint()
-        val (prevLab, prevSig, prevPairs) =
-          (state.labeling, state.storeSig, state.pairsSeen)
-        state.labeling = newLab
-        state.storeSig = newSig
-        state.pairsSeen = newPairsSeen
-        if (!bounds.isNullAt(0)) state.maxSeenId = bounds.getLong(1)
-        // each new checkpoint is eager, so the superseded snapshots can be
-        // released — without this every micro-batch pins one more copy of
-        // the store in the block store (unbounded growth over a long run)
-        prevLab.unpersist()
-        prevSig.unpersist()
-        prevPairs.unpersist()
+        try {
+          // arrival-order contract CHECKED, not assumed: the banding
+          // join's doc_a < doc_b guard silently drops a store-vs-batch
+          // candidate whose store id exceeds the batch id, so an
+          // out-of-order feed would lose pairs without an error anywhere
+          // downstream. The same aggregate also catches a doc_id
+          // duplicated WITHIN the batch (a double-landed file coalesced
+          // into one micro-batch), which would corrupt the store just as
+          // silently. One tiny aggregate over the batch-sized signature
+          // table per micro-batch.
+          val bounds = batchSig.agg(min(col("doc_id")), max(col("doc_id")),
+            count(col("doc_id")), countDistinct(col("doc_id"))).head()
+          if (!bounds.isNullAt(0)) {
+            if (bounds.getLong(0) <= state.maxSeenId)
+              throw new IllegalStateException(
+                s"out-of-order micro-batch: min doc_id ${bounds.getLong(0)} " +
+                  s"<= already-absorbed max ${state.maxSeenId}; the near-dedup " +
+                  "stream requires id-ordered arrival (re-key or buffer the feed)")
+            if (bounds.getLong(2) != bounds.getLong(3))
+              throw new IllegalStateException(
+                s"duplicated doc_id within a micro-batch (${bounds.getLong(2)} " +
+                  s"rows, ${bounds.getLong(3)} distinct ids); the near-dedup " +
+                  "stream requires exactly-once docs (dedupe the landing feed)")
+            val newPairs = TextFunctions.minhashIncrementalPairsFromSig(
+                state.storeSig, batchSig, numHashes, bands, threshold)
+              .select("doc_a", "doc_b")
+              .localCheckpoint()
+            // build EVERY new snapshot (eager checkpoints) before mutating
+            // any state: a mid-batch failure then leaves the previous
+            // consistent state intact — maxSeenId still points at the last
+            // fully-absorbed batch, so a retry of the lost batch passes
+            // the arrival guard instead of being rejected as out-of-order
+            val newLab = ConnectedComponents
+              .mergeNewPairs(state.labeling, newPairs, "doc_a", "doc_b")
+              .localCheckpoint()
+            val newSig = state.storeSig.unionByName(batchSig)
+              .localCheckpoint()
+            val newPairsSeen = state.pairsSeen.unionByName(newPairs)
+              .localCheckpoint()
+            val (prevLab, prevSig, prevPairs) =
+              (state.labeling, state.storeSig, state.pairsSeen)
+            state.labeling = newLab
+            state.storeSig = newSig
+            state.pairsSeen = newPairsSeen
+            state.maxSeenId = bounds.getLong(1)
+            // every superseded or intermediate checkpoint is released once
+            // the new snapshots exist — without this each micro-batch pins
+            // additional copies in the block store (unbounded growth over
+            // a long run): the previous snapshots AND the batch-local
+            // newPairs (already folded into labeling + pairsSeen)
+            prevLab.unpersist()
+            prevSig.unpersist()
+            prevPairs.unpersist()
+            newPairs.unpersist()
+          }
+        } finally batchSig.unpersist()
         ()
       }
       .start()

@@ -113,6 +113,21 @@ class VectorSpec extends SparkSpec {
       s"expected one directory per inverted list under $path")
   }
 
+  test("hybrid RRF id-alignment canary: embeddings.vec_id IS documents.doc_id") {
+    // e3_hybrid_rrf fuses the dense list (over embeddings) with the sparse
+    // list (over documents) BY ID — which is only meaningful because the
+    // fixture's embeddings are the documents' embeddings, 1:1 by id. If
+    // the driver ever decouples the two tables, this canary fails with a
+    // diff instead of the fusion silently merging unrelated entities.
+    val vecIds = graft.Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val docIds = graft.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(vecIds == docIds,
+      s"id sets diverged: ${(vecIds diff docIds).take(5)} only in embeddings, " +
+        s"${(docIds diff vecIds).take(5)} only in documents")
+  }
+
   test("hybrid RRF: contiguous ranks, sane scores, two-list hits score higher") {
     val rows = QueryCatalog.queries("e3_hybrid_rrf")(spark, dir).collect()
     assert(rows.nonEmpty)

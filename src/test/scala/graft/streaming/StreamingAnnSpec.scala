@@ -103,6 +103,51 @@ class StreamingAnnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the append stream enforces the same delivery guards as the heap ingest") {
+    // the two ingest modes share checkBatchContract; this drives the
+    // APPEND stream's wiring of it specifically, so moving the parquet
+    // append above the guard (or dropping the guard) fails here even
+    // though serving would hide the duplicate rows behind candidate dedup
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    def freshStream() = {
+      val inputDir = java.nio.file.Files
+        .createTempDirectory("graft_annstore_guard_in").toString
+      val storePath = java.nio.file.Files
+        .createTempDirectory("graft_annstore_guard").toString + "/store"
+      (inputDir, storePath,
+        AnnStreaming.runIvfStoreAppendStream(spark, inputDir, embRaw.schema,
+          storePath, new AnnStreaming.StoreAppendState, cents))
+    }
+    // (a) cross-batch redelivery
+    val (in1, store1, q1) = freshStream()
+    try {
+      embRaw.filter(col("vec_id") < 100).coalesce(1)
+        .write.mode("append").parquet(in1)
+      q1.processAllAvailable()
+      val before = spark.read.parquet(store1).count()
+      embRaw.filter(col("vec_id") < 100).coalesce(1)
+        .write.mode("append").parquet(in1)
+      val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(messages(e1).exists(_.contains("re-delivered micro-batch")))
+      assert(spark.read.parquet(store1).count() == before,
+        "the guard must fire BEFORE any rows append")
+    } finally q1.stop()
+    // (b) duplicate within one micro-batch
+    val (in2, _, q2) = freshStream()
+    try {
+      val slice = embRaw.filter(col("vec_id") < 50)
+      slice.unionAll(slice).coalesce(1).write.mode("append").parquet(in2)
+      val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(messages(e2).exists(_.contains("duplicated vec_id within")))
+    } finally q2.stop()
+  }
+
   test("re-delivered micro-batches fail loudly instead of duplicating rows") {
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
