@@ -59,6 +59,12 @@ object ConnectedComponents {
       .agg(min(col("b")).as("nbr_min"))
       .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
       .localCheckpoint()
+    // the checkpoint backing the CURRENT labels; superseded snapshots are
+    // released per round (and the mirrored edge table at exit) so a run
+    // pins exactly one label table, not one per round — on a long-running
+    // cluster the leaked snapshots otherwise accumulate until eviction
+    // churn taxes every later job in the session
+    var labelsCkpt = labels
     var it = 1
     var changed = 1L
     while (changed > 0 && it < maxIter) {
@@ -81,9 +87,12 @@ object ConnectedComponents {
         .localCheckpoint()
       // convergence = an aggregate over the label table (no data collect)
       changed = next.filter(col("label") =!= col("old")).count()
+      labelsCkpt.unpersist()
+      labelsCkpt = next
       labels = next.select("id", "label")
       it += 1
     }
+    e.unpersist()
     (labels, it - 1)
   }
 

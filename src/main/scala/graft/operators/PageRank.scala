@@ -51,6 +51,12 @@ object PageRank {
       .select(col("src"), col("dst"), col("d")).localCheckpoint()
     val ids = ed.select(col("src").as("vid")).distinct().localCheckpoint()
     var r = ids.select(col("vid").as("id"), lit(1000000L).as("rank"))
+    // superseded per-round checkpoints are RELEASED as soon as the next
+    // round's snapshot exists — otherwise every run pins (iterations + 2)
+    // block sets for the lifetime of the session, and on a long-running
+    // cluster the block store fills with dead rank tables (the same
+    // bounded-footprint rule as the streaming state snapshots)
+    var prevCkpt: DataFrame = null
     for (_ <- 1 to iterations) {
       val contrib = ed.join(r, col("src") === col("id"))
         // div, not / — Spark's / on longs silently returns double
@@ -66,7 +72,13 @@ object PageRank {
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
         .localCheckpoint()
+      if (prevCkpt != null) prevCkpt.unpersist()
+      prevCkpt = r
     }
+    // the returned r is its own checkpoint; the iteration-invariant tables
+    // are dead once the loop ends
+    ed.unpersist()
+    ids.unpersist()
     r
   }
 }
