@@ -595,6 +595,38 @@ object RelationalOps {
               AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY cntrycode ORDER BY cntrycode""")),
 
+    // TPC-H Q18 shape: large-volume orders — the aggregate-then-join-back
+    // form (HAVING on the grouped fact, then the dims). Spark-first: ONE
+    // partial-aggregated key shuffle over the fact, the > threshold filter
+    // prunes it to a tiny order set BEFORE any join (so the joins are
+    // broadcast-sized regardless of fact size), and the global top-100 is
+    // TakeOrderedAndProject — never a full sort. Quantities are
+    // integer-valued doubles, so the sum is exact in both engines (the
+    // q1_pricing_summary argument).
+    QueryDef("j14_big_orders",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir).groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250.0)
+        Tables.orders(s, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+            col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+          o_totalprice, total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(l_quantity) > 250) big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")),
+
     // R5: unpivot/melt — wide metrics to (key, metric, value) long form, the
     // inverse of r2_pivot. Map-side only (each input row emits k output
     // rows, no shuffle). Oracle is the portable UNION ALL spelling.

@@ -551,6 +551,24 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation:\n$p")
   }
 
+  test("j14 Q18-shape: partial fact agg, filter before joins, top-k not global sort") {
+    val p = plan("j14_big_orders")
+    assert(p.contains("partial_sum"),
+      s"the per-order quantity aggregate must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-100 must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the HAVING-pruned order set is broadcast-sized:\n$p")
+    // the threshold filter must sit ON the aggregate output, upstream of
+    // both joins — pruning the fact side before any join is the shape's
+    // entire scale argument
+    val filterLine = p.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("250.0"))
+    val joinLine = p.linesIterator.indexWhere(_.contains("Join"))
+    assert(filterLine > joinLine,
+      s"the having-filter must be below (upstream of) the joins:\n$p")
+  }
+
   test("g2 coshare routes the aggregation shape on the supplier statistic") {
     // round-8 verdict item 4: the routing STATISTIC (supplier cardinality
     // vs CosharePairKeySpaceMax) gets a dimension planted on each side of
