@@ -199,7 +199,7 @@ object TextFunctions {
     // ONE eager materialization, batch side only — the store is already
     // materialized (it's last night's parquet artifact).
     minhashIncrementalPairsFromSig(storeSig,
-      signatureTable(batch, numHashes, shingleLen).localCheckpoint(),
+      signatureTable(batch, numHashes, shingleLen).localCheckpoint(true, graft.operators.Ckpt.SerLevel),
       numHashes, bands, threshold)
 
   /** [[minhashIncrementalPairs]] with the batch ALREADY signed: `batchSig`
@@ -289,7 +289,7 @@ object TextFunctions {
         .as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"), col("sig.sz").as("sz"), col("sig.mh").as("mh"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until rows).map(r =>
@@ -305,7 +305,7 @@ object TextFunctions {
       .dropDuplicates("doc_a", "doc_b")
       // checkpointed so the banding join runs ONCE: the candidate table
       // feeds both the id-filter below and the final verify join
-      .localCheckpoint()
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     // Exact verify rebuilds shingle sets ONLY for docs that survived
     // banding: the distinct candidate ids broadcast into a semi-join filter
     // of the corpus scan, so the O(|shingles|) string materialization is
@@ -392,7 +392,7 @@ object TextFunctions {
     val d = docs.select(col("doc_id"))
       .join(votes, Seq("doc_id"), "left")
       .select(col("doc_id"), sh64.as("sh64"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     // Banding. A pair within hamming ≤ 3 has ≥ 1 of the 4 16-bit chunks
     // exactly equal (pigeonhole), so candidates only form inside a chunk
     // match. On natural text that alone fan-outs quadratically: common-word-

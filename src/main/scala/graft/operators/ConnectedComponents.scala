@@ -49,7 +49,7 @@ object ConnectedComponents {
     // materialize the (possibly expensive) edge pipeline ONCE before
     // mirroring: a union of two selects over the same subtree executes that
     // subtree twice — for a pair-finding input that doubles the dominant cost
-    val e = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val e = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     // both directions, so "neighbor min" sees the full undirected adjacency
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     // vertex init fused with round 1: label₀ = min(id, min neighbor) costs
@@ -58,7 +58,7 @@ object ConnectedComponents {
     var labels = sym.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nbr_min"))
       .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     // the checkpoint backing the CURRENT labels; superseded snapshots are
     // released per round (and the mirrored edge table at exit) so a run
     // pins exactly one label table, not one per round — on a long-running
@@ -84,7 +84,7 @@ object ConnectedComponents {
       val next = prop.join(byId, prop("lab1") === byId("pid"), "left")
         .select(col("id"), col("old"),
           least(col("lab1"), coalesce(col("plab"), col("lab1"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
       // convergence = an aggregate over the label table (no data collect)
       changed = next.filter(col("label") =!= col("old")).count()
       labelsCkpt.unpersist()
@@ -131,7 +131,7 @@ object ConnectedComponents {
     // materialization is tiny by the same argument that makes the
     // incremental contract worthwhile.
     val pairs = newPairs.select(col(src).as("a"), col(dst).as("b"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     val ra = lab.select(col("id").as("a"), col("cluster_id").as("ra"))
     val rb = lab.select(col("id").as("b"), col("cluster_id").as("rb"))
     val rootPairs = pairs

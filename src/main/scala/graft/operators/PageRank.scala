@@ -47,9 +47,18 @@ object PageRank {
     // hoisted + per-round rank checkpoint 3.5 s — the hoisted/checkpointed
     // form wins in every rep and is what ships. All four variants are
     // bit-identical (integer fixed-point; ProfilePR cross-checks).
-    val ed = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("d")).localCheckpoint()
-    val ids = ed.select(col("src").as("vid")).distinct().localCheckpoint()
+    // SHUFFLE_HASH on the slim side, here and in the per-round join below:
+    // the edge side of both joins has power-law per-key fan-out (a hot
+    // vertex's whole edge group), and a sort-merge join sort-buffers that
+    // group per task — at 40× the 10× fixture (supplier key space fixed, so
+    // degrees grow with the data) that buffering OOMed a 250 MB/task local
+    // heap share. A shuffled hash join builds on the ONE-ROW-PER-VERTEX
+    // side (bounded by |V|/numPartitions, uniform under hash partitioning —
+    // vertex COUNT, not edge fan-out) and streams the skewed edge side, so
+    // per-task memory is independent of the hottest vertex's degree.
+    val ed = edges.join(deg.hint("shuffle_hash"), "src")
+      .select(col("src"), col("dst"), col("d")).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    val ids = ed.select(col("src").as("vid")).distinct().localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     var r = ids.select(col("vid").as("id"), lit(1000000L).as("rank"))
     // superseded per-round checkpoints are RELEASED as soon as the next
     // round's snapshot exists — otherwise every run pins (iterations + 2)
@@ -58,7 +67,7 @@ object PageRank {
     // bounded-footprint rule as the streaming state snapshots)
     var prevCkpt: DataFrame = null
     for (_ <- 1 to iterations) {
-      val contrib = ed.join(r, col("src") === col("id"))
+      val contrib = ed.join(r.hint("shuffle_hash"), col("src") === col("id"))
         // div, not / — Spark's / on longs silently returns double
         .select(col("dst"), expr("rank div d").as("contrib"))
         .groupBy("dst")
@@ -71,7 +80,7 @@ object PageRank {
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
       if (prevCkpt != null) prevCkpt.unpersist()
       prevCkpt = r
     }

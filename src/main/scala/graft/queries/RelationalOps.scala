@@ -627,6 +627,59 @@ object RelationalOps {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")),
 
+    // TPC-H Q7 shape: volume shipping between two nations — ONE fact row
+    // reaches TWO independent dimension paths (lineitem→supplier→nation and
+    // lineitem→orders→customer→nation) with a correlated cross-pair
+    // predicate over the pair of dim attributes. Spark-first shape: the
+    // nation filter is pushed INTO each dimension before it ever meets the
+    // fact (supplier/customer shrink to 2/25 nations, so the inner joins
+    // prune fact rows early); the two filtered dims broadcast, the only
+    // fact-sized exchange is lineitem⋈orders on orderkey, and the residual
+    // disjunction merely drops the two same-nation combinations. Revenue in
+    // the exact decimal micro carrier (j2's idiom).
+    QueryDef("j15_volume_shipping",
+      (s, dir) => {
+        val natPair = broadcast(Tables.nation(s, dir)
+          .filter(col("n_name").isin("NATION_3", "NATION_7")))
+        val supp = broadcast(Tables.supplier(s, dir)
+          .join(natPair, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+        val cust = broadcast(Tables.customer(s, dir)
+          .join(natPair, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation")))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(micros(sum((dec("l_extendedprice")
+              * (lit(1) - dec("l_discount"))).cast("decimal(28,12)")))
+            .as("revenue_micros"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          year(l_shipdate) AS l_year,
+          ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+          AS revenue_micros
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+          AND n2.n_name IN ('NATION_3', 'NATION_7')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // R5: unpivot/melt — wide metrics to (key, metric, value) long form, the
     // inverse of r2_pivot. Map-side only (each input row emits k output
     // rows, no shuffle). Oracle is the portable UNION ALL spelling.

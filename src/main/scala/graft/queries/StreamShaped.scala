@@ -519,7 +519,7 @@ object StreamShaped {
         // materialize the ~1-row-per-lang aggregate once or the corpus
         // count scan runs twice
         val counts = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val target = counts.agg(min("n_total").as("m"))
         val rates = counts.crossJoin(broadcast(target))
           .withColumn("rate_permille", floor(lit(1000) * col("m") / col("n_total")))

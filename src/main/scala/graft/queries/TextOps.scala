@@ -527,7 +527,7 @@ object TextOps {
         val k = 11
         val bench = docs(s, dir).filter(col("doc_id") < 10)
           .select(explode(shingles(col("text"), 8)).as("sh")).distinct()
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val bits = BloomFilter.build(bench, col("sh"),
           BloomFilter.sizeBits(bench.count()), k)
         val corpus = docs(s, dir).filter(col("doc_id") >= 10)
@@ -576,7 +576,7 @@ object TextOps {
         // runs twice over the corpus (~1 row per (doc, term), far fewer
         // than token occurrences)
         val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
         val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(dfreq, "t")
@@ -802,7 +802,7 @@ object TextOps {
         // (tokenize + 3 rules per doc) runs twice
         val counts = docs(s, dir).select(stage.as("stage"))
           .groupBy("stage").agg(count(lit(1)).as("n"))
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val total = counts.agg(sum("n").as("total"))
         val w = Window.orderBy("stage")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -859,7 +859,7 @@ object TextOps {
           (stopHits.cast(DoubleType) / nTok * 2.0
             - punct.cast(DoubleType) / length(col("text")) * 3.0
             - digits.cast(DoubleType) / length(col("text"))).as("quality"))
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val thr = scored.agg(expr("percentile(quality, 0.75)").as("p75"))
         scored.crossJoin(broadcast(thr))
           .filter(col("quality") >= col("p75"))
@@ -1120,9 +1120,9 @@ object TextOps {
         // frequency shuffle runs once, instead of 3 tokenization passes
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val freq = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val total = freq.agg(sum("cnt").as("n_total"))
         val nllMicros = round(
           -log(col("cnt").cast(DoubleType) / col("n_total")) * 1e6, 0)
@@ -1170,7 +1170,7 @@ object TextOps {
         val bg = tok.withColumn("w2", lead("w1", 1).over(w))
           .filter(col("w2").isNotNull)
           .select("doc_id", "w1", "w2")
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
         val nll = round(-log(col("c2").cast(DoubleType) / col("c1")) * 1e6, 0)

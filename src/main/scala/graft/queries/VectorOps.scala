@@ -217,7 +217,7 @@ object VectorOps {
         // materialize it once (the e4_tfidf tf-checkpoint rationale) or
         // the tokenize+explode+aggregate chain replays per consumer
         val w = TfIdf.weights(Tables.documents(s, dir)
-          .filter(col("doc_id") < universe)).localCheckpoint()
+          .filter(col("doc_id") < universe)).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val tn = TfIdf.norms(w)
         val sdots = w.as("a")
           .join(w.as("b"), col("a.t") === col("b.t") &&
@@ -321,7 +321,7 @@ object VectorOps {
         // materialize the tiny (vec_id, cluster) table once or the full
         // brute-force nearest-centroid scoring runs twice
         val assign1 = nearestCentroid(all, centroidSet(all, 16))
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val cent = all.join(assign1, "vec_id")
           .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cluster", "pos")
@@ -631,7 +631,7 @@ object VectorOps {
         .select(col("cluster").as("c_id"),
           transform(col("pc"), p => p.getField("c")).as("cv"))
         .withColumn("cn", norm(col("cv")))
-        .localCheckpoint())
+        .localCheckpoint(true, graft.operators.Ckpt.SerLevel))
     }
     cents
   }
@@ -786,7 +786,7 @@ object VectorOps {
           .agg(array_sort(collect_list(struct(col("pos"), col("cd")))).as("pc"))
           .select(col("code").as("c"), col("j"),
             transform(col("pc"), p => p.getField("cd")).as("cv"))
-          .localCheckpoint())
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel))
       }
       cb
     }

@@ -55,7 +55,7 @@ object AnnStreaming {
     new IvfIndexState(
       VectorOps.prepEmb(template.limit(0))
         .withColumn("cluster", lit(null).cast("long"))
-        .localCheckpoint())
+        .localCheckpoint(true, graft.operators.Ckpt.SerLevel))
 
   /** Start the ingest stream: parquet file source over `inputDir` (new
     * embedding files appearing over time) → per-micro-batch assign + append.
@@ -75,7 +75,7 @@ object AnnStreaming {
         // finally so a guard throw cannot leak the checkpointed blocks;
         // an empty micro-batch (idle trigger) skips the assignment and
         // snapshot work entirely.
-        val b = VectorOps.prepEmb(batch).localCheckpoint()
+        val b = VectorOps.prepEmb(batch).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         try {
           val bounds = checkBatchContract(b, state.maxSeenId)
           if (!bounds.isNullAt(0)) {
@@ -89,7 +89,7 @@ object AnnStreaming {
             // mid-batch failure then leaves the previous consistent state
             // intact, so a retry of the lost batch passes the guard
             val next = state.postings.unionByName(newPostings)
-              .localCheckpoint()
+              .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
             val prev = state.postings
             state.postings = next
             state.maxSeenId = bounds.getLong(1)
@@ -155,7 +155,7 @@ object AnnStreaming {
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = VectorOps.prepEmb(batch).localCheckpoint()
+        val b = VectorOps.prepEmb(batch).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         try {
           val bounds = checkBatchContract(b, state.maxSeenId)
           if (!bounds.isNullAt(0)) {

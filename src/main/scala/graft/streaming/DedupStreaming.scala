@@ -66,9 +66,9 @@ object DedupStreaming {
                  numHashes: Int, shingleLen: Int): NearDedupState = {
     val sig = TextFunctions
       .signatureTable(template.limit(0), numHashes, shingleLen)
-      .localCheckpoint()
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     val lab = template.select(col("doc_id").as("id"),
-      col("doc_id").as("cluster_id")).limit(0).localCheckpoint()
+      col("doc_id").as("cluster_id")).limit(0).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     new NearDedupState(sig, lab)
   }
 
@@ -90,7 +90,7 @@ object DedupStreaming {
         // micro-batch (idle trigger) skips the merge entirely.
         val batchSig = TextFunctions
           .signatureTable(batch, numHashes, shingleLen)
-          .localCheckpoint()
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         try {
           // arrival-order contract CHECKED, not assumed: the banding
           // join's doc_a < doc_b guard silently drops a store-vs-batch
@@ -117,7 +117,7 @@ object DedupStreaming {
             val newPairs = TextFunctions.minhashIncrementalPairsFromSig(
                 state.storeSig, batchSig, numHashes, bands, threshold)
               .select("doc_a", "doc_b")
-              .localCheckpoint()
+              .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
             // build EVERY new snapshot (eager checkpoints) before mutating
             // any state: a mid-batch failure then leaves the previous
             // consistent state intact — maxSeenId still points at the last
@@ -125,11 +125,11 @@ object DedupStreaming {
             // the arrival guard instead of being rejected as out-of-order
             val newLab = ConnectedComponents
               .mergeNewPairs(state.labeling, newPairs, "doc_a", "doc_b")
-              .localCheckpoint()
+              .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
             val newSig = state.storeSig.unionByName(batchSig)
-              .localCheckpoint()
+              .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
             val newPairsSeen = state.pairsSeen.unionByName(newPairs)
-              .localCheckpoint()
+              .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
             val (prevLab, prevSig, prevPairs) =
               (state.labeling, state.storeSig, state.pairsSeen)
             state.labeling = newLab

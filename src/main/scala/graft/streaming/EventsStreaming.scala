@@ -277,7 +277,7 @@ object EventsStreaming {
     val cols = Seq("user_id", "event_type", "ts", "event_id", "value")
     var target = spark.read.parquet(s"$dir/events.parquet")
       .transform(Tables.normalizeEventTs)
-      .select(cols.map(col): _*).limit(0).localCheckpoint()
+      .select(cols.map(col): _*).limit(0).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     target.createOrReplaceTempView(viewName)
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -289,7 +289,7 @@ object EventsStreaming {
         val prev = target
         target = graft.operators.Upsert.byVersion(prev, batch,
           keys = Seq("user_id", "event_type"),
-          version = Seq("ts", "event_id")).localCheckpoint()
+          version = Seq("ts", "event_id")).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         // the new checkpoint is eager, so the previous snapshot can be
         // released — without this, every micro-batch pins one more full
         // copy of the serving table in the block store (unbounded growth

@@ -569,6 +569,22 @@ class PlanSpec extends SparkSpec {
       s"the having-filter must be below (upstream of) the joins:\n$p")
   }
 
+  test("j15 Q7-shape: nation filter pushed into both dims, dims broadcast") {
+    val p = plan("j15_volume_shipping")
+    // both dimension paths must arrive as broadcast joins — the only
+    // fact-sized exchange is lineitem⋈orders on the order key
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered supplier/customer dims must broadcast:\n$p")
+    // the shipdate range must reach the lineitem scan as a pushed filter,
+    // not a post-scan residual
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"the shipdate range must be pushed to the parquet scan:\n$p")
+    // the nation IN-pair restriction must prune the dim scans (pushed into
+    // the nation scan), never survive as a residual over the joined fact
+    assert(p.contains("In(n_name"),
+      s"the nation pair filter must be pushed into the dim scan:\n$p")
+  }
+
   test("g2 coshare routes the aggregation shape on the supplier statistic") {
     // round-8 verdict item 4: the routing STATISTIC (supplier cardinality
     // vs CosharePairKeySpaceMax) gets a dimension planted on each side of
