@@ -68,7 +68,15 @@ object ConnectedComponents {
     var it = 1
     var changed = 1L
     while (changed > 0 && it < maxIter) {
-      val nbrMin = sym.join(labels, sym("a") === labels("id"))
+      // SHUFFLE_HASH on the one-row-per-vertex label side (PageRank's
+      // round-9 fix, operators/PageRank.scala): a sort-merge join would
+      // sort-buffer a hot vertex's whole adjacency group per task, so task
+      // memory would grow with the hottest degree; the hash build side is
+      // bounded by |V|/numPartitions instead and the skewed edge side
+      // streams. The pointer-doubling join below keeps SMJ: its buffered
+      // side is one row per key by construction.
+      val nbrMin = sym.join(labels.hint("shuffle_hash"),
+          sym("a") === labels("id"))
         .groupBy(col("b").as("nid"))
         .agg(min("label").as("nbr_min"))
       val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
