@@ -22,6 +22,12 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Serve the in-file sort of bucketed tables as scan output ordering
+    // (Spark 3+ keeps this behind a legacy flag because it only holds when
+    // each bucket is exactly one file — graft.sources.BucketedStore
+    // constructs precisely that layout, so the metadata is sound here and
+    // the bucketed fact⋈fact join plans with neither Exchange nor Sort).
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // The driver testdata's `events.ts` is parquet TIMESTAMP(NANOS); Spark's
     // TimestampType is microseconds. Read nanos as a raw long (ns since
     // epoch) and convert explicitly where needed — this keeps full precision

@@ -957,6 +957,30 @@ object EventOps {
           round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS skew_ratio
         FROM c""")),
 
+    // A27: exact heavy hitters WITHOUT shuffling the key space — the
+    // per-partition Misra-Gries nomination + exact confirming pass
+    // ([[graft.operators.HeavyHitters]]; superset guarantee makes the final
+    // answer exact and partition-layout-independent, so the DuckDB oracle is
+    // the plain HAVING query). The key is deliberately the heavy-hitter
+    // regime a13's groupBy can't survive at 100 TB: ~row-count cardinality
+    // (one cold key per event) with a 10-key hot set riding on top.
+    QueryDef("a27_heavy_hitters",
+      (s, dir) => {
+        val keyed = ev(s, dir).select(
+          when(col("user_id") < 10, concat(lit("hot_"), col("user_id")))
+            .otherwise(concat(lit("cold_"), col("event_id"))).as("k"))
+        graft.operators.HeavyHitters.heavyHitters(keyed, col("k"), 0.003)
+          .orderBy("key")
+      },
+      Some("""WITH k AS (SELECT CASE WHEN user_id < 10
+            THEN 'hot_' || user_id ELSE 'cold_' || event_id END AS key
+          FROM events)
+        SELECT key, count(*) AS n_key,
+          (SELECT count(*) FROM k) AS n_total
+        FROM k GROUP BY key
+        HAVING count(*) > 0.003 * (SELECT count(*) FROM k)
+        ORDER BY key""")),
+
     // A14: fixed-width histogram (binning) — floor(value/width) buckets with
     // exact double division so both engines land identical bins; map-side
     // partial-aggregated, one tiny bucket table on the wire.

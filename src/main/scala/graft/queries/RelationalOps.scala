@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -7,6 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.Tables
 import graft.functions.Carriers.{micros, microsSql}
 import graft.operators.OrderedOps
+import graft.sources.BucketedStore
 
 /** Relational operator coverage over the TPC-H-ish tables: scans, projection/
   * rename/filter/conditionals (P*), casts & scalar functions (C*), sorts (O*),
@@ -679,6 +681,198 @@ object RelationalOps {
           AND l_shipdate >= TIMESTAMP '1995-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // J16: fact⋈fact over bucketed storage — the co-located join strategy
+    // the catalog's broadcast rows don't cover. Both sides are served from
+    // bucketed+sorted tables ([[graft.sources.BucketedStore]]: the shuffle
+    // paid once at write time), so the order-key join planned here needs NO
+    // Exchange and NO per-query Sort — at 100 TB that turns every
+    // lineitem⋈orders from a 2×full-shuffle into a scan-side zip. The merge
+    // hint encodes the deployment posture (neither side broadcastable);
+    // PlanSpec pins the shuffle-free/sort-free property. The oracle is the
+    // plain join over the raw parquet — bucketing is purely physical.
+    QueryDef("j16_bucketed_revenue",
+      (s, dir) => {
+        def bkt(table: String, bucketCol: String, df: DataFrame) =
+          BucketedStore.ensure(s, table,
+            s"$dir|${Tables.fixtureToken(dir, table)}|v1", bucketCol, 16)(df)
+        val li = bkt("lineitem", "l_orderkey", Tables.lineitem(s, dir))
+        val ord = bkt("orders", "o_orderkey", Tables.orders(s, dir))
+        li.hint("merge").join(ord.hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            micros(sum((dec("l_extendedprice")
+                * (lit(1) - dec("l_discount"))).cast("decimal(28,12)")))
+              .as("revenue_micros"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+          ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+          AS revenue_micros
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q8 shape: national market share — the conditional-aggregation
+    // ratio (share = Σ vol·[supp_nation=N] / Σ vol) over a join tree where
+    // the fact reaches FOUR dimension paths (part type, order date window,
+    // customer→nation→region market filter, supplier→nation share
+    // attribution). Spark-first: every dim filter prunes its dim BEFORE the
+    // fact join (part-type and ASIA-customer shrink the fact early), all
+    // dims broadcast, both sums ride one partial-aggregated shuffle on
+    // o_year, and the ratio divides two exact decimal micro carriers at the
+    // very end (double division of identical operands — engine-stable).
+    QueryDef("j17_market_share",
+      (s, dir) => {
+        val asiaCust = broadcast(Tables.customer(s, dir)
+          .join(Tables.nation(s, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey"))
+        val supp = broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir).select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation")),
+            col("s_nationkey") === col("sn_key"))
+          .select("s_suppkey", "supp_nation"))
+        val pt = broadcast(Tables.part(s, dir)
+          .filter(col("p_type") === "ECONOMY").select("p_partkey"))
+        val vol = (dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(28,12)")
+        Tables.lineitem(s, dir)
+          .join(pt, col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg(
+            micros(sum(when(col("supp_nation") === "NATION_7", vol)
+              .otherwise(lit(0).cast("decimal(28,12)")))).as("nation_vol_micros"),
+            micros(sum(vol)).as("total_vol_micros"))
+          .withColumn("mkt_share",
+            round(col("nation_vol_micros").cast(DoubleType)
+              / col("total_vol_micros").cast(DoubleType), 6))
+          .orderBy("o_year")
+      },
+      Some(s"""WITH vols AS (SELECT year(o_orderdate) AS o_year,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)) AS vol,
+            n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_year,
+          ${microsSql("""sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+              ELSE CAST(0 AS DECIMAL(28,12)) END)""")} AS nation_vol_micros,
+          ${microsSql("sum(vol)")} AS total_vol_micros,
+          round(CAST(${microsSql("""sum(CASE WHEN supp_nation = 'NATION_7'
+              THEN vol ELSE CAST(0 AS DECIMAL(28,12)) END)""")} AS DOUBLE)
+            / CAST(${microsSql("sum(vol)")} AS DOUBLE), 6) AS mkt_share
+        FROM vols GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q9 shape: product-line profit by nation and year — a LIKE
+    // predicate on the part name (pushed to the parquet scan as a
+    // StringContains filter, so the fact join starts from the pruned part
+    // set) through a 4-way join, grouped on a dim attribute × a derived
+    // date part. The profit measure subtracts two exact decimal products
+    // (revenue − retail-valued cost) inside the decimal carrier, so
+    // partial-aggregation order can't perturb it. Only fact-sized exchange:
+    // lineitem⋈orders on the order key; part and supplier→nation broadcast.
+    QueryDef("j18_nation_profit",
+      (s, dir) => {
+        val pt = broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("gear"))
+          .select("p_partkey", "p_retailprice"))
+        val supp = broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+        val amount = (dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(28,12)")
+          .minus((dec("p_retailprice") * dec("l_quantity"))
+            .cast("decimal(28,12)"))
+        Tables.lineitem(s, dir)
+          .join(pt, col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("supp_nation"),
+            year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            micros(sum(amount)).as("profit_micros"))
+          .orderBy(col("supp_nation"), col("o_year"))
+      },
+      Some(s"""SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+          count(*) AS n,
+          ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12))
+            - CAST(CAST(p_retailprice AS DECIMAL(18,6))
+              * CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(28,12)))""")}
+          AS profit_micros
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // TPC-H Q10 shape: returned-item revenue by customer — a fact-attribute
+    // filter (l_returnflag = 'R', pushed to the scan) pruning the fact
+    // before a grouped aggregation on the CUSTOMER key (data-sized grain,
+    // unlike j14's order grain), then a global top-20 on the aggregate.
+    // Spark-first: one partial-aggregated shuffle on custkey over the pruned
+    // fact, the customer/nation dims join AFTER aggregation (broadcast-sized
+    // join input: one row per customer with revenue), and the top-20 is
+    // TakeOrderedAndProject on the exact BIGINT micro carrier (revenue desc,
+    // custkey tiebreak) so both engines order identically — never a sort on
+    // a double.
+    QueryDef("j19_returned_revenue",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+            .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(micros(sum((dec("l_extendedprice")
+              * (lit(1) - dec("l_discount"))).cast("decimal(28,12)")))
+            .as("revenue_micros"))
+        rev.join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("revenue_micros"))
+          .orderBy(col("revenue_micros").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""WITH rev AS (SELECT o_custkey,
+          ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+          AS revenue_micros
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1)
+        SELECT c_custkey, c_name, n_name, revenue_micros
+        FROM rev JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue_micros DESC, c_custkey LIMIT 20""")),
 
     // R5: unpivot/melt — wide metrics to (key, metric, value) long form, the
     // inverse of r2_pivot. Map-side only (each input row emits k output
