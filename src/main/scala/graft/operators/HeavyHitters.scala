@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *   1. each input partition streams once through a k-counter Misra-Gries
   *      summary (k = ⌈2/f⌉, constant memory) and emits ≤ k candidate keys —
   *      any key with GLOBAL frequency > f·N must be locally frequent
-  *      (> n_p/k) in at least one partition (pigeonhole: if it were ≤ n_p/k
-  *      everywhere, its total would be ≤ N/k < f·N), so the union of
-  *      partition candidates is a SUPERSET of the true answer;
+  *      (> n_p/(k+1)) in at least one partition (pigeonhole: were it
+  *      ≤ n_p/(k+1) everywhere, its total would be ≤ N/(k+1) < f·N), so the
+  *      union of partition candidates is a SUPERSET of the true answer;
   *   2. the tiny candidate set broadcasts back, a semi join keeps only
   *      candidate-key rows, and an exact partial-aggregated count with the
   *      `> f·N` filter removes every false positive.
@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * exact counts admit every true heavy hitter (superset guarantee) and
   * reject every impostor, whatever partitioning nominated them. Pinned by a
   * 3-vs-17-partitions spec.
+  *
+  * The summaries are MERGEABLE (sum counters, then subtract the (k+1)-th
+  * largest and drop non-positives — Agarwal/Cormode et al., "Mergeable
+  * Summaries"): merging preserves the N/(k+1) total-undercount bound, which
+  * is what lets [[graft.streaming.HeavyHittersStreaming]] fold micro-batch
+  * summaries into one running sketch with the same superset guarantee as a
+  * single batch pass.
   */
 object HeavyHitters {
 
@@ -37,39 +44,98 @@ object HeavyHitters {
     * `(key, n_key, n_total)`.
     */
   def heavyHitters(df: DataFrame, key: Column, minFrac: Double): DataFrame = {
-    require(minFrac > 0 && minFrac < 1, s"minFrac in (0,1), got $minFrac")
-    val k = math.ceil(2.0 / minFrac).toInt
+    val k = counters(minFrac)
     val keys = df.select(key.cast("string").as("key"))
-
     // phase 1: per-partition Misra-Gries candidate nomination (bounded
     // memory: at most k live counters per partition, whatever the data)
     val candidates = keys.select("key").as(Encoders.STRING)
-      .mapPartitions { it =>
-        val ctr = mutable.HashMap.empty[String, Long]
-        it.foreach { s =>
-          if (ctr.contains(s)) ctr(s) += 1L
-          else if (ctr.size < k) ctr(s) = 1L
-          else {
-            // decrement-all; drop zeros (the classic MG step, amortized by
-            // batching the removal)
-            val dead = mutable.ArrayBuffer.empty[String]
-            ctr.keysIterator.foreach { c =>
-              if (ctr(c) == 1L) dead += c else ctr(c) -= 1L
-            }
-            dead.foreach(ctr.remove)
-          }
-        }
-        ctr.keysIterator
-      }(Encoders.STRING)
+      .mapPartitions(it => mgPartition(it, k).keysIterator)(Encoders.STRING)
       .toDF("key").distinct()
+    confirm(keys, candidates, minFrac)
+  }
 
-    // phase 2: exact confirmation — count ONLY candidate-key rows (broadcast
-    // semi join), threshold against the exact total. The total rides along
-    // as a broadcast 1-row aggregate so the whole thing stays one lazy plan.
-    val total = df.agg(count(lit(1)).as("n_total"))
+  /** Counter budget for threshold fraction `minFrac`: ⌈2/f⌉ halves the
+    * undercount bound below the threshold, so no true heavy hitter can be
+    * evicted to zero. */
+  def counters(minFrac: Double): Int = {
+    require(minFrac > 0 && minFrac < 1, s"minFrac in (0,1), got $minFrac")
+    math.ceil(2.0 / minFrac).toInt
+  }
+
+  /** One ≤ k-counter Misra-Gries summary of the whole DataFrame (a column
+    * named "key"): per-partition summaries stream under bounded memory,
+    * ≤ k·partitions rows reach the driver, and one merge folds them. Counts
+    * are UNDERCOUNTS (true count minus at most N/(k+1)) — candidates for an
+    * exact confirming pass, never answers. */
+  def mgSummary(keys: DataFrame, k: Int): Map[String, Long] = {
+    val parts = keys.select("key").as(Encoders.STRING)
+      .mapPartitions(it => mgPartition(it, k).iterator)(
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .collect()
+    mergeAll(parts.iterator, k)
+  }
+
+  /** Merge two Misra-Gries summaries into one with ≤ k counters, preserving
+    * the summed undercount bound. */
+  def mergeSummaries(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] =
+    mergeAll(a.iterator ++ b.iterator, k)
+
+  /** Exact confirming pass shared by the batch and streaming paths: count
+    * ONLY candidate-key rows (broadcast semi join), threshold against the
+    * exact total. The total rides along as a broadcast 1-row aggregate so
+    * the whole thing stays one lazy plan. Output: (key, n_key, n_total). */
+  def confirm(keys: DataFrame, candidates: DataFrame,
+      minFrac: Double): DataFrame = {
+    val total = keys.agg(count(lit(1)).as("n_total"))
     keys.join(broadcast(candidates), Seq("key"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("n_key"))
       .crossJoin(broadcast(total))
       .filter(col("n_key") > col("n_total") * lit(minFrac))
+  }
+
+  /** [[confirm]] with driver-side candidates (e.g. a merged summary's key
+    * set). */
+  def confirmKeys(keys: DataFrame, candidates: Iterable[String],
+      minFrac: Double): DataFrame = {
+    import keys.sparkSession.implicits._
+    confirm(keys, candidates.toSeq.toDF("key"), minFrac)
+  }
+
+  /** The classic MG stream step over one partition: ≤ k live counters; a
+    * new key against a full table decrements every counter (batch-dropping
+    * zeros) instead of entering. */
+  private def mgPartition(it: Iterator[String],
+      k: Int): mutable.HashMap[String, Long] = {
+    val ctr = mutable.HashMap.empty[String, Long]
+    it.foreach { s =>
+      if (ctr.contains(s)) ctr(s) += 1L
+      else if (ctr.size < k) ctr(s) = 1L
+      else {
+        val dead = mutable.ArrayBuffer.empty[String]
+        ctr.keysIterator.foreach { c =>
+          if (ctr(c) == 1L) dead += c else ctr(c) -= 1L
+        }
+        dead.foreach(ctr.remove)
+      }
+    }
+    ctr
+  }
+
+  /** Sum counters per key; if more than k survive, subtract the (k+1)-th
+    * largest count from all and drop non-positives (≤ k then remain, each
+    * having absorbed one more bounded undercount). */
+  private def mergeAll(entries: Iterator[(String, Long)],
+      k: Int): Map[String, Long] = {
+    val sum = mutable.HashMap.empty[String, Long]
+    entries.foreach { case (key, n) =>
+      sum.update(key, sum.getOrElse(key, 0L) + n)
+    }
+    if (sum.size <= k) sum.toMap
+    else {
+      val t = sum.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      sum.iterator.map { case (key, n) => (key, n - t) }
+        .filter(_._2 > 0L).toMap
+    }
   }
 }
