@@ -100,9 +100,8 @@ object Tables {
     // the layout is part of the artifact's identity: the same (family, key)
     // requested with a different partitionBy must NOT serve the
     // previously-written directory with the wrong directory structure
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$key|layout=${partitionBy.mkString(",")}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    val md5 = graft.sources.LocalFs.md5Hex(
+      s"$key|layout=${partitionBy.mkString(",")}")
     val path = s"/tmp/$family/$md5"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val w = build.write.mode("overwrite")

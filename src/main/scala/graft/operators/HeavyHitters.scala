@@ -81,17 +81,24 @@ object HeavyHitters {
       k: Int): Map[String, Long] =
     mergeAll(a.iterator ++ b.iterator, k)
 
-  /** Exact confirming pass shared by the batch and streaming paths: count
-    * ONLY candidate-key rows (broadcast semi join), threshold against the
-    * exact total. The total rides along as a broadcast 1-row aggregate so
-    * the whole thing stays one lazy plan. Output: (key, n_key, n_total). */
+  /** Exact confirming pass shared by the batch and streaming paths, in ONE
+    * corpus scan: a broadcast mark-join tags candidate rows, every
+    * non-candidate collapses into a single null group, so the grouped
+    * output is ≤ |candidates|+1 rows carrying both the per-candidate counts
+    * AND (as the group-count sum, via an unpartitioned window over that
+    * tiny set — deliberately single-partition, it is sketch-sized) the
+    * exact total. Output: (key, n_key, n_total). */
   def confirm(keys: DataFrame, candidates: DataFrame,
       minFrac: Double): DataFrame = {
-    val total = keys.agg(count(lit(1)).as("n_total"))
-    keys.join(broadcast(candidates), Seq("key"), "left_semi")
-      .groupBy("key").agg(count(lit(1)).as("n_key"))
-      .crossJoin(broadcast(total))
-      .filter(col("n_key") > col("n_total") * lit(minFrac))
+    import org.apache.spark.sql.expressions.Window
+    keys.join(broadcast(candidates.withColumn("__cand", lit(true))),
+        Seq("key"), "left")
+      .groupBy(when(col("__cand"), col("key")).as("key"))
+      .agg(count(lit(1)).as("n_key"))
+      .withColumn("n_total",
+        sum(col("n_key")).over(Window.partitionBy()))
+      .filter(col("key").isNotNull &&
+        col("n_key") > col("n_total") * lit(minFrac))
   }
 
   /** [[confirm]] with driver-side candidates (e.g. a merged summary's key

@@ -34,9 +34,7 @@ object BucketedStore {
   def ensure(s: SparkSession, family: String, key: String,
       bucketCol: String, buckets: Int)(build: => DataFrame): DataFrame =
     synchronized {
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$key|$bucketCol|$buckets".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+      val md5 = LocalFs.md5Hex(s"$key|$bucketCol|$buckets").take(12)
       val name = s"graft_bkt_${family}_$md5"
       if (!s.catalog.tableExists(name)) {
         // The in-memory catalog is per-process but the warehouse directory
@@ -47,16 +45,11 @@ object BucketedStore {
         // the write IS the once-per-process index-build cost.)
         val loc = new java.io.File(
           s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-        if (loc.exists()) deleteRecursively(loc)
+        LocalFs.deleteRecursively(loc)
         build.repartition(buckets, col(bucketCol))
           .write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
           .mode("overwrite").saveAsTable(name)
       }
       s.table(name)
     }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-  }
 }

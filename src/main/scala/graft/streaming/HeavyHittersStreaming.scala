@@ -23,9 +23,20 @@ import graft.operators.HeavyHitters
   * cold in every individual batch but hot in aggregate survives the merge,
   * which per-batch re-nomination alone would lose.
   *
+  * At-least-once retries are made IDEMPOTENT, not assumed away (review
+  * finding): the corpus lands under `ingest_batch=<id>` directories written with
+  * overwrite (a redelivered micro-batch replaces its own landing, never
+  * double-appends), and the summary merge is guarded by the last-merged
+  * batch id (a redelivered batch skips the merge — double-merging would
+  * inflate counters and, through the merge's (k+1)-th-largest decrement,
+  * could push an honest key's undercount past the guarantee). Pass a real
+  * `checkpointDir` for restart-safe source progress; the batch-id guard
+  * additionally protects within-run retries.
+  *
   * Candidates are sketch output, never answers: [[confirmed]] runs the
-  * exact confirming pass against the landed corpus (micro-batches append to
-  * a parquet directory — in deployment the feed lands there anyway), so the
+  * exact confirming pass against the landed corpus at the threshold the
+  * state was BUILT for (carried in [[HhState]] — a looser ad-hoc threshold
+  * would silently miss keys the sketch was never sized to retain), so the
   * final answer is exact and identical to the batch operator on the same
   * rows. StreamingHeavyHittersSpec pins that parity.
   *
@@ -35,40 +46,48 @@ import graft.operators.HeavyHitters
   */
 object HeavyHittersStreaming {
 
-  final class HhState(val k: Int) {
+  final class HhState(val minFrac: Double) {
+    val k: Int = HeavyHitters.counters(minFrac)
     @volatile var summary: Map[String, Long] = Map.empty
     @volatile var rowsSeen: Long = 0L
+    @volatile var lastBatchId: Long = -1L
   }
 
-  def emptyState(minFrac: Double): HhState =
-    new HhState(HeavyHitters.counters(minFrac))
+  def emptyState(minFrac: Double): HhState = new HhState(minFrac)
 
   /** Start the stream: parquet file source over `inputDir` → per-batch MG
-    * summary merged into `state`, raw batch appended to `corpusDir` (the
-    * landing store the confirming pass reads). `keyExpr` is a SQL
+    * summary merged into `state`, raw batch landed under
+    * `corpusDir/ingest_batch=<id>` (the store the confirming pass reads; in
+    * deployment the feed usually lands there anyway). `keyExpr` is a SQL
     * expression producing the monitored key from a feed row. Callers drive
     * with `processAllAvailable()` and confirm via [[confirmed]]. */
   def runHeavyHitterStream(spark: SparkSession, inputDir: String,
       schema: StructType, keyExpr: String, corpusDir: String,
-      state: HhState): StreamingQuery = {
-    spark.readStream.schema(schema)
+      state: HhState, checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.schema(schema)
       .parquet(inputDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    checkpointDir.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
         val keyed = batch.select(expr(keyExpr).cast("string").as("key"))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         try {
           val n = keyed.count()
           if (n > 0) {
-            // land the batch first, then fold its summary: a failure
-            // between the two leaves extra corpus rows but a behind
-            // summary, and re-summarizing on retry only ever ADDS counts —
-            // the superset guarantee survives either interleaving (the
-            // exact confirm pass reads the corpus, not the sketch)
-            batch.write.mode("append").parquet(corpusDir)
-            state.summary = HeavyHitters.mergeSummaries(
-              state.summary, HeavyHitters.mgSummary(keyed, state.k), state.k)
-            state.rowsSeen += n
+            // idempotent landing: a redelivery of batchId overwrites its
+            // own directory instead of double-appending
+            // `ingest_batch` is reserved for the landing layout — pick a
+            // name feed schemas won't carry (a data column of the same name
+            // would collide with the inferred partition column on read)
+            batch.write.mode("overwrite")
+              .parquet(s"$corpusDir/ingest_batch=$batchId")
+            // idempotent merge: fold each batch into the sketch ONCE
+            if (batchId > state.lastBatchId) {
+              state.summary = HeavyHitters.mergeSummaries(state.summary,
+                HeavyHitters.mgSummary(keyed, state.k), state.k)
+              state.rowsSeen += n
+              state.lastBatchId = batchId
+            }
           }
         } finally keyed.unpersist()
         ()
@@ -76,14 +95,37 @@ object HeavyHittersStreaming {
       .start()
   }
 
+  /** Rebuild an [[HhState]] from the landed corpus after a restart (the
+    * running summary is session memory — a restarted stream with a
+    * checkpoint resumes the SOURCE where it left off, so the sketch must be
+    * re-derived): one bounded-memory MG pass over the corpus reproduces a
+    * valid ≤ k summary with the same superset guarantee (it IS the batch
+    * sketch of everything so far), and `lastBatchId` resumes from the
+    * highest landed `ingest_batch` so redelivered batches keep skipping the
+    * merge. */
+  def stateFromCorpus(spark: SparkSession, corpusDir: String,
+      keyExpr: String, minFrac: Double): HhState = {
+    val state = new HhState(minFrac)
+    val corpus = spark.read.parquet(corpusDir)
+    val keys = corpus.select(expr(keyExpr).cast("string").as("key"))
+    state.summary = HeavyHitters.mgSummary(keys, state.k)
+    val bounds = corpus.agg(count(lit(1)), max(col("ingest_batch"))).head()
+    state.rowsSeen = bounds.getLong(0)
+    state.lastBatchId = bounds.get(1) match {
+      case null => -1L
+      case b: Number => b.longValue()
+    }
+    state
+  }
+
   /** The exact heavy hitters of everything landed so far: the running
-    * summary's keys (a superset of the truth) confirmed with exact counts
-    * against the corpus. Bit-identical to the batch operator on the same
-    * rows. */
+    * summary's keys (a superset of the truth at the state's threshold)
+    * confirmed with exact counts against the corpus. Bit-identical to the
+    * batch operator at `state.minFrac` on the same rows. */
   def confirmed(spark: SparkSession, corpusDir: String, keyExpr: String,
-      state: HhState, minFrac: Double): DataFrame = {
+      state: HhState): DataFrame = {
     val keys = spark.read.parquet(corpusDir)
       .select(expr(keyExpr).cast("string").as("key"))
-    HeavyHitters.confirmKeys(keys, state.summary.keys, minFrac)
+    HeavyHitters.confirmKeys(keys, state.summary.keys, state.minFrac)
   }
 }

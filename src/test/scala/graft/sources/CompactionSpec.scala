@@ -53,12 +53,33 @@ class CompactionSpec extends SparkSpec {
       "convergence passes changed the data")
   }
 
-  test("an already-compact directory is left untouched") {
+  test("an already-compact directory is left untouched, with no Spark job") {
     val dir = fragmented(1, 100)
     val names = parquetFiles(dir).map(_.getName).toSet
     val s = Compaction.compactParquet(spark, dir) // default 128 MB target
-    assert(s.skipped && s.filesBefore == 1 && s.rows == 100)
+    assert(s.skipped && s.filesBefore == 1 && s.rows == -1L,
+      s"skip path must not count rows (that is a full Spark job): $s")
     assert(parquetFiles(dir).map(_.getName).toSet == names,
       "no-op compaction rewrote files")
+  }
+
+  test("a hive-partitioned directory is compacted per leaf, layout preserved") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_part").toString + "/t"
+    // 3 partitions × 10 fragment files × 40 rows
+    for (p <- 0 until 3; i <- 0 until 10)
+      (0 until 40).map(j => (s"v${p}_${i}_$j"))
+        .toDF("v").coalesce(1).write.mode("append").parquet(s"$root/k=$p")
+    val before = spark.read.parquet(root).collect().map(_.toSeq).toSet
+    val leafBytes = parquetFiles(s"$root/k=0").map(_.length).sum
+
+    val s = Compaction.compactParquet(spark, root, targetBytes = leafBytes / 2)
+    assert(!s.skipped && s.filesBefore == 30 && s.rows == 1200, s"$s")
+    (0 until 3).foreach { p =>
+      assert(parquetFiles(s"$root/k=$p").size <= 3,
+        s"partition k=$p still fragmented")
+    }
+    assert(spark.read.parquet(root).collect().map(_.toSeq).toSet == before,
+      "partitioned compaction changed the data")
   }
 }

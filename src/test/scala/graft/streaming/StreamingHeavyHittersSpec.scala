@@ -49,7 +49,7 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       assert(state.rowsSeen == 3000L)
 
       val streamed = HeavyHittersStreaming
-        .confirmed(spark, corpusDir, "k", state, minFrac)
+        .confirmed(spark, corpusDir, "k", state)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       val batch = HeavyHitters
         .heavyHitters((0 until 3).flatMap(batchRows).toDF("batch", "k"),
@@ -58,6 +58,19 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       assert(batch == (0 until 5).map(h => (s"h$h", 150L, 3000L)).toSet,
         s"batch ground truth wrong: $batch")
       assert(streamed == batch, s"stream/batch diverged: $streamed vs $batch")
+
+      // restart story: a state re-derived from the landed corpus confirms
+      // the same exact answer and resumes the batch-id guard past every
+      // landed batch
+      val rebuilt = HeavyHittersStreaming
+        .stateFromCorpus(spark, corpusDir, "k", minFrac)
+      assert(rebuilt.rowsSeen == 3000L && rebuilt.lastBatchId >= 2L,
+        s"rebuilt state wrong: rows=${rebuilt.rowsSeen} last=${rebuilt.lastBatchId}")
+      val reconfirmed = HeavyHittersStreaming
+        .confirmed(spark, corpusDir, "k", rebuilt)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(reconfirmed == batch,
+        s"corpus-rebuilt state diverged: $reconfirmed vs $batch")
     } finally q.stop()
   }
 
