@@ -1114,23 +1114,30 @@ object TextOps {
     // proven there).
     QueryDef("e4_unigram_logprob",
       (s, dir) => {
-        // tok feeds the frequency aggregate AND the scoring join; freq
-        // feeds the total AND the join — materialize both (tok at token
-        // grain, freq at vocab grain) so the corpus tokenizes ONCE and the
-        // frequency shuffle runs once, instead of 3 tokenization passes
-        val tok = docs(s, dir)
+        // (doc, token) grain, NOT token grain: the per-doc term-frequency
+        // aggregate rides the tokenize pass map-side (partial agg shrinks
+        // the wire to doc-vocab rows), and every later consumer — vocab
+        // frequency, scoring join, per-doc rollup — reads the several-
+        // fold-smaller table. The integer-micros NLL term distributes
+        // EXACTLY over the count (n_dt · round(term) ≡ Σ round(term)), so
+        // the result is bit-identical to the per-token spelling. (This was
+        // the engine's largest token-grain checkpoint; §14.11 measured its
+        // serialized-read cost and shrank the snapshot instead of
+        // un-serializing it.)
+        val dt = docs(s, dir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("n_dt"))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
-        val freq = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+        val freq = dt.groupBy("t").agg(sum("n_dt").as("cnt"))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val total = freq.agg(sum("cnt").as("n_total"))
         val nllMicros = round(
           -log(col("cnt").cast(DoubleType) / col("n_total")) * 1e6, 0)
           .cast("long")
-        tok.join(freq, "t").crossJoin(broadcast(total))
+        dt.join(broadcast(freq), "t").crossJoin(broadcast(total))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(nllMicros).as("nll_micros"))
+          .agg(sum("n_dt").as("n_tokens"),
+            sum(col("n_dt") * nllMicros).as("nll_micros"))
           .select(col("doc_id"), col("n_tokens"), col("nll_micros"),
             round(col("nll_micros").cast(DoubleType) / col("n_tokens")
               / 1e6, 6).as("avg_nll"))
@@ -1138,15 +1145,17 @@ object TextOps {
       },
       Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t
           FROM documents),
-        freq AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
-        tot AS (SELECT count(*) AS n_total FROM tok)
-        SELECT doc_id, count(*) AS n_tokens,
-          CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total) * 1000000)
-            AS BIGINT)) AS BIGINT) AS nll_micros,
-          round(CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total)
-              * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6)
-            AS avg_nll
-        FROM tok JOIN freq USING (t) CROSS JOIN tot
+        dt AS (SELECT doc_id, t, count(*) AS n_dt FROM tok GROUP BY 1, 2),
+        freq AS (SELECT t, CAST(sum(n_dt) AS BIGINT) AS cnt
+          FROM dt GROUP BY t),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq)
+        SELECT doc_id, CAST(sum(n_dt) AS BIGINT) AS n_tokens,
+          CAST(sum(n_dt * CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total)
+            * 1000000) AS BIGINT)) AS BIGINT) AS nll_micros,
+          round(CAST(sum(n_dt * CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total)
+              * 1000000) AS BIGINT)) AS DOUBLE)
+            / CAST(sum(n_dt) AS BIGINT) / 1000000.0, 6) AS avg_nll
+        FROM dt JOIN freq USING (t) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
     // E4o: bigram-LM scoring — the 2-gram upgrade of e4_unigram_logprob:
@@ -1165,19 +1174,28 @@ object TextOps {
         val tok = docs(s, dir).select(col("doc_id"),
           posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
         val w = Window.partitionBy("doc_id").orderBy("pos")
-        // bg feeds c2, c1 AND the scoring join — materialize once or the
-        // tokenize + per-doc lead() window runs three times over the corpus
-        val bg = tok.withColumn("w2", lead("w1", 1).over(w))
+        // (doc, w1, w2) grain with a per-doc count, NOT bigram grain: the
+        // per-doc bigram-frequency aggregate rides the lead-window pass, so
+        // c2/c1 and the scoring join all read the smaller distinct-bigram
+        // table; the integer-micros NLL term distributes exactly over n_b
+        // (the e4_unigram_logprob argument). The window still runs once.
+        val bgc = tok.withColumn("w2", lead("w1", 1).over(w))
           .filter(col("w2").isNotNull)
-          .select("doc_id", "w1", "w2")
+          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_b"))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
-        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val c2 = bgc.groupBy("w1", "w2").agg(sum("n_b").as("c2"))
+        val c1 = bgc.groupBy("w1").agg(sum("n_b").as("c1"))
         val nll = round(-log(col("c2").cast(DoubleType) / col("c1")) * 1e6, 0)
           .cast("long")
-        bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        // no broadcast hint on the count tables: c2 is vocab²-bounded —
+        // tiny here, data-sized for a 50k-BPE vocabulary — so the right
+        // join strategy is a runtime call (AQE converts to broadcast when
+        // the built side measures small, keeps the shuffle join when not)
+        bgc.join(c2, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(nll).as("nll_micros"))
+          .agg(sum("n_b").as("n_bigrams"),
+            sum(col("n_b") * nll).as("nll_micros"))
           .select(col("doc_id"), col("n_bigrams"), col("nll_micros"),
             round(col("nll_micros").cast(DoubleType) / col("n_bigrams")
               / 1e6, 6).as("avg_nll"))
@@ -1187,15 +1205,18 @@ object TextOps {
             generate_series(1, len(l) - 1),
             i -> {'w1': l[i], 'w2': l[i + 1]})) AS b
           FROM (SELECT doc_id, $tokensSql AS l FROM documents)),
-        bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgl),
-        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
-        SELECT doc_id, count(*) AS n_bigrams,
-          CAST(sum(CAST(round(-ln(CAST(c2 AS DOUBLE) / c1) * 1000000)
+        bgc AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS n_b
+          FROM bgl GROUP BY 1, 2, 3),
+        c2 AS (SELECT w1, w2, CAST(sum(n_b) AS BIGINT) AS c2
+          FROM bgc GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS c1 FROM bgc GROUP BY 1)
+        SELECT doc_id, CAST(sum(n_b) AS BIGINT) AS n_bigrams,
+          CAST(sum(n_b * CAST(round(-ln(CAST(c2 AS DOUBLE) / c1) * 1000000)
             AS BIGINT)) AS BIGINT) AS nll_micros,
-          round(CAST(sum(CAST(round(-ln(CAST(c2 AS DOUBLE) / c1) * 1000000)
-              AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_nll
-        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+          round(CAST(sum(n_b * CAST(round(-ln(CAST(c2 AS DOUBLE) / c1)
+              * 1000000) AS BIGINT)) AS DOUBLE)
+            / CAST(sum(n_b) AS BIGINT) / 1000000.0, 6) AS avg_nll
+        FROM bgc JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         GROUP BY doc_id ORDER BY doc_id""")),
 
     // E4j: character-entropy gate — Shannon entropy of the per-doc character
