@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expressions.{DotProduct, L2Micros, LevWithin, MinHashSig,
-  ShingleMinHash, ShingleSet, SortedIntersectSize}
+  ShingleMinHash, ShingleSet, ShingleShaMin, SortedIntersectSize}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions in
   * the SQL function registry, so `spark.sql("... vec_dot(a, b) ...")` works
@@ -66,6 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "shingle_minhash(text, n, k) takes exactly three arguments")
         ShingleMinHash(args.head, intLit(args(1), "shingle_minhash", "n"),
           intLit(args(2), "shingle_minhash", "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_sha_min"),
+      new ExpressionInfo(classOf[ShingleShaMin].getName, "shingle_sha_min"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "shingle_sha_min(text, n) takes exactly two arguments")
+        ShingleShaMin(args.head, intLit(args(1), "shingle_sha_min", "n"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -462,11 +462,17 @@ object TextOps {
     // (doc_id, min, count) row before the exchange, so ~1 row/doc crosses
     // the wire at any scale.
     QueryDef("e4_fingerprint",
+      // the fused ShingleShaMin kernel: one pass per doc, no exploded
+      // shingle rows, no per-gram hex strings, digest-level min (bit-parity
+      // with the staged explode→sha2→min spelling, ShingleShaMinSpec); the
+      // per-doc struct means NO aggregation at all — the shuffle this row
+      // used to pay (token-grain explode → per-doc agg) disappears
       (s, dir) => docs(s, dir)
-        .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
-        .withColumn("h", sha2(col("sh"), 256))
-        .groupBy("doc_id")
-        .agg(min("h").as("fingerprint"), count(lit(1)).as("n_shingles"))
+        .select(col("doc_id"),
+          graft.expressions.ShingleShaMin(col("text"), 8).as("s"))
+        .filter(col("s").isNotNull)
+        .select(col("doc_id"), col("s.fp").as("fingerprint"),
+          col("s.sz").cast(LongType).as("n_shingles"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, min(h) AS fingerprint, count(*) AS n_shingles
         FROM (SELECT doc_id, sha256(unnest(list_distinct(list_transform(

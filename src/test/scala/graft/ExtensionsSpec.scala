@@ -46,6 +46,17 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(sqlSide.map(_.toString).toSeq == colSide.map(_.toString).toSeq)
 
+    // shingle_sha_min: SQL spelling equals the staged explode→sha2→min
+    val fp = spark.sql(
+      """SELECT shingle_sha_min(t, 8).fp AS fp, shingle_sha_min(t, 8).sz AS sz
+         FROM ext_docs WHERE id = 1""").head()
+    val stagedFp = df.filter(col("id") === 1)
+      .select(explode(Bridge.column(
+        graft.expressions.ShingleSet(ex(col("t")), 8))).as("sh"))
+      .agg(min(sha2(col("sh"), 256)).as("fp"), count(lit(1)).as("sz")).head()
+    assert(fp.getString(0) == stagedFp.getString(0) &&
+      fp.getInt(1).toLong == stagedFp.getLong(1))
+
     // sorted_intersect_size over two sorted shingle arrays
     val isz = spark.sql(
       """SELECT sorted_intersect_size(shingle_set(a.t, 5), shingle_set(b.t, 5)) AS n,
