@@ -367,15 +367,23 @@ object TextOps {
     // cost more than the interpreted lambda eval. Kept per measurement.
     QueryDef("e4_token_stats",
       (s, dir) => {
-        val toks = tokens(col("text"))
-        docs(s, dir).select(
-          col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_unique"),
-          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("char_sum"),
-          (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType)
-            / size(toks)).as("avg_token_len"),
-          size(bpeIsh(col("text"))).cast("long").as("n_bpe_pieces"))
+        // staged projections so the tokenizer and the interpreted
+        // aggregate() lambda each run ONCE per doc: CollapseProject keeps
+        // an expensive expression un-inlined when the consumer references
+        // it more than once (the e4_langid fix, measured 1.6x there)
+        docs(s, dir)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+            aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+              .as("char_sum"),
+            size(bpeIsh(col("text"))).cast("long").as("n_bpe_pieces"))
+          .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+            col("char_sum"),
+            (col("char_sum").cast(DoubleType) / col("n_tokens"))
+              .as("avg_token_len"),
+            col("n_bpe_pieces"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
@@ -400,20 +408,24 @@ object TextOps {
     // E4c: quality scoring (length/punct/stopword ratios, linear score)
     QueryDef("e4_quality",
       (s, dir) => {
-        val toks = tokens(col("text"))
-        val nTok = size(toks)
-        val stopHits = size(filter(toks, t => t.isin(stopwords: _*)))
-        val punct = size(regexp_extract_all(col("text"), lit("[,.;:!?]"), lit(0)))
-        val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
-        docs(s, dir).select(
-          col("doc_id"),
-          round(stopHits.cast(DoubleType) / nTok, 6).as("stop_ratio"),
-          round(punct.cast(DoubleType) / length(col("text")), 6).as("punct_ratio"),
-          round(digits.cast(DoubleType) / length(col("text")), 6).as("digit_ratio"),
-          round(
-            stopHits.cast(DoubleType) / nTok * 2.0
-              - punct.cast(DoubleType) / length(col("text")) * 3.0
-              - digits.cast(DoubleType) / length(col("text")), 6).as("quality"))
+        // staged projections (the e4_langid fix): tokenizer, stopword HOF,
+        // and each regexp run ONCE per doc; the ratio/score level reads
+        // their outputs as plain attributes
+        docs(s, dir)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            (size(filter(col("toks"), t => t.isin(stopwords: _*)))
+              .cast(DoubleType) / size(col("toks"))).as("sr"),
+            (size(regexp_extract_all(col("text"), lit("[,.;:!?]"), lit(0)))
+              .cast(DoubleType) / length(col("text"))).as("pr"),
+            (size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+              .cast(DoubleType) / length(col("text"))).as("dr"))
+          .select(col("doc_id"),
+            round(col("sr"), 6).as("stop_ratio"),
+            round(col("pr"), 6).as("punct_ratio"),
+            round(col("dr"), 6).as("digit_ratio"),
+            round(col("sr") * 2.0 - col("pr") * 3.0 - col("dr"), 6)
+              .as("quality"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
@@ -432,11 +444,18 @@ object TextOps {
     // argmax with lang-ascending tiebreak)
     QueryDef("e4_langid",
       (s, dir) => {
-        val toks = tokens(col("text"))
-        val scored = docs(s, dir).select(
-          (col("doc_id") +: col("lang").as("labeled_lang") +:
+        // tokenize ONCE into its own projection: the five per-language
+        // scores all consume `toks`, and CollapseProject keeps the split
+        // un-inlined because a non-trivial expression referenced five
+        // times fails its cheap-duplication check — without this the
+        // regexp tokenizer runs once per language profile
+        val toked = docs(s, dir).select(col("doc_id"),
+          col("lang").as("labeled_lang"), tokens(col("text")).as("toks"))
+        val scored = toked.select(
+          (col("doc_id") +: col("labeled_lang") +:
             langProfiles.map { case (lang, words) =>
-              size(filter(toks, t => t.isin(words.map(lit): _*))).as(s"s_$lang")
+              size(filter(col("toks"), t => t.isin(words.map(lit): _*)))
+                .as(s"s_$lang")
             }): _*)
         val langs = langProfiles.map(_._1)
         val pred = langs.foldRight(lit(langs.last)) { case (lang, els) =>
@@ -700,20 +719,27 @@ object TextOps {
         // rlikes: 8.1 s vs 4.3 s — Java regex per stopword per row; a single
         // alternation needs lookbehind, which RE2/DuckDB lacks, so it can't
         // be oracle-portable)
-        val toks = tokens(col("text"))
-        val nW = size(toks).cast("long")
-        val mwl = length(regexp_replace(col("text"), "\\s+", ""))
-          .cast(DoubleType) / nW
-        val nStop = size(filter(array_distinct(toks),
-          t => t.isin(stopwords: _*))).cast("long")
+        // staged projections (the e4_langid fix): tokenizer + stopword HOF
+        // + regexp once per doc, rules read the metric attributes
         def flag(c: Column): Column = c.cast("long")
-        docs(s, dir).select(col("doc_id"), nW.as("n_words"),
-            round(mwl, 6).as("mean_wlen"), nStop.as("n_stop"),
-            flag(nW >= 50 && nW <= 100000).as("r_wc"),
-            flag(mwl >= 3.0 && mwl <= 10.0).as("r_mwl"),
-            flag(nStop >= 2).as("r_stop"),
-            flag(nW >= 50 && nW <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
-              nStop >= 2).as("keep"))
+        docs(s, dir)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            length(regexp_replace(col("text"), "\\s+", ""))
+              .cast(DoubleType).as("nws_len"),
+            size(filter(array_distinct(col("toks")),
+              t => t.isin(stopwords: _*))).cast("long").as("n_stop"))
+          .select(col("doc_id"), col("n_words"),
+            (col("nws_len") / col("n_words")).as("mwl"), col("n_stop"))
+          .select(col("doc_id"), col("n_words"),
+            round(col("mwl"), 6).as("mean_wlen"), col("n_stop"),
+            flag(col("n_words") >= 50 && col("n_words") <= 100000).as("r_wc"),
+            flag(col("mwl") >= 3.0 && col("mwl") <= 10.0).as("r_mwl"),
+            flag(col("n_stop") >= 2).as("r_stop"),
+            flag(col("n_words") >= 50 && col("n_words") <= 100000 &&
+              col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+              col("n_stop") >= 2).as("keep"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id, n_words, round(mwl, 6) AS mean_wlen, n_stop,
@@ -793,20 +819,26 @@ object TextOps {
     QueryDef("e4_gate_attrition",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = tokens(col("text"))
-        val nW = size(toks).cast("long")
-        val mwl = length(regexp_replace(col("text"), "\\s+", ""))
-          .cast(DoubleType) / nW
-        val nStop = size(filter(array_distinct(toks),
-          t => t.isin(stopwords: _*))).cast("long")
-        val stage = when(!(nW >= 50 && nW <= 100000), "1_wordcount")
-          .when(!(mwl >= 3.0 && mwl <= 10.0), "2_mean_wlen")
-          .when(!(nStop >= 2), "3_stopwords")
+        // staged projections (the e4_langid fix): tokenizer + stopword HOF
+        // once per doc before the first-failing-rule attribution
+        val stage = when(!(col("n_words") >= 50 && col("n_words") <= 100000),
+            "1_wordcount")
+          .when(!(col("mwl") >= 3.0 && col("mwl") <= 10.0), "2_mean_wlen")
+          .when(!(col("n_stop") >= 2), "3_stopwords")
           .otherwise("4_kept")
         // the 4-row stage table feeds both the total and the funnel window:
         // materialize it once or the whole corpus-sized gate evaluation
         // (tokenize + 3 rules per doc) runs twice
-        val counts = docs(s, dir).select(stage.as("stage"))
+        val counts = docs(s, dir)
+          .select(col("text"), tokens(col("text")).as("toks"))
+          .select(size(col("toks")).cast("long").as("n_words"),
+            length(regexp_replace(col("text"), "\\s+", ""))
+              .cast(DoubleType).as("nws_len"),
+            size(filter(array_distinct(col("toks")),
+              t => t.isin(stopwords: _*))).cast("long").as("n_stop"))
+          .select(col("n_words"), (col("nws_len") / col("n_words")).as("mwl"),
+            col("n_stop"))
+          .select(stage.as("stage"))
           .groupBy("stage").agg(count(lit(1)).as("n"))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val total = counts.agg(sum("n").as("total"))
