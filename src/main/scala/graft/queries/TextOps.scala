@@ -486,10 +486,15 @@ object TextOps {
       // with the staged explode→sha2→min spelling, ShingleShaMinSpec); the
       // per-doc struct means NO aggregation at all — the shuffle this row
       // used to pay (token-grain explode → per-doc agg) disappears
+      // the no-shingle guard is the CHEAP equivalent precondition
+      // length(text) >= 8 (character count, exactly the kernel's null
+      // condition), NOT a filter on the struct: predicate pushdown would
+      // re-substitute `isnotnull(shingle_sha_min(text))` below the
+      // projection and evaluate the kernel TWICE per row
       (s, dir) => docs(s, dir)
+        .filter(length(col("text")) >= 8)
         .select(col("doc_id"),
           graft.expressions.ShingleShaMin(col("text"), 8).as("s"))
-        .filter(col("s").isNotNull)
         .select(col("doc_id"), col("s.fp").as("fingerprint"),
           col("s.sz").cast(LongType).as("n_shingles"))
         .orderBy("doc_id"),

@@ -126,10 +126,20 @@ class PlanSpec extends SparkSpec {
       s"doc-sized window must include the chunk key:\n$p")
   }
 
-  test("e4 fingerprint aggregates partially before its exchange") {
+  test("e4 fingerprint runs the fused kernel once per doc, no aggregation") {
     val p = plan("e4_fingerprint")
-    assert(p.contains("partial_min") || p.contains("partial_"),
-      s"shingle rows must collapse map-side, ~1 row/doc on the wire:\n$p")
+    // the ShingleShaMin kernel replaced the explode→sha2→groupBy shape:
+    // per-doc struct, NO aggregate, NO exchange but the final orderBy
+    assert(!p.contains("HashAggregate"),
+      s"the fused kernel needs no aggregation:\n$p")
+    // exactly ONE kernel evaluation site: a pushed isnotnull(kernel) filter
+    // would re-substitute the expression below the projection and run it
+    // twice per row (the cheap length-precondition exists to prevent that)
+    assert(p.linesIterator.count(_.contains("shingle_sha_min")) == 1,
+      s"kernel must evaluate once per row:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Filter") &&
+      l.contains("length(text") && l.contains(">= 8")),
+      s"the no-shingle guard must be the cheap length predicate:\n$p")
   }
 
   test("e9 as-of join shuffles once on the key, no range join explosion") {
