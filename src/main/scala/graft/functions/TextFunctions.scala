@@ -176,8 +176,14 @@ object TextFunctions {
 
   def signatureTable(docs: DataFrame, numHashes: Int,
       shingleLen: Int): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text"), shingleLen).as("shset"))
-      .filter(size(col("shset")) > 0)
+    // the no-shingle guard is the CHEAP equivalent precondition
+    // length(text) >= shingleLen (character count == the kernel's empty
+    // condition), applied BEFORE the shingle projection: a filter on the
+    // computed column would push below it re-substituted as
+    // size(shingle_set(text)) > 0 and evaluate the shingle kernel twice
+    // per doc (found via the e4_fingerprint plan pin)
+    docs.filter(length(col("text")) >= shingleLen)
+      .select(col("doc_id"), shingles(col("text"), shingleLen).as("shset"))
       .select(col("doc_id"), col("shset"),
         graft.expressions.MinHashSig(col("shset"), numHashes).as("mh"))
 
@@ -284,10 +290,13 @@ object TextFunctions {
     // every "permutation" then shares h1's argmin, all k signature slots
     // collapse to one, and banding degenerates to shared-argmin buckets
     // (measured: 7.6M candidate pairs instead of ~10³).
-    val sh = docs.select(col("doc_id"),
-      graft.expressions.ShingleMinHash(col("text"), shingleLen, numHashes)
-        .as("sig"))
-      .filter(col("sig").isNotNull)
+    // short-doc guard as the cheap length precondition, NOT
+    // filter(sig.isNotNull): pushdown would re-substitute the fused kernel
+    // into the filter and sign every doc TWICE (the e4_fingerprint lesson)
+    val sh = docs.filter(length(col("text")) >= shingleLen)
+      .select(col("doc_id"),
+        graft.expressions.ShingleMinHash(col("text"), shingleLen, numHashes)
+          .as("sig"))
       .select(col("doc_id"), col("sig.sz").as("sz"), col("sig.mh").as("mh"))
       .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     val bandCols = (0 until bands).map { b =>

@@ -999,9 +999,12 @@ object TextOps {
         // more than re-running the codegen'd kernel over the columnar scan,
         // and the same trade holds at scale where the posting table is
         // larger than the source text.
+        // empty-shingle guard as the cheap length precondition — a filter
+        // on the computed array would push below the projection and run
+        // the shingle kernel twice per doc (the e4_fingerprint lesson)
         val base = docs(s, dir)
+          .filter(length(col("text")) >= 8)
           .select(col("doc_id"), shingles(col("text"), 8).as("arr"))
-          .filter(size(col("arr")) > 0)
           .select(col("doc_id"),
             size(col("arr")).cast("long").as("n_shingles"), col("arr"))
         val sh = base.select(col("doc_id"), explode(col("arr")).as("sh"))
