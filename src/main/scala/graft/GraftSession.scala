@@ -28,6 +28,17 @@ object GraftSession {
     // constructs precisely that layout, so the metadata is sound here and
     // the bucketed fact⋈fact join plans with neither Exchange nor Sort).
     .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // InferFiltersFromGenerate guards explode(f(x)) with
+    // `size(f(x)) > 0 AND isnotnull(f(x))` — for this engine's generators
+    // f IS the expensive kernel (shingle_set over the full document), so
+    // the inferred filter re-evaluates it per row for a check the
+    // generator performs anyway (explode of null/empty emits no rows; the
+    // inference only pays off when MOST rows generate nothing, the
+    // opposite of a text corpus). Excluding the rule removed a full
+    // kernel evaluation from every explode(shingles) row (PlanLint's
+    // filter-reevaluates-projection rule caught it; §14.11).
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // The driver testdata's `events.ts` is parquet TIMESTAMP(NANOS); Spark's
     // TimestampType is microseconds. Read nanos as a raw long (ns since
     // epoch) and convert explicitly where needed — this keeps full precision

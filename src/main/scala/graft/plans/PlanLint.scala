@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, Md5, RegExpExtractAll, RegExpReplace, Sha2, StringSplit}
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -33,6 +34,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    moves to one task; unbounded at scale.
   *  - `single-partition-exchange`: a shuffle into ONE partition (e.g.
   *    `repartition(1)`, non-top-k global sort) — a one-task bottleneck.
+  *  - `filter-reevaluates-projection`: an EXPENSIVE expression (regexp,
+  *    crypto hash, higher-order lambda, a custom kernel) appearing in BOTH
+  *    a Filter condition and a Project list — the signature of predicate
+  *    pushdown re-substituting an alias below its projection, which
+  *    evaluates the expression twice per row. Found live in this engine
+  *    (the e4_fingerprint / MinHash-signing double-eval, §14.11): the fix
+  *    is a cheap equivalent precondition before the projection.
   */
 object PlanLint {
 
@@ -49,7 +57,20 @@ object PlanLint {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    plan.collect {
+    val projected: Set[Expression] = plan.collect {
+      case p: ProjectExec => p.projectList: Seq[Expression]
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        Seq(g.generator: Expression)
+    }.flatten.flatMap(_.collect {
+      case e if isExpensive(e) => e.canonicalized
+    }).toSet
+    val reeval = plan.collect {
+      case f: FilterExec => f.condition.collect {
+        case e if isExpensive(e) && projected.contains(e.canonicalized) =>
+          Finding("filter-reevaluates-projection", oneLine(f), sizeOf(f))
+      }
+    }.flatten.distinct
+    reeval ++ plan.collect {
       case c: CartesianProductExec =>
         Finding("cartesian-product", oneLine(c), sizeOf(c))
       case b: BroadcastNestedLoopJoinExec
@@ -71,6 +92,14 @@ object PlanLint {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       a.groupingExpressions.isEmpty
     case _ => false
+  }
+
+  /** Per-row-expensive expressions: one evaluation is a budget, two is a
+    * bug. Custom kernels are recognized by their package. */
+  private def isExpensive(e: Expression): Boolean = e match {
+    case _: HigherOrderFunction | _: RegExpExtractAll | _: RegExpReplace |
+        _: StringSplit | _: Sha2 | _: Md5 => true
+    case _ => e.getClass.getName.startsWith("graft.expressions.")
   }
 
   /** Size estimate of the node's logical twin (Catalyst stats) — crude

@@ -130,7 +130,14 @@ object TextOps {
     QueryDef("e1_dedup_incremental",
       (s, dir) => {
         val cut = storeCutoff(s, dir)
-        val d = docs(s, dir).withColumn("h", md5(normText(col("text"))))
+        // h is a JOIN key: if it is nullable, InferFiltersFromConstraints
+        // plants `isnotnull(md5(normText(text)))` below the projection and
+        // the full normalize+hash runs twice per store row. The explicit
+        // text guard (a no-op on this data, and exactly what a null text
+        // would hit at the join anyway) plus coalesce makes the expression
+        // statically non-nullable, so no constraint is ever inferred.
+        val d = docs(s, dir).filter(col("text").isNotNull)
+          .withColumn("h", md5(normText(coalesce(col("text"), lit("")))))
         val corpus = d.filter(col("doc_id") < cut).select("h").distinct()
         val batch = d.filter(col("doc_id") >= cut)
         batch.join(corpus, Seq("h"), "left_anti")
@@ -1045,8 +1052,19 @@ object TextOps {
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .withColumn("n", size(col("w")))
         // positional k-grams (Spark's sequence(0, n-k) counts DOWN when
-        // n < k — guard it; DuckDB's generate_series returns empty)
-        val grams = base.filter(col("n") >= k)
+        // n < k — guard it; DuckDB's generate_series returns empty). The
+        // >= k-words guard is the cheap precondition BEFORE the split
+        // projection — size(split(text,' ')) = spaces+1, so spaces >= k-1
+        // is equivalent — because a filter on size(w) would push below the
+        // projection re-substituted as size(split(text)) and run the split
+        // twice per row (the filter-reevaluates-projection lint rule).
+        // Short docs still flow through `base` into the rebuild side
+        // untouched; only the gram branch needs the guard.
+        val grams = docs(s, dir)
+          .filter(length(col("text"))
+            - length(replace(col("text"), lit(" "), lit(""))) >= k - 1)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("n", size(col("w")))
           .select(col("doc_id"), col("w"),
             explode(sequence(lit(0), col("n") - k)).as("p"))
           .select(col("doc_id"), col("p"),
