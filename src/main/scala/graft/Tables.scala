@@ -96,17 +96,18 @@ object Tables {
     * columns). `partitionBy` columns become hive-style directory keys; the
     * reader re-infers their types, so callers cast them back explicitly. */
   def persistedArtifactPath(s: SparkSession, family: String, key: String,
-      partitionBy: Seq[String] = Nil)(build: => DataFrame): String = {
+      partitionBy: Seq[String] = Nil, format: String = "parquet")
+      (build: => DataFrame): String = {
     // the layout is part of the artifact's identity: the same (family, key)
-    // requested with a different partitionBy must NOT serve the
-    // previously-written directory with the wrong directory structure
+    // requested with a different partitionBy or format must NOT serve the
+    // previously-written directory with the wrong structure
     val md5 = graft.sources.LocalFs.md5Hex(
-      s"$key|layout=${partitionBy.mkString(",")}")
+      s"$key|layout=${partitionBy.mkString(",")}|fmt=$format")
     val path = s"/tmp/$family/$md5"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      val w = build.write.mode("overwrite")
+      val w = build.write.mode("overwrite").format(format)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(path)
+        .save(path)
     }
     path
   }

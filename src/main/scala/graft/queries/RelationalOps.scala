@@ -874,6 +874,61 @@ object RelationalOps {
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue_micros DESC, c_custkey LIMIT 20""")),
 
+    // S11: ORC scan — the other columnar format a mixed estate serves. The
+    // fixture is copied to ORC ONCE per (fixture, format) via the
+    // persisted-artifact path, then the query runs entirely off the ORC
+    // files: same pushdown machinery as parquet (the shipdate range
+    // reaches the ORC reader as a pushed filter — PlanSpec pins it), same
+    // results by construction, which is exactly what the oracle checks
+    // (the DuckDB side reads the registered parquet table — a hash match
+    // proves the ORC path byte-equivalent).
+    QueryDef("s11_orc_scan",
+      (s, dir) => {
+        val path = Tables.persistedArtifactPath(s, "graft_fmt",
+          s"$dir|${Tables.fixtureToken(dir, "lineitem")}|v1", format = "orc")(
+          Tables.lineitem(s, dir))
+        s.read.orc(path)
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            micros(sum((dec("l_extendedprice")
+                * (lit(1) - dec("l_discount"))).cast("decimal(28,12)")))
+              .as("revenue_micros"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+          ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+          AS revenue_micros
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // S12: JSON-lines scan with an EXPLICIT schema — the landing format of
+    // half the world's event feeds. The fixture's events land as JSON once
+    // per (fixture, format); the read supplies the schema up front, so
+    // there is NO inference pass (at 100 TB schema inference is a full
+    // extra scan — the single most common accidental 2× in JSON
+    // pipelines). Aggregation in the exact micro carrier; oracle over the
+    // registered parquet events proves the JSON round-trip lossless for
+    // longs, strings, and doubles.
+    QueryDef("s12_json_scan",
+      (s, dir) => {
+        val path = Tables.persistedArtifactPath(s, "graft_fmt",
+          s"$dir|${Tables.fixtureToken(dir, "events")}|v1", format = "json")(
+          Tables.events(s, dir)
+            .select("event_id", "user_id", "event_type", "value"))
+        s.read.schema(
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .json(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            micros(sum(dec("value"))).as("value_micros"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+          ${microsSql("sum(CAST(value AS DECIMAL(18,6)))")} AS value_micros
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // R5: unpivot/melt — wide metrics to (key, metric, value) long form, the
     // inverse of r2_pivot. Map-side only (each input row emits k output
     // rows, no shuffle). Oracle is the portable UNION ALL spelling.

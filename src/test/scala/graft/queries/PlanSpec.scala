@@ -654,6 +654,15 @@ class PlanSpec extends SparkSpec {
       s"dims must join after the custkey aggregation:\n$p")
   }
 
+  test("s11 ORC scan pushes the shipdate filter and prunes columns") {
+    val p = plan("s11_orc_scan")
+    assert(p.contains("Format: ORC"), s"must scan the ORC copy:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"the date range must reach the ORC reader:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"unused columns must be pruned from the ORC read schema:\n$p")
+  }
+
   test("g2 coshare routes the aggregation shape on the supplier statistic") {
     // round-8 verdict item 4: the routing STATISTIC (supplier cardinality
     // vs CosharePairKeySpaceMax) gets a dimension planted on each side of
