@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expressions.{DotProduct, L2Micros, LevWithin, MinHashSig,
-  ShingleMinHash, ShingleSet, ShingleShaMin, SortedIntersectSize}
+  ShingleMinHash, ShingleSet, ShingleShaMin, SimhashSig, SortedIntersectSize}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions in
   * the SQL function registry, so `spark.sql("... vec_dot(a, b) ...")` works
@@ -74,6 +74,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "shingle_sha_min(text, n) takes exactly two arguments")
         ShingleShaMin(args.head, intLit(args(1), "shingle_sha_min", "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "simhash_sig(text, use_md5) takes exactly two arguments")
+        val useMd5 = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"simhash_sig: use_md5 must be a boolean literal, got $other")
+        }
+        SimhashSig(args.head, useMd5)
       }))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),

@@ -381,26 +381,16 @@ object TextFunctions {
   val md5Hash60Sql: String = md5Hash60Sql("t")
 
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    // Bulk simhash via explode + 64 codegen'd vote sums (one token-hash per
-    // row, no nested per-bit HOF re-scan), then a tiny (doc_id, sh64) table
-    // is materialized so the bucket self-join doesn't recompute votes.
-    // Token-less docs keep sh64 = 0 via the left join (vote sums absent ⇒
-    // no bit set), matching the HOF form on empty inputs.
-    val exploded = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), tokenHash(col("t")).as("h"))
-    val bitAggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"v_$b")
-    }
-    val votes = exploded.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sh64 = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val d = docs.select(col("doc_id"))
-      .join(votes, Seq("doc_id"), "left")
-      .select(col("doc_id"), sh64.as("sh64"))
+                   useMd5: Boolean = false): DataFrame = {
+    // Signing is the fused [[graft.expressions.SimhashSig]] kernel: one
+    // pass per document in a projection — no exploded token rows, no
+    // 64-column vote aggregate, no signing shuffle. Bit-identical to the
+    // staged explode → hash → vote-sum spelling for both hash families
+    // (SimhashSigSpec); token-less/null docs sign as 0 via the coalesce
+    // (the staged form's left-join null → 0).
+    val d = docs
+      .select(col("doc_id"), graft.expressions.SimhashSig(
+        coalesce(col("text"), lit("")), useMd5).as("sh64"))
       .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
     // Banding. A pair within hamming ≤ 3 has ≥ 1 of the 4 16-bit chunks
     // exactly equal (pigeonhole), so candidates only form inside a chunk

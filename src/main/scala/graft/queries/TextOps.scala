@@ -364,7 +364,7 @@ object TextOps {
     // rows-only above.
     QueryDef("e2_simhash_md5",
       (s, dir) => simhashPairs(docs(s, dir), maxHamming = 3,
-        tokenHash = md5Hash60),
+        useMd5 = true),
       Some(simhashMd5OracleSql(3))),
 
     // E4a: tokenization stats (HOF-only — no explode/shuffle per token).

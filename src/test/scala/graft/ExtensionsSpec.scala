@@ -57,6 +57,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(fp.getString(0) == stagedFp.getString(0) &&
       fp.getInt(1).toLong == stagedFp.getLong(1))
 
+    // simhash_sig: SQL spelling equals the Column API for both hash kinds
+    val sim = spark.sql(
+      """SELECT simhash_sig(t, false) AS sx, simhash_sig(t, true) AS sm
+         FROM ext_docs WHERE id = 1""").head()
+    val simCol = df.filter(col("id") === 1).select(
+      graft.expressions.SimhashSig(col("t"), useMd5 = false).as("sx"),
+      graft.expressions.SimhashSig(col("t"), useMd5 = true).as("sm")).head()
+    assert(sim.getLong(0) == simCol.getLong(0) &&
+      sim.getLong(1) == simCol.getLong(1))
+
     // sorted_intersect_size over two sorted shingle arrays
     val isz = spark.sql(
       """SELECT sorted_intersect_size(shingle_set(a.t, 5), shingle_set(b.t, 5)) AS n,
