@@ -45,25 +45,41 @@ case class SimhashSig(child: Expression, useMd5: Boolean)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "simhash_sig"
 
-  /** The kernel, shared by interpreted eval and generated code. */
+  /** The kernel, shared by interpreted eval and generated code.
+    *
+    * Tokenization walks the UTF-8 BYTES directly: Java's `\s` (as Spark's
+    * `split(c, "\\s+")` compiles it, no UNICODE_CHARACTER_CLASS) matches
+    * ONLY the six ASCII whitespace bytes, and UTF-8 continuation bytes are
+    * ≥ 0x80, so "maximal run of non-ASCII-whitespace bytes" produces
+    * exactly the staged form's token byte-spans — with zero per-token
+    * allocation (the first cut of this kernel round-tripped through
+    * String + regex split + per-token re-encode and measured 4× SLOWER
+    * than the staged pipeline on a 50k-doc natural corpus; the byte walk
+    * is what makes fusing pay).
+    */
   def sigOf(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
     val votes = new Array[Int](64)
     val md = if (useMd5)
       java.security.MessageDigest.getInstance("MD5") else null
-    // Java regex split — the staged form's exact tokenizer
-    val parts = s.toString.split("\\s+", -1)
     var i = 0
-    while (i < parts.length) {
-      val t = parts(i)
-      if (t.nonEmpty) {
+    while (i < n) {
+      // skip ASCII whitespace (space \t \n \x0B \f \r — Java regex \s)
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val len = i - start
         val h =
-          if (!useMd5) {
-            val u = UTF8String.fromString(t)
-            XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
-              u.numBytes, 42L)
-          } else {
+          if (!useMd5)
+            XXH64.hashUnsafeBytes(bytes,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+              len, 42L)
+          else {
             md.reset()
-            val d = md.digest(t.getBytes("UTF-8"))
+            md.update(bytes, start, len)
+            val d = md.digest()
             // first 15 hex chars = the top 60 bits of the first 7.5 bytes
             var v = 0L
             var j = 0
@@ -81,7 +97,6 @@ case class SimhashSig(child: Expression, useMd5: Boolean)
           b += 1
         }
       }
-      i += 1
     }
     var sh = 0L
     var b = 0
@@ -91,6 +106,9 @@ case class SimhashSig(child: Expression, useMd5: Boolean)
     }
     sh
   }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
   override def nullSafeEval(input: Any): Any =
     sigOf(input.asInstanceOf[UTF8String])

@@ -384,14 +384,33 @@ object TextFunctions {
                    useMd5: Boolean = false): DataFrame = {
     // Signing is the fused [[graft.expressions.SimhashSig]] kernel: one
     // pass per document in a projection — no exploded token rows, no
-    // 64-column vote aggregate, no signing shuffle. Bit-identical to the
-    // staged explode → hash → vote-sum spelling for both hash families
+    // 64-column vote aggregate. Bit-identical to the staged
+    // explode → hash → vote-sum spelling for both hash families
     // (SimhashSigSpec); token-less/null docs sign as 0 via the coalesce
-    // (the staged form's left-join null → 0).
+    // (the staged form's left-join null → 0). The EXPLICIT-count
+    // repartition is load-bearing: the staged groupBy left `d` spread over
+    // several partitions and the banding/verify stages inherit `d`'s
+    // layout map-side — signing straight off a one-file scan serialized
+    // them (same downstream, same 6.18M pairs: 33 s from a 1-partition
+    // signature table vs 5 s from 8, measured on the natural 50k corpus).
+    // A bare repartition(col) is NOT enough: the signature table is
+    // ~16 B/doc, so AQE coalesces that shuffle straight back to one
+    // partition; the explicit count (REPARTITION_BY_NUM) is exempt from
+    // coalescing by contract.
+    val session = docs.sparkSession
     val d = docs
       .select(col("doc_id"), graft.expressions.SimhashSig(
         coalesce(col("text"), lit("")), useMd5).as("sh64"))
+      .repartition(session.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    simhashPairsFromSig(d, maxHamming)
+  }
+
+  /** [[simhashPairs]] from an already-signed `(doc_id, sh64)` table
+    * (materialized — the banding below consumes it repeatedly). */
+  private[graft] def simhashPairsFromSig(d: DataFrame,
+      maxHamming: Int): DataFrame = {
     // Banding. A pair within hamming ≤ 3 has ≥ 1 of the 4 16-bit chunks
     // exactly equal (pigeonhole), so candidates only form inside a chunk
     // match. On natural text that alone fan-outs quadratically: common-word-
