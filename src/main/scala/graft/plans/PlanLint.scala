@@ -73,8 +73,12 @@ object PlanLint {
     reeval ++ plan.collect {
       case c: CartesianProductExec =>
         Finding("cartesian-product", oneLine(c), sizeOf(c))
-      case b: BroadcastNestedLoopJoinExec
-          if b.condition.isDefined && b.joinType != Cross =>
+      // any BNLJ WITH a condition is the per-row-scan fallback — including
+      // crossJoin(...).filter(inequality), which the optimizer folds into a
+      // Cross-typed BNLJ carrying the predicate (review finding: the
+      // joinType exemption here was a false-negative hole). The sanctioned
+      // tiny-broadcast pattern is condition-FREE and stays unflagged.
+      case b: BroadcastNestedLoopJoinExec if b.condition.isDefined =>
         Finding("theta-bnlj", oneLine(b), sizeOf(b))
       case w: WindowExec if w.partitionSpec.isEmpty =>
         Finding("global-window", oneLine(w), sizeOf(w.child))

@@ -133,9 +133,13 @@ object TextOps {
         // h is a JOIN key: if it is nullable, InferFiltersFromConstraints
         // plants `isnotnull(md5(normText(text)))` below the projection and
         // the full normalize+hash runs twice per store row. The explicit
-        // text guard (a no-op on this data, and exactly what a null text
-        // would hit at the join anyway) plus coalesce makes the expression
-        // statically non-nullable, so no constraint is ever inferred.
+        // text guard plus coalesce makes the expression statically
+        // non-nullable, so no constraint is ever inferred. Declared
+        // semantics change for null-text rows (none exist in any fixture):
+        // previously a null-text BATCH doc kept a null-h group (left_anti
+        // keeps null keys — they match nothing); now such docs are dropped,
+        // which is also what the oracle's NOT IN null semantics compute —
+        // the guard ALIGNS the engine with the oracle on that edge.
         val d = docs(s, dir).filter(col("text").isNotNull)
           .withColumn("h", md5(normText(coalesce(col("text"), lit("")))))
         val corpus = d.filter(col("doc_id") < cut).select("h").distinct()
@@ -1198,7 +1202,10 @@ object TextOps {
         val nllMicros = round(
           -log(col("cnt").cast(DoubleType) / col("n_total")) * 1e6, 0)
           .cast("long")
-        dt.join(broadcast(freq), "t").crossJoin(broadcast(total))
+        // no broadcast hint on freq: vocabulary-sized — tiny here, but
+        // Heaps'-law-unbounded on a natural corpus; AQE broadcasts it at
+        // runtime when it measures small (the e4_bigram_logprob argument)
+        dt.join(freq, "t").crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(sum("n_dt").as("n_tokens"),
             sum(col("n_dt") * nllMicros).as("nll_micros"))

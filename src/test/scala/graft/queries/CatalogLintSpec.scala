@@ -36,6 +36,14 @@ class CatalogLintSpec extends SparkSpec {
     // evaluation is cheap and restructuring around pushdown isn't worth it
     "e8_stratified_sample" -> Set("filter-reevaluates-projection"),
     "e8_weighted_sample" -> Set("filter-reevaluates-projection"),
+    // threshold-gate pattern: crossJoin a 1-row (or stats-table) AGGREGATE,
+    // then filter against it — the optimizer folds the predicate into the
+    // Cross BNLJ, which the tightened theta-bnlj rule flags (it must: the
+    // same shape against a data-sized broadcast is an outage). Here the
+    // broadcast side is structurally bounded aggregate output.
+    "e4_quality_p75" -> Set("theta-bnlj"),
+    "e8_mix_rebalance" -> Set("theta-bnlj"),
+    "j13_dormant_customers" -> Set("theta-bnlj"),
     "e2_edit_blocked" -> Set("theta-bnlj"),
     "e2_edit_distance" -> Set("theta-bnlj"),
     "e3_cosine_pairs" -> Set("theta-bnlj"),
