@@ -81,10 +81,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2,
           "simhash_sig(text, use_md5) takes exactly two arguments")
-        val useMd5 = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
-          case other => throw new IllegalArgumentException(
-            s"simhash_sig: use_md5 must be a boolean literal, got $other")
+        // fold, don't pattern-match on Literal: at injectFunction time the
+        // argument arrives UNFOLDED, so `NOT false`, a cast, or any other
+        // foldable boolean spelling is legitimate SQL (review finding: the
+        // bare-Literal match rejected those with a raw builder exception)
+        val e = args(1)
+        require(e.foldable &&
+            e.dataType == org.apache.spark.sql.types.BooleanType,
+          s"simhash_sig: use_md5 must be a foldable BOOLEAN expression, " +
+            s"got ${e.sql}")
+        val useMd5 = e.eval() match {
+          case b: java.lang.Boolean => b.booleanValue
+          case null => throw new IllegalArgumentException(
+            "simhash_sig: use_md5 must not be NULL — it selects the hash " +
+              "family (a structural parameter of the generated kernel), " +
+              "pass TRUE or FALSE")
         }
         SimhashSig(args.head, useMd5)
       }))

@@ -39,13 +39,41 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** Stand-in key for NULL, so a frequent null key flows through nomination,
+    * counting, AND confirmation like any other value (a bare null would fall
+    * out of the Misra-Gries map, the candidate equi-join, and the streaming
+    * summary `Map[String, Long]` alike — review finding: it was counted into
+    * `n_total` but could never be confirmed, silently diverging from the
+    * `groupBy/HAVING` baseline, which treats null as a group). The sentinel
+    * embeds NUL bytes, which no text key format produces; a data key equal
+    * to it would merge with the null group — documented, not checked,
+    * because checking costs a scan. [[confirm]] maps it back to null on
+    * output, so results still read as the naive baseline's would. */
+  private[graft] val NullKeySentinel = "\u0000graft:null-key\u0000"
+
+  /** `df`'s key column as the operator's canonical `key` string column:
+    * cast to string, nulls replaced by [[NullKeySentinel]]. Shared with the
+    * streaming twin so batch and stream agree on null handling. */
+  private[graft] def sentinelKeys(df: DataFrame, key: Column): DataFrame =
+    df.select(coalesce(key.cast("string"), lit(NullKeySentinel)).as("key"))
+
   /** Keys of `df.select(key)` (as strings) with frequency strictly above
     * `minFrac` of the total row count, with their exact counts:
-    * `(key, n_key, n_total)`.
+    * `(key, n_key, n_total)`. A null key is a key like any other (matching
+    * the `groupBy(key).having(...)` baseline) and comes back as null.
+    *
+    * `df` is evaluated TWICE (the nomination pass and the exact confirm
+    * pass) and is deliberately NOT materialized in between: at the corpus
+    * scales this operator exists for, checkpointing the input would cost
+    * more than the second scan. The input must therefore be deterministic
+    * across scans — a rescan-stable source (files, a table), not a
+    * `rand()`-derived or sampling-derived frame; feed such inputs through
+    * `localCheckpoint` first. The RESULT's partition-layout independence
+    * (pinned below) is a separate property and still holds.
     */
   def heavyHitters(df: DataFrame, key: Column, minFrac: Double): DataFrame = {
     val k = counters(minFrac)
-    val keys = df.select(key.cast("string").as("key"))
+    val keys = sentinelKeys(df, key)
     // phase 1: per-partition Misra-Gries candidate nomination (bounded
     // memory: at most k live counters per partition, whatever the data)
     val candidates = keys.select("key").as(Encoders.STRING)
@@ -87,7 +115,9 @@ object HeavyHitters {
     * output is ≤ |candidates|+1 rows carrying both the per-candidate counts
     * AND (as the group-count sum, via an unpartitioned window over that
     * tiny set — deliberately single-partition, it is sketch-sized) the
-    * exact total. Output: (key, n_key, n_total). */
+    * exact total. `keys` must already be in [[sentinelKeys]] form (nulls
+    * sentineled); the sentinel is mapped back to null on output.
+    * Output: (key, n_key, n_total). */
   def confirm(keys: DataFrame, candidates: DataFrame,
       minFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -99,6 +129,8 @@ object HeavyHitters {
         sum(col("n_key")).over(Window.partitionBy()))
       .filter(col("key").isNotNull &&
         col("n_key") > col("n_total") * lit(minFrac))
+      .withColumn("key", when(col("key") === lit(NullKeySentinel),
+        lit(null).cast("string")).otherwise(col("key")))
   }
 
   /** [[confirm]] with driver-side candidates (e.g. a merged summary's key

@@ -27,8 +27,14 @@ import org.apache.spark.sql.SparkSession
   * directory and ABORTS (original untouched) if any file appeared,
   * disappeared, or changed size since the rewrite snapshotted it — a
   * concurrent appender (a live foreachBatch sink) makes the pass fail
-  * loudly instead of silently deleting the freshly-appended batch. Pause
-  * the sink or re-run between batches.
+  * loudly instead of silently deleting the freshly-appended batch. The
+  * check runs twice: before the park, and again ON THE PARKED copy (which
+  * can no longer change), so an append racing the first check is caught
+  * and the park rolled back rather than deleted. Residual window: an
+  * append that starts AFTER the park recreates the directory path, makes
+  * the swap rename fail, and leaves the parked copy at `.old` plus the
+  * stray append at the original path — an exception with both copies on
+  * disk, never a silent loss. Pause the sink or re-run between batches.
   *
   * Crash-safety: the rewrite lands in a hidden sibling
   * `.<dir>.compact.tmp` (dot-prefixed — Spark's file index ignores it, so
@@ -102,6 +108,21 @@ object Compaction {
     LocalFs.deleteRecursively(new File(old))
     if (!new File(dir).renameTo(new File(old)))
       throw new IllegalStateException(s"could not park $dir for swap")
+    // re-verify AFTER the park (review finding): a concurrent append landing
+    // between the pre-park comparison and the rename above would otherwise
+    // ride into `.old` and be deleted with it. Once parked, the directory
+    // can no longer change under us, so this comparison is race-free; on
+    // mismatch the park rolls back and the original keeps serving.
+    if (snapshot(old) != snap0) {
+      if (!new File(old).renameTo(new File(dir)))
+        throw new IllegalStateException(
+          s"$dir changed during compaction AND the park rollback failed; " +
+            s"all rows are intact at $old — restore it manually")
+      LocalFs.deleteRecursively(new File(tmp))
+      throw new IllegalStateException(
+        s"$dir changed between the pre-swap check and the park (concurrent " +
+          "writer?); park rolled back, original intact — re-run when quiesced")
+    }
     if (!new File(tmp).renameTo(new File(dir))) {
       // roll the park back so the source keeps serving
       new File(old).renameTo(new File(dir))

@@ -60,16 +60,32 @@ object HeavyHittersStreaming {
     * `corpusDir/ingest_batch=<id>` (the store the confirming pass reads; in
     * deployment the feed usually lands there anyway). `keyExpr` is a SQL
     * expression producing the monitored key from a feed row. Callers drive
-    * with `processAllAvailable()` and confirm via [[confirmed]]. */
+    * with `processAllAvailable()` and confirm via [[confirmed]].
+    *
+    * Restart recovery is ENFORCED, not just documented (review finding): if
+    * the corpus already holds batches the given state has not merged
+    * (`lastBatchId` behind the landed maximum — the restarted-with-
+    * `emptyState` mistake, where a checkpointed source would resume PAST
+    * the landed batches while the sketch is empty and [[confirmed]] would
+    * silently miss every pre-restart heavy hitter), the state is rebuilt
+    * from the corpus via [[stateFromCorpus]] before the stream starts —
+    * one bounded-memory MG pass over what already landed, the same cost
+    * profile as one confirming pass. */
   def runHeavyHitterStream(spark: SparkSession, inputDir: String,
       schema: StructType, keyExpr: String, corpusDir: String,
       state: HhState, checkpointDir: Option[String] = None): StreamingQuery = {
+    if (maxLandedBatch(spark, corpusDir) > state.lastBatchId) {
+      val rebuilt = stateFromCorpus(spark, corpusDir, keyExpr, state.minFrac)
+      state.summary = rebuilt.summary
+      state.rowsSeen = rebuilt.rowsSeen
+      state.lastBatchId = rebuilt.lastBatchId
+    }
     val w = spark.readStream.schema(schema)
       .parquet(inputDir)
       .writeStream
     checkpointDir.foreach(w.option("checkpointLocation", _))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val keyed = batch.select(expr(keyExpr).cast("string").as("key"))
+        val keyed = HeavyHitters.sentinelKeys(batch, expr(keyExpr))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         try {
           val n = keyed.count()
@@ -107,7 +123,7 @@ object HeavyHittersStreaming {
       keyExpr: String, minFrac: Double): HhState = {
     val state = new HhState(minFrac)
     val corpus = spark.read.parquet(corpusDir)
-    val keys = corpus.select(expr(keyExpr).cast("string").as("key"))
+    val keys = HeavyHitters.sentinelKeys(corpus, expr(keyExpr))
     state.summary = HeavyHitters.mgSummary(keys, state.k)
     val bounds = corpus.agg(count(lit(1)), max(col("ingest_batch"))).head()
     state.rowsSeen = bounds.getLong(0)
@@ -124,8 +140,22 @@ object HeavyHittersStreaming {
     * batch operator at `state.minFrac` on the same rows. */
   def confirmed(spark: SparkSession, corpusDir: String, keyExpr: String,
       state: HhState): DataFrame = {
-    val keys = spark.read.parquet(corpusDir)
-      .select(expr(keyExpr).cast("string").as("key"))
+    val keys = HeavyHitters.sentinelKeys(spark.read.parquet(corpusDir),
+      expr(keyExpr))
     HeavyHitters.confirmKeys(keys, state.summary.keys, state.minFrac)
+  }
+
+  /** Highest `ingest_batch=` id landed under `corpusDir`, or -1 when the
+    * corpus is absent or empty — filesystem metadata only (one directory
+    * listing), so the restart check in [[runHeavyHitterStream]] is free on
+    * the fresh-start path. */
+  private def maxLandedBatch(spark: SparkSession, corpusDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .map(_.stripPrefix("ingest_batch=").toLong)
+      .foldLeft(-1L)(math.max)
   }
 }

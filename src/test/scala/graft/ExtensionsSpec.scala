@@ -80,6 +80,26 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT shingle_set(t, CAST(id AS INT)) FROM ext_docs").collect()
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
+
+    // simhash_sig's use_md5 accepts any FOLDABLE boolean spelling, not just
+    // a bare literal (review finding: `NOT false` and casts were rejected)
+    val folded = spark.sql(
+      """SELECT simhash_sig(t, NOT false) AS sm,
+         simhash_sig(t, CAST(1 AS BOOLEAN)) AS sm2
+         FROM ext_docs WHERE id = 1""").head()
+    assert(folded.getLong(0) == sim.getLong(1) &&
+      folded.getLong(1) == sim.getLong(1))
+    // a typed NULL fails with the parameter named, not a MatchError
+    val en = intercept[Exception] {
+      spark.sql(
+        "SELECT simhash_sig(t, CAST(NULL AS BOOLEAN)) FROM ext_docs").collect()
+    }
+    assert(en.getMessage.contains("use_md5"), en.getMessage)
+    // a non-foldable boolean still fails loudly at analysis
+    val ec = intercept[Exception] {
+      spark.sql("SELECT simhash_sig(t, id > 0) FROM ext_docs").collect()
+    }
+    assert(ec.getMessage.contains("use_md5"), ec.getMessage)
   }
 
   test("optimizer rewrites the HOF dot-product spelling to vec_dot") {

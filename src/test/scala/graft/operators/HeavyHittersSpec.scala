@@ -39,6 +39,20 @@ class HeavyHittersSpec extends SparkSpec {
       s"heavy-hitter results diverged across input partitionings: $runs")
   }
 
+  test("a frequent NULL key is confirmed like any other group") {
+    // review finding: null keys were counted into n_total but could never
+    // join the candidate set — a frequent null was silently dropped,
+    // diverging from the groupBy/HAVING baseline. Null must now surface as
+    // a (null, n, total) row, and n_total must still count every row.
+    val df = ((0 until 300).map(_ => null: String) ++
+      Seq.fill(250)("h0") ++ (0 until 450).map(i => s"c$i")).toDF("k")
+    val got = HeavyHitters.heavyHitters(df, col("k"), 0.2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((None, 300L, 1000L), (Some("h0"), 250L, 1000L)),
+      s"null-key handling diverged from the groupBy baseline: $got")
+  }
+
   test("a key just under threshold is rejected even when nominated") {
     // h0 at exactly the threshold boundary must be excluded (strict >)
     val df = (Seq.fill(50)("h0") ++ (0 until 950).map(i => s"c$i")).toDF("k")

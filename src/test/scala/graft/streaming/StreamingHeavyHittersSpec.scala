@@ -74,6 +74,50 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a restarted stream with a fresh empty state auto-rebuilds from the corpus") {
+    // review finding: restarting a CHECKPOINTED stream with emptyState()
+    // used to resume the source past the already-landed batches while the
+    // sketch was empty, so confirmed() missed every pre-restart heavy
+    // hitter. runHeavyHitterStream must now detect the landed corpus ahead
+    // of the state's lastBatchId and rebuild the sketch before starting.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_hh_restart").toString
+    val (inputDir, corpusDir, ckpt) =
+      (s"$base/in", s"$base/corpus", s"$base/ckpt")
+    new java.io.File(inputDir).mkdirs()
+    val template = batchRows(0).toDF("batch", "k")
+
+    val s1 = HeavyHittersStreaming.emptyState(minFrac)
+    val q1 = HeavyHittersStreaming.runHeavyHitterStream(spark, inputDir,
+      template.schema, "k", corpusDir, s1, Some(ckpt))
+    try {
+      for (b <- 0 until 2) {
+        batchRows(b).toDF("batch", "k")
+          .coalesce(1).write.mode("append").parquet(inputDir)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+
+    // crash: the in-memory state is gone; the operator restarts with a
+    // FRESH empty state but the same checkpoint (source resumes at batch 2)
+    val s2 = HeavyHittersStreaming.emptyState(minFrac)
+    val q2 = HeavyHittersStreaming.runHeavyHitterStream(spark, inputDir,
+      template.schema, "k", corpusDir, s2, Some(ckpt))
+    try {
+      assert(s2.rowsSeen == 2000L && s2.lastBatchId >= 1L,
+        s"state not rebuilt from corpus: rows=${s2.rowsSeen} " +
+          s"last=${s2.lastBatchId}")
+      batchRows(2).toDF("batch", "k")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      q2.processAllAvailable()
+      val streamed = HeavyHittersStreaming
+        .confirmed(spark, corpusDir, "k", s2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == (0 until 5).map(h => (s"h$h", 150L, 3000L)).toSet,
+        s"post-restart confirmation lost pre-restart history: $streamed")
+    } finally q2.stop()
+  }
+
   test("merge keeps a slow-burn key no single batch would rank highly") {
     // "slow" is 3 of 1000 rows in each of ten summaries (0.3%), but 30/10000
     // = 0.3%... raise: 30 rows per summary of 1000 (3%) merged ten times
