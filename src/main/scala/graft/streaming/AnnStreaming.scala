@@ -32,10 +32,10 @@ import graft.queries.VectorOps
   * invalidates the store and re-runs the batch build.
   *
   * Arrival order is irrelevant to the index (assignment is per-row
-  * independent); the monotone-id guard below only enforces the feed's
-  * no-redelivery contract, because a re-delivered vec_id would duplicate
-  * its postings row (serving hides it behind candidate dedup, but the
-  * store would grow wrong — fail loudly instead).
+  * independent); the delivery classification ([[StreamGuards]]) only
+  * enforces the feed's exactly-once-per-id contract: a fully-redelivered
+  * batch SKIPS idempotently (it would otherwise duplicate posting rows),
+  * and new ids arriving below the high-water mark fail loudly.
   */
 object AnnStreaming {
 
@@ -45,7 +45,7 @@ object AnnStreaming {
     * with [[DedupStreaming.NearDedupState]]. */
   final class IvfIndexState(initPostings: DataFrame) {
     @volatile var postings: DataFrame = initPostings
-    /** Highest vec_id absorbed so far (the no-redelivery guard). */
+    /** Highest vec_id absorbed so far (the redelivery guard). */
     @volatile var maxSeenId: Long = Long.MinValue
   }
 
@@ -57,12 +57,49 @@ object AnnStreaming {
         .withColumn("cluster", lit(null).cast("long"))
         .localCheckpoint(true, graft.operators.Ckpt.SerLevel))
 
+  /** Absorb one micro-batch into the HEAP index: prep once, classify
+    * against the delivery contract, assign map-side, swap in the grown
+    * snapshot. Exposed for recovery/replay specs and operational
+    * replayers — the entire foreachBatch body of [[runIvfIngestStream]]. */
+  def absorbIngestBatch(state: IvfIndexState, batch: DataFrame,
+      cents: DataFrame): Unit = {
+    // ONE prep pass per micro-batch; the table serves both the delivery
+    // classification and the assignment scoring. unpersist rides a
+    // finally so a guard throw cannot leak the checkpointed blocks.
+    val b = VectorOps.prepEmb(batch)
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    try {
+      StreamGuards.classify(b.select("vec_id"), state.maxSeenId,
+        state.postings.select("vec_id"), "vec_id", "ANN ingest") match {
+        case FreshBatch(maxId) =>
+          // posting rows in ONE exchange: the assignment aggregate
+          // carries (v, nrm) through its own shuffle instead of
+          // re-joining the batch
+          val newPostings = VectorOps.assignWithVectors(b, cents)
+            .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+          // build the new snapshot (eager checkpoint) BEFORE mutating
+          // any state, and advance maxSeenId only after the swap — a
+          // mid-batch failure then leaves the previous consistent state
+          // intact, so a replay of the lost batch classifies as fresh
+          val next = state.postings.unionByName(newPostings)
+            .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+          val prev = state.postings
+          state.postings = next
+          state.maxSeenId = maxId
+          prev.unpersist()
+        case RedeliveredBatch | EmptyBatch => () // idempotent skip
+      }
+    } finally b.unpersist()
+    ()
+  }
+
   /** Start the ingest stream: parquet file source over `inputDir` (new
-    * embedding files appearing over time) → per-micro-batch assign + append.
-    * `cents` is the FROZEN broadcast quantizer (e.g.
-    * [[VectorOps.persistedTrainedCentroids]] — the same artifact the batch
-    * query serves from). Callers drive with `processAllAvailable()` and
-    * read the running store from `state`. */
+    * embedding files appearing over time) → per-micro-batch assign + append
+    * ([[absorbIngestBatch]]). `cents` is the FROZEN broadcast quantizer
+    * (e.g. [[VectorOps.persistedTrainedCentroids]] — the same artifact the
+    * batch query serves from). Callers drive with `processAllAvailable()`
+    * and read the running store from `state`. The heap index is session
+    * memory by design; durable deployment is [[runIvfStoreAppendStream]]. */
   def runIvfIngestStream(spark: SparkSession, inputDir: String,
       embSchema: StructType, state: IvfIndexState,
       cents: DataFrame): StreamingQuery = {
@@ -70,102 +107,114 @@ object AnnStreaming {
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // ONE prep pass per micro-batch; the table serves both the
-        // redelivery guard and the assignment scoring. unpersist rides a
-        // finally so a guard throw cannot leak the checkpointed blocks;
-        // an empty micro-batch (idle trigger) skips the assignment and
-        // snapshot work entirely.
-        val b = VectorOps.prepEmb(batch).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
-        try {
-          val bounds = checkBatchContract(b, state.maxSeenId)
-          if (!bounds.isNullAt(0)) {
-            // posting rows in ONE exchange: the assignment aggregate
-            // carries (v, nrm) through its own shuffle instead of
-            // re-joining the batch
-            val newPostings = VectorOps.assignWithVectors(b, cents)
-              .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-            // build the new snapshot (eager checkpoint) BEFORE mutating
-            // any state, and advance maxSeenId only after the swap — a
-            // mid-batch failure then leaves the previous consistent state
-            // intact, so a retry of the lost batch passes the guard
-            val next = state.postings.unionByName(newPostings)
-              .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
-            val prev = state.postings
-            state.postings = next
-            state.maxSeenId = bounds.getLong(1)
-            prev.unpersist()
-          }
-        } finally b.unpersist()
-        ()
+        absorbIngestBatch(state, batch, cents)
       }
       .start()
   }
 
-  /** The micro-batch delivery contract, shared by BOTH ingest modes (heap
-    * snapshot and on-disk append) so the two paths cannot drift apart: one
-    * tiny aggregate per batch rejects (a) a re-delivered batch — min id at
-    * or below the high-water mark — and (b) a vec_id duplicated WITHIN the
-    * batch (two landed copies coalesced into one trigger), which the
-    * min-vs-max guard alone cannot see. Returns the
-    * (min, max, count, distinct) bounds row; all-null row 0 = empty batch. */
-  private def checkBatchContract(b: DataFrame,
-      maxSeenId: Long): org.apache.spark.sql.Row = {
-    val bounds = b.agg(min(col("vec_id")), max(col("vec_id")),
-      count(col("vec_id")), countDistinct(col("vec_id"))).head()
-    if (!bounds.isNullAt(0)) {
-      if (bounds.getLong(0) <= maxSeenId)
-        throw new IllegalStateException(
-          s"re-delivered micro-batch: min vec_id ${bounds.getLong(0)} " +
-            s"<= already-indexed max $maxSeenId; the ANN ingest " +
-            "stream requires exactly-once id-ordered arrival (a " +
-            "re-delivered id would duplicate its posting row)")
-      if (bounds.getLong(2) != bounds.getLong(3))
-        throw new IllegalStateException(
-          s"duplicated vec_id within a micro-batch (${bounds.getLong(2)} " +
-            s"rows, ${bounds.getLong(3)} distinct ids); the ANN ingest " +
-            "stream requires exactly-once vectors (dedupe the landing feed)")
-    }
-    bounds
-  }
-
-  /** Mutable state for the ON-DISK append stream: only the no-redelivery
-    * high-water mark (the posting rows themselves live in the partitioned
-    * parquet store, not on the heap). */
+  /** Mutable state for the ON-DISK append stream: the redelivery high-water
+    * mark plus the last batch id that landed (the posting rows themselves
+    * live in the partitioned parquet store, not on the heap). Both are
+    * re-derivable from the store — see [[stateFromStore]]. */
   final class StoreAppendState {
     @volatile var maxSeenId: Long = Long.MinValue
+    @volatile var lastBatchId: Long = -1L
   }
 
-  /** Start the ingest stream APPENDING to the on-disk partitioned posting
-    * store ([[VectorOps.postingStorePath]]'s layout): each micro-batch is
-    * assigned map-side against the frozen broadcast quantizer, then its
-    * posting rows land as NEW parquet files under their `cluster=`
-    * directories — existing lists are never rewritten, and serving reads
-    * the directory through the same DPP-pruned plan as the batch-built
-    * store ([[VectorOps.serveFromStorePath]]; StreamingAnnSpec pins
-    * stream-appended == batch-built served results). Delivery contract:
-    * the parquet append is at-least-once under a mid-batch crash (a retry
-    * re-appends the partial batch's rows — a transactional table format
-    * slots in here at scale); serving stays EXACT regardless because the
-    * candidate join dedups on (q_id, vec_id), so the guard below only
-    * protects the store's row count, not correctness. */
+  /** Rebuild a [[StoreAppendState]] from the on-disk store after a restart:
+    * `lastBatchId` from the landed `ingest_batch=` directories (filesystem
+    * metadata), `maxSeenId` from one max over the store's id column. A
+    * partially-written last batch only ever UNDER-reports `maxSeenId`,
+    * which is safe — its replay carries the same batchId and rewrites its
+    * own landing directory (see [[absorbStoreBatch]]). */
+  def stateFromStore(spark: SparkSession, storePath: String): StoreAppendState = {
+    val state = new StoreAppendState
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val landed = fs.listStatus(p).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("ingest_batch="))
+        .map(_.stripPrefix("ingest_batch=").toLong).toSeq
+      if (landed.nonEmpty) {
+        state.lastBatchId = landed.max
+        val mx = spark.read.parquet(storePath).agg(max(col("vec_id"))).head()
+        if (!mx.isNullAt(0)) state.maxSeenId = mx.getLong(0)
+      }
+    }
+    state
+  }
+
+  /** Absorb one micro-batch into the ON-DISK store. The landing is
+    * batchId-keyed and idempotent (round-9 verdict item 2): each batch's
+    * posting rows land under `storePath/ingest_batch=<batchId>` (cluster-
+    * partitioned inside) written with OVERWRITE, so a replayed batch —
+    * Spark re-invoking foreachBatch with the same batchId after a crash,
+    * including a crash that left a partial write — rewrites exactly its
+    * own directory instead of double-appending; replaying a batch twice
+    * leaves the store byte-equal to playing it once (StreamingRecoverySpec
+    * pins this, including the heal of a planted partial landing). A
+    * SOURCE-level redelivery (same ids again under a NEW batchId) is
+    * caught by the delivery classification and skipped. Serving reads
+    * `storePath` whole: `cluster` stays a partition column one level down,
+    * so dynamic partition pruning still prunes un-probed lists
+    * (StreamingAnnSpec re-pins serving parity with the batch-built
+    * store). */
+  def absorbStoreBatch(state: StoreAppendState, batch: DataFrame,
+      batchId: Long, storePath: String, cents: DataFrame): Unit = {
+    val b = VectorOps.prepEmb(batch)
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    try {
+      def land(): Unit =
+        VectorOps.assignWithVectors(b, cents)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$storePath/ingest_batch=$batchId")
+      if (batchId <= state.lastBatchId) {
+        // crash-replay of an already-landed batchId (same data by the
+        // foreachBatch replay contract): rewrite its own landing, which
+        // also heals a partial write from the crashed attempt
+        val mx = b.agg(max(col("vec_id"))).head()
+        if (!mx.isNullAt(0)) {
+          land()
+          state.maxSeenId = math.max(state.maxSeenId, mx.getLong(0))
+        }
+      } else {
+        StreamGuards.classify(b.select("vec_id"), state.maxSeenId,
+          b.sparkSession.read.parquet(storePath).select("vec_id"),
+          "vec_id", "ANN ingest") match {
+          case FreshBatch(maxId) =>
+            land()
+            state.maxSeenId = maxId
+            state.lastBatchId = batchId
+          case RedeliveredBatch | EmptyBatch => () // idempotent skip
+        }
+      }
+    } finally b.unpersist()
+    ()
+  }
+
+  /** Start the ingest stream APPENDING to the on-disk posting store via
+    * [[absorbStoreBatch]] — batchId-keyed idempotent landings, exactly-once
+    * store content under crash/replay when `checkpointDir` is set. If the
+    * store already holds batches the given state has not seen (the
+    * restarted-with-fresh-state mistake), the state is rebuilt from the
+    * store before the stream starts, mirroring
+    * [[HeavyHittersStreaming.runHeavyHitterStream]]'s enforcement. */
   def runIvfStoreAppendStream(spark: SparkSession, inputDir: String,
       embSchema: StructType, storePath: String, state: StoreAppendState,
-      cents: DataFrame): StreamingQuery = {
-    spark.readStream.schema(embSchema)
+      cents: DataFrame,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val landed = stateFromStore(spark, storePath)
+    if (landed.lastBatchId > state.lastBatchId) {
+      state.maxSeenId = landed.maxSeenId
+      state.lastBatchId = landed.lastBatchId
+    }
+    val w = spark.readStream.schema(embSchema)
       .parquet(inputDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = VectorOps.prepEmb(batch).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
-        try {
-          val bounds = checkBatchContract(b, state.maxSeenId)
-          if (!bounds.isNullAt(0)) {
-            VectorOps.assignWithVectors(b, cents)
-              .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
-              .write.mode("append").partitionBy("cluster").parquet(storePath)
-            state.maxSeenId = bounds.getLong(1)
-          }
-        } finally b.unpersist()
-        ()
+    checkpointDir.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        absorbStoreBatch(state, batch, batchId, storePath, cents)
       }
       .start()
   }

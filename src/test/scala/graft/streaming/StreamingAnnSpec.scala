@@ -83,11 +83,16 @@ class StreamingAnnSpec extends SparkSpec {
         q.processAllAvailable()
         lo = hi
       }
-      // the appended layout is the partitioned-store contract: hive-style
-      // cluster= directories, never a rewrite of earlier files
-      val parts = new java.io.File(storePath).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
-      assert(parts.length > 1, s"expected cluster= directories at $storePath")
+      // the appended layout is batchId-keyed (idempotent replay) with the
+      // cluster partitioning one level down, so earlier batches' files are
+      // never rewritten and DPP still prunes un-probed lists
+      val batchDirs = new java.io.File(storePath).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      assert(batchDirs.length == cuts.length,
+        s"expected one ingest_batch= directory per micro-batch at $storePath")
+      assert(batchDirs.forall(_.listFiles()
+          .exists(f => f.isDirectory && f.getName.startsWith("cluster="))),
+        "expected cluster= partition directories inside each batch landing")
       // serving the stream-appended store == serving the batch-built store
       // (same plan: VectorOps.serveFromStorePath), which VectorSpec already
       // holds byte-equal to the from-scratch e3_ivf_ann
@@ -104,9 +109,9 @@ class StreamingAnnSpec extends SparkSpec {
   }
 
   test("the append stream enforces the same delivery guards as the heap ingest") {
-    // the two ingest modes share checkBatchContract; this drives the
+    // the two ingest modes share StreamGuards.classify; this drives the
     // APPEND stream's wiring of it specifically, so moving the parquet
-    // append above the guard (or dropping the guard) fails here even
+    // landing above the guard (or dropping the guard) fails here even
     // though serving would hide the duplicate rows behind candidate dedup
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
@@ -120,23 +125,32 @@ class StreamingAnnSpec extends SparkSpec {
         AnnStreaming.runIvfStoreAppendStream(spark, inputDir, embRaw.schema,
           storePath, new AnnStreaming.StoreAppendState, cents))
     }
-    // (a) cross-batch redelivery
+    // (a) cross-batch SOURCE redelivery (same ids again under a new
+    // batchId): skipped idempotently — the store must not grow and the
+    // stream must keep running (an at-least-once feed is a healthy
+    // deployment, not an outage)
     val (in1, store1, q1) = freshStream()
     try {
       embRaw.filter(col("vec_id") < 100).coalesce(1)
         .write.mode("append").parquet(in1)
       q1.processAllAvailable()
-      val before = spark.read.parquet(store1).count()
+      val before = spark.read.parquet(store1)
+        .drop("ingest_batch").collect().map(_.toString).sorted.toSeq
       embRaw.filter(col("vec_id") < 100).coalesce(1)
         .write.mode("append").parquet(in1)
-      val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q1.processAllAvailable()
-      }
-      assert(messages(e1).exists(_.contains("re-delivered micro-batch")))
-      assert(spark.read.parquet(store1).count() == before,
-        "the guard must fire BEFORE any rows append")
+      q1.processAllAvailable()
+      val after = spark.read.parquet(store1)
+        .drop("ingest_batch").collect().map(_.toString).sorted.toSeq
+      assert(after == before,
+        "a fully-redelivered batch must skip, leaving the store unchanged")
+      // and the stream still absorbs fresh data afterwards
+      embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 150).coalesce(1)
+        .write.mode("append").parquet(in1)
+      q1.processAllAvailable()
+      assert(spark.read.parquet(store1).count() > before.size,
+        "the stream must keep absorbing after an idempotent skip")
     } finally q1.stop()
-    // (b) duplicate within one micro-batch
+    // (b) duplicate within one micro-batch still fails loudly
     val (in2, _, q2) = freshStream()
     try {
       val slice = embRaw.filter(col("vec_id") < 50)
@@ -146,9 +160,25 @@ class StreamingAnnSpec extends SparkSpec {
       }
       assert(messages(e2).exists(_.contains("duplicated vec_id within")))
     } finally q2.stop()
+    // (c) genuinely NEW ids below the high-water mark are disorder, not a
+    // redelivery — still fatal (absorbing them is fine for ANN, but the
+    // shared contract keeps the dedup family's pair-loss scenario out)
+    val (in3, _, q3) = freshStream()
+    try {
+      embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200).coalesce(1)
+        .write.mode("append").parquet(in3)
+      q3.processAllAvailable()
+      embRaw.filter(col("vec_id") < 100).coalesce(1)
+        .write.mode("append").parquet(in3)
+      val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(messages(e3).exists(_.contains("out-of-order micro-batch")),
+        s"expected the disorder guard, got: ${messages(e3)}")
+    } finally q3.stop()
   }
 
-  test("re-delivered micro-batches fail loudly instead of duplicating rows") {
+  test("re-delivered micro-batches skip idempotently instead of duplicating rows") {
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
       .persistedTrainedCentroids(spark, dir, nlist, trainIters)
@@ -161,14 +191,25 @@ class StreamingAnnSpec extends SparkSpec {
       embRaw.filter(col("vec_id") < 100)
         .coalesce(1).write.mode("append").parquet(inputDir)
       q.processAllAvailable()
-      // the same id range lands again — the duplicated-postings scenario
+      val before = state.postings.count()
+      // the same id range lands again — the duplicated-postings scenario:
+      // the heap index must not grow, and the stream must stay alive
       embRaw.filter(col("vec_id") < 100)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      q.processAllAvailable()
+      assert(state.postings.count() == before,
+        "a fully-redelivered batch must skip, leaving the index unchanged")
+      // genuinely new ids BELOW the high-water mark remain fatal
+      embRaw.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      q.processAllAvailable()
+      embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200)
         .coalesce(1).write.mode("append").parquet(inputDir)
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
       }
-      assert(messages(e).exists(_.contains("re-delivered micro-batch")),
-        s"expected the redelivery guard, got: ${messages(e)}")
+      assert(messages(e).exists(_.contains("out-of-order micro-batch")),
+        s"expected the disorder guard, got: ${messages(e)}")
     } finally q.stop()
   }
 

@@ -1,0 +1,215 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFunctions
+import graft.operators.ConnectedComponents
+import graft.queries.VectorOps
+
+/** Crash-recovery parity for the stateful foreachBatch loops (round-9
+  * verdict item 1): a run that is killed and restarted from its checkpoint
+  * must converge to EXACTLY the state of the uninterrupted run — for the
+  * near-dedup loop (signature store, pair set, labeling) and the on-disk
+  * IVF append loop (posting store content, served top-k). Two failure
+  * points are driven per loop:
+  *
+  *  - BETWEEN batches: stop the query after a prefix of batches, reload
+  *    durable state (`loadState` / `stateFromStore`), restart on the same
+  *    checkpoint, feed the rest.
+  *  - INSIDE a batch: replay a batch that was already (fully or partially)
+  *    absorbed — the exact sequence Spark produces when a crash lands
+  *    between the state mutation and the offset commit. Driven through the
+  *    exposed `absorbBatch`/`absorbStoreBatch` bodies, which is what the
+  *    streaming harness calls, so the replay path is the production path.
+  */
+class StreamingRecoverySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val (numHashes, bands, shingleLen, threshold) = (64, 8, 5, 0.8)
+  private val (nlist, trainIters, nQueries, k, nprobe) = (16, 2, 50, 3, 4)
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_recovery_$tag").toString
+
+  test("near-dedup: kill between batches, restart from checkpoint + persisted state") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .orderBy("doc_id").localCheckpoint()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val base = tmp("dedup")
+    val (inputDir, ckpt, stateDir) = (s"$base/in", s"$base/ckpt", s"$base/state")
+    new java.io.File(inputDir).mkdirs()
+
+    // run 1: two batches land, state persists PER BATCH (the crash-safe
+    // mode: state write precedes the offset commit), then the process dies
+    val s1 = DedupStreaming.emptyState(spark, docs, numHashes, shingleLen)
+    val q1 = DedupStreaming.runNearDedupStream(spark, inputDir, docs.schema,
+      s1, numHashes, bands, shingleLen, threshold, Some(ckpt), Some(stateDir))
+    try {
+      for (hi <- Seq(maxId / 3, 2 * maxId / 3)) {
+        docs.filter(col("doc_id") <= hi)
+          .filter(col("doc_id") > (if (hi == maxId / 3) -1L else maxId / 3))
+          .coalesce(1).write.mode("append").parquet(inputDir)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+
+    // run 2: a fresh process reloads the durable state and the same
+    // checkpoint, then the remaining batch arrives
+    val s2 = DedupStreaming.loadState(spark, stateDir)
+    assert(s2.maxSeenId > Long.MinValue && s2.storeSig.count() > 0,
+      "persisted state failed to reload")
+    val q2 = DedupStreaming.runNearDedupStream(spark, inputDir, docs.schema,
+      s2, numHashes, bands, shingleLen, threshold, Some(ckpt), Some(stateDir))
+    try {
+      docs.filter(col("doc_id") > 2 * maxId / 3)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      q2.processAllAvailable()
+
+      // parity with the uninterrupted batch twin, layer by layer
+      val batchSigIds = TextFunctions
+        .signatureTable(docs, numHashes, shingleLen)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(s2.storeSig.select("doc_id").collect().map(_.getLong(0)).toSet
+        == batchSigIds, "restarted store diverged from the batch signing")
+      val batchPairs = TextFunctions.minhashLshPairs(docs, numHashes, bands,
+          shingleLen, threshold).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchPairs.nonEmpty, "fixture produced no near-dup pairs")
+      assert(s2.pairsSeen.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == batchPairs, "restarted pair deltas diverged from one batch run")
+      val batchLab = ConnectedComponents.minLabel(
+          TextFunctions.minhashLshPairs(docs, numHashes, bands, shingleLen,
+            threshold), "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(s2.labeling.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == batchLab, "restarted labeling diverged from from-scratch CC")
+    } finally q2.stop()
+  }
+
+  test("near-dedup: replaying an already-absorbed batch is a no-op (crash inside the commit window)") {
+    // the sequence a crash between state-persist and offset-commit
+    // produces: absorb(b1), absorb(b2), CRASH, replay absorb(b2), absorb(b3)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .orderBy("doc_id").localCheckpoint()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+
+    val replayed = DedupStreaming.emptyState(spark, docs, numHashes, shingleLen)
+    DedupStreaming.absorbBatch(replayed, slice(-1, maxId / 3))
+    DedupStreaming.absorbBatch(replayed, slice(maxId / 3, 2 * maxId / 3))
+    DedupStreaming.absorbBatch(replayed, slice(maxId / 3, 2 * maxId / 3)) // replay
+    DedupStreaming.absorbBatch(replayed, slice(2 * maxId / 3, maxId))
+
+    val clean = DedupStreaming.emptyState(spark, docs, numHashes, shingleLen)
+    DedupStreaming.absorbBatch(clean, slice(-1, maxId / 3))
+    DedupStreaming.absorbBatch(clean, slice(maxId / 3, 2 * maxId / 3))
+    DedupStreaming.absorbBatch(clean, slice(2 * maxId / 3, maxId))
+
+    def dump(s: DedupStreaming.NearDedupState) = (
+      s.storeSig.select("doc_id").collect().map(_.getLong(0)).toSet,
+      s.pairsSeen.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      s.labeling.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(dump(replayed) == dump(clean),
+      "a replayed batch changed the state — redelivery is not idempotent")
+  }
+
+  test("IVF store: kill between batches, restart from checkpoint + store-derived state") {
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val maxId = embRaw.agg(max("vec_id")).head().getLong(0)
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val base = tmp("ivf")
+    val (inputDir, ckpt, storePath) = (s"$base/in", s"$base/ckpt", s"$base/store")
+    new java.io.File(inputDir).mkdirs()
+
+    val s1 = new AnnStreaming.StoreAppendState
+    val q1 = AnnStreaming.runIvfStoreAppendStream(spark, inputDir,
+      embRaw.schema, storePath, s1, cents, Some(ckpt))
+    try {
+      embRaw.filter(col("vec_id") <= maxId / 2)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // fresh process: state is DELIBERATELY a fresh empty one — the run
+    // entry point must rebuild it from the store (enforced recovery, the
+    // HeavyHittersStreaming pattern)
+    val s2 = new AnnStreaming.StoreAppendState
+    val q2 = AnnStreaming.runIvfStoreAppendStream(spark, inputDir,
+      embRaw.schema, storePath, s2, cents, Some(ckpt))
+    try {
+      assert(s2.lastBatchId >= 0L && s2.maxSeenId > Long.MinValue,
+        "state not rebuilt from the landed store")
+      embRaw.filter(col("vec_id") > maxId / 2)
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      q2.processAllAvailable()
+
+      // store content == one batch assignment; serving == batch-built store
+      val batchAssign = VectorOps
+        .nearestCentroid(VectorOps.prepEmb(embRaw), cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // no explicit schema on this read, so the hive partition value
+      // infers as INT — cast back to the store contract's long
+      val stored = spark.read.parquet(storePath)
+        .select(col("vec_id"), col("cluster").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stored == batchAssign,
+        "restarted store assignment diverged from the batch build")
+      val queries = VectorOps.prepEmb(embRaw)
+        .filter(col("vec_id") < nQueries).localCheckpoint()
+      val servedBatch = VectorOps.ivfStoreTopK(spark, dir, nQueries, k,
+        nlist, nprobe, trainIters).collect().toSeq
+      val servedStream = VectorOps.serveFromStorePath(spark, storePath,
+        queries, cents, k, nprobe).collect().toSeq
+      assert(servedBatch.nonEmpty && servedStream == servedBatch,
+        "restarted store served differently from the batch-built store")
+    } finally q2.stop()
+  }
+
+  test("IVF store: replaying a batchId twice leaves the store equal to playing it once, and heals a partial landing") {
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val b1 = embRaw.filter(col("vec_id") < 100)
+    val b2 = embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+
+    def storeRows(path: String) = spark.read.parquet(path)
+      .select(col("vec_id"), col("cluster").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // once-played reference
+    val cleanStore = tmp("ivf_once") + "/store"
+    val sClean = new AnnStreaming.StoreAppendState
+    AnnStreaming.absorbStoreBatch(sClean, b1, 0L, cleanStore, cents)
+    AnnStreaming.absorbStoreBatch(sClean, b2, 1L, cleanStore, cents)
+    val once = storeRows(cleanStore)
+    assert(once.size == 200 && once.map(_._1).distinct.size == 200)
+
+    // replay-twice: crash after batch 1 landed, Spark re-invokes batchId 1
+    val replayStore = tmp("ivf_replay") + "/store"
+    val sReplay = new AnnStreaming.StoreAppendState
+    AnnStreaming.absorbStoreBatch(sReplay, b1, 0L, replayStore, cents)
+    AnnStreaming.absorbStoreBatch(sReplay, b2, 1L, replayStore, cents)
+    // state rebuilt as a restarted process would rebuild it
+    val sAfterCrash = AnnStreaming.stateFromStore(spark, replayStore)
+    AnnStreaming.absorbStoreBatch(sAfterCrash, b2, 1L, replayStore, cents)
+    assert(storeRows(replayStore) == once,
+      "replaying a batchId twice must leave the store byte-equal to once")
+
+    // partial landing: the crashed attempt wrote only half of batch 1's
+    // rows; the replay must REPLACE the partial landing, not append to it
+    val healStore = tmp("ivf_heal") + "/store"
+    val sHeal0 = new AnnStreaming.StoreAppendState
+    AnnStreaming.absorbStoreBatch(sHeal0, b1, 0L, healStore, cents)
+    AnnStreaming.absorbStoreBatch(sHeal0,
+      b2.filter(col("vec_id") < 150), 1L, healStore, cents) // partial write
+    val sHeal = AnnStreaming.stateFromStore(spark, healStore)
+    assert(sHeal.lastBatchId == 1L,
+      "a partial landing must still be visible as the last batch id")
+    AnnStreaming.absorbStoreBatch(sHeal, b2, 1L, healStore, cents) // replay
+    assert(storeRows(healStore) == once,
+      "a replayed batch must heal the partial landing it replaces")
+  }
+}
