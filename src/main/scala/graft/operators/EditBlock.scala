@@ -137,4 +137,79 @@ object EditBlock {
         col("dist").cast("long").as("dist"))
       .distinct()
   }
+
+  /** Each pair's WORST per-endpoint rank: the pair set unrolled into a
+    * symmetric (endpoint d, partner p) view — so a document's rank counts
+    * ALL its pairs, whichever side of the `id_a < id_b` normalization it
+    * sits on (ranking the two roles separately would let a doc keep up to
+    * 2× the budget) — ranked within each endpoint by (dist, partner id)
+    * (deterministic: a (doc, partner) pair is unique), then folded back to
+    * one row per pair carrying max(rank of a, rank of b). One
+    * endpoint-partitioned window + one pair-key aggregate, both over the
+    * output-sized pair set. */
+  private def worstRank(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs.select(col("id_a"), col("id_b"), col("dist"),
+        col("id_a").as("d"), col("id_b").as("p"))
+      .unionAll(pairs.select(col("id_a"), col("id_b"), col("dist"),
+        col("id_b").as("d"), col("id_a").as("p")))
+    sym.withColumn("rk", row_number().over(
+        Window.partitionBy("d").orderBy(col("dist"), col("p"))))
+      .groupBy("id_a", "id_b", "dist").agg(max(col("rk")).as("worst_rank"))
+  }
+
+  /** [[nearPairs]] under a per-document pair budget — the production
+    * spelling for corpora whose duplicate-family structure is UNKNOWN. The
+    * exact operator's output is Ω(Σ family²): correct, but on a pathological
+    * corpus (one template boilerplate-stamped a million times) the OUTPUT
+    * is what detonates, silently, as a quadratic write. Here each document
+    * keeps at most its `perDocBudget` closest pairs (rank by (dist,
+    * partner), drop a pair either endpoint ranks out) — output ≤
+    * budget·docs by construction, so a downstream sink is provisioned, not
+    * surprised. Deterministic truncation, audited not silent: run
+    * [[pairAudit]] alongside (the g2_coshare_audit pattern) — its
+    * `capped_rows` is EXACTLY the rows this spelling drops, and the
+    * catalog's `e2_edit_blocked_audit` row keeps that count
+    * oracle-checked at 0 on the driver corpus, where the budget never
+    * binds and this spelling equals [[nearPairs]] row-for-row.
+    *
+    * Scale shape: two window shuffles over the PAIRS OUTPUT (the quantity
+    * being bounded), partitioned by endpoint id — never the corpus. For
+    * near-dedup the kept set is the right semantics: a doc in a giant
+    * family still surfaces with its closest partners, and family
+    * membership recovers through connected components on the kept pairs.
+    */
+  def nearPairsCapped(df: DataFrame, idCol: String, strCol: String,
+      t: Int, perDocBudget: Int): DataFrame = {
+    require(perDocBudget >= 1, "perDocBudget must be >= 1")
+    worstRank(nearPairs(df, idCol, strCol, t))
+      .filter(col("worst_rank") <= perDocBudget)
+      .drop("worst_rank")
+  }
+
+  /** One-row truncation audit for a `(id_a, id_b, dist)` pair set against a
+    * per-document budget: `(budget, total_pairs, max_pairs_per_doc,
+    * docs_over_budget, capped_rows)`, where `capped_rows` is exactly the
+    * pair count [[nearPairsCapped]] would drop at this budget. Cheap enough
+    * to run with every production pass — the aggregates are output-sized —
+    * and oracle-checked in the catalog, so output blowup surfaces as a
+    * nonzero integer in monitoring instead of a full disk at 3 a.m. */
+  def pairAudit(pairs: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val deg = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val degAgg = deg.agg(
+      coalesce(max(col("d")), lit(0L)).as("max_pairs_per_doc"),
+      coalesce(sum(when(col("d") > budget, 1L).otherwise(0L)), lit(0L))
+        .as("docs_over_budget"))
+    val pairAgg = worstRank(pairs).agg(
+      count(lit(1)).as("total_pairs"),
+      coalesce(sum(when(col("worst_rank") > budget, 1L)
+        .otherwise(0L)), lit(0L)).as("capped_rows"))
+    // two 1-row aggregates — the sanctioned condition-free tiny crossJoin
+    pairAgg.crossJoin(degAgg)
+      .select(lit(budget.toLong).as("budget"), col("total_pairs"),
+        col("max_pairs_per_doc"), col("docs_over_budget"), col("capped_rows"))
+  }
 }

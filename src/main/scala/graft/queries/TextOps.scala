@@ -1168,6 +1168,46 @@ object TextOps {
             substring(b.text, 1, 30)) <= 4
         ORDER BY doc_a, doc_b""")),
 
+    // E2h audit: output-blowup observability for the edit-distance family
+    // (round-9 verdict item 5). e2_edit_blocked is exact and therefore
+    // Ω(output); on a boilerplate-stamped corpus the OUTPUT is quadratic
+    // and an unbounded pair sink is an outage. The production spelling is
+    // EditBlock.nearPairsCapped (per-doc pair budget); this row is its
+    // audit twin (the g2_coshare_audit pattern): one row whose capped_rows
+    // counts EXACTLY what the capped spelling would drop at budget 64 —
+    // oracle-checked against the textbook all-pairs SQL, and 0 on the
+    // driver corpus, where budget never binds and capped == exact. A
+    // pathological fixture tripping the cap is spec-pinned (EditBlockSpec).
+    QueryDef("e2_edit_blocked_audit",
+      (s, dir) => EditBlock.pairAudit(
+        EditBlock.nearPairs(
+          docs(s, dir).select(col("doc_id"),
+            substring(col("text"), 1, 30).as("s")),
+          "doc_id", "s", t = 4),
+        budget = 64),
+      Some("""WITH pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(levenshtein(substring(a.text, 1, 30),
+              substring(b.text, 1, 30)) AS BIGINT) AS dist
+          FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+          WHERE levenshtein(substring(a.text, 1, 30),
+            substring(b.text, 1, 30)) <= 4),
+        sym AS (SELECT id_a, id_b, dist, id_a AS d, id_b AS p FROM pairs
+          UNION ALL SELECT id_a, id_b, dist, id_b AS d, id_a AS p FROM pairs),
+        r AS (SELECT id_a, id_b,
+            row_number() OVER (PARTITION BY d ORDER BY dist, p) AS rk
+          FROM sym),
+        w AS (SELECT id_a, id_b, max(rk) AS worst FROM r GROUP BY id_a, id_b),
+        deg AS (SELECT d, count(*) AS nd FROM sym GROUP BY d)
+        SELECT CAST(64 AS BIGINT) AS budget,
+          (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS total_pairs,
+          (SELECT CAST(coalesce(max(nd), 0) AS BIGINT) FROM deg)
+            AS max_pairs_per_doc,
+          (SELECT CAST(coalesce(sum(CASE WHEN nd > 64 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) FROM deg) AS docs_over_budget,
+          (SELECT CAST(coalesce(sum(CASE WHEN worst > 64 THEN 1
+            ELSE 0 END), 0) AS BIGINT) FROM w) AS capped_rows""")),
+
     // E4i: unigram LM quality score — the CCNet-style perplexity gate with a
     // corpus-trained unigram model standing in for the KenLM: per doc, the
     // mean negative log-probability of its tokens under corpus frequencies

@@ -51,6 +51,57 @@ class EditBlockSpec extends SparkSpec {
     }
   }
 
+  test("pair budget: audit counts exactly what the capped spelling drops, and trips on a pathological corpus") {
+    import spark.implicits._
+    // pathological near-dup structure: one template stamped 30×(one-char
+    // variants) — a 30-member family, 435 pairs, degree 29 per member —
+    // plus a handful of singletons. The budget-8 audit must TRIP, and
+    // capped output must equal exact minus exactly the audited drop.
+    val family = (0 until 30).map(i =>
+      (i.toLong, s"template boilerplate line ${"abcdefghij".charAt(i % 10)}"))
+    val singles = (100 until 110).map(i => (i.toLong, s"unique content $i xyz"))
+    val df = (family ++ singles).toDF("id", "s")
+    val t = 6
+    val exact = EditBlock.nearPairs(df, "id", "s", t)
+      .localCheckpoint()
+    val nExact = exact.count()
+    assert(nExact >= 435, s"fixture family produced only $nExact pairs")
+
+    val budget = 8
+    val audit = EditBlock.pairAudit(exact, budget).head()
+    val (totalPairs, maxDeg, docsOver, capped) = (audit.getLong(1),
+      audit.getLong(2), audit.getLong(3), audit.getLong(4))
+    assert(totalPairs == nExact)
+    assert(maxDeg >= 29L && docsOver >= 30L,
+      s"family degrees not visible in the audit: max=$maxDeg over=$docsOver")
+    assert(capped > 0L, "the pathological corpus must trip the cap")
+
+    val kept = EditBlock.nearPairsCapped(df, "id", "s", t, budget)
+      .localCheckpoint()
+    assert(kept.count() == nExact - capped,
+      "capped output must drop exactly the audited capped_rows")
+    // every kept doc stays within its budget
+    val degs = kept.select(col("id_a").as("id"))
+      .unionAll(kept.select(col("id_b").as("id")))
+      .groupBy("id").count().agg(max("count")).head().getLong(0)
+    assert(degs <= budget,
+      s"a document exceeded its pair budget after capping: $degs > $budget")
+    // and every family member still surfaces with at least one partner
+    val keptIds = kept.select("id_a").unionAll(kept.select("id_b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert((0 until 30).forall(i => keptIds.contains(i.toLong)),
+      "capping must not erase a family member entirely")
+
+    // a budget the corpus never reaches: audit 0, capped == exact
+    val wide = EditBlock.pairAudit(exact, 500).head()
+    assert(wide.getLong(4) == 0L)
+    val all = EditBlock.nearPairsCapped(df, "id", "s", t, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "an unbinding budget must be the identity")
+  }
+
   test("blocked pairs == all pairs on a random mutation corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

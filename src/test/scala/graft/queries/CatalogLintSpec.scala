@@ -45,6 +45,9 @@ class CatalogLintSpec extends SparkSpec {
     "e8_mix_rebalance" -> Set("theta-bnlj"),
     "j13_dormant_customers" -> Set("theta-bnlj"),
     "e2_edit_blocked" -> Set("theta-bnlj"),
+    // the audit row contains the full e2_edit_blocked plan (it audits that
+    // row's output), so it inherits the same justified finding
+    "e2_edit_blocked_audit" -> Set("theta-bnlj"),
     "e2_edit_distance" -> Set("theta-bnlj"),
     "e3_cosine_pairs" -> Set("theta-bnlj"),
     "e3_cosine_topk" -> Set("theta-bnlj"),
