@@ -33,10 +33,15 @@ object AnalyticsOps {
     * regenerated fixture at the same path changes the token and re-counts. */
   private val suppCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
-  def supplierCount(s: SparkSession, dir: String): Long =
-    suppCountCache.getOrElseUpdate(
-      s"$dir|${Tables.fixtureToken(dir, "supplier")}",
-      Tables.supplier(s, dir).count())
+  def supplierCount(s: SparkSession, dir: String): Long = {
+    val dim = Tables.supplier(s, dir)
+    // catalog statistics first (graft.plans.CardinalityStats — an ANALYZE'd
+    // deployment routes with zero jobs), memoized count as the fallback
+    graft.plans.CardinalityStats.rowCount(dim)(
+      suppCountCache.getOrElseUpdate(
+        s"$dir|${Tables.fixtureToken(dir, "supplier")}",
+        dim.count()))
+  }
 
   /** Distinct customer→supplier posting list, pre-partitioned on customer so
     * dedup / cap-window / self-join all ride one hash exchange. */
