@@ -70,7 +70,19 @@ object Bench {
       // GC of the min-time rep — the steady-state number the min reports
       def gcOfMin: Long = runs.minBy(_._1)._2
     }
-    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    // spec-only twins (no driver oracle — their gate is PartsuppOpsSpec)
+    // bench alongside the catalog when the fixture carries their table:
+    // the scale fixtures grow a partsupp; the driver testdata does not
+    val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (new java.io.File(s"$sfDir/partsupp.parquet").exists())
+        Map(
+          "ps1_min_cost_full" -> ((s: SparkSession, d: String) =>
+            graft.queries.PartsuppOps.q2MinCostSupplier(s, d)),
+          "ps2_excess_stock_full" -> ((s: SparkSession, d: String) =>
+            graft.queries.PartsuppOps.q20ExcessStock(s, d)))
+      else Map.empty
+    val qmap = SparkEntry.queries ++ extras
+    val catalog = qmap.toSeq.sortBy(_._1)
       .filter(kv => wanted(kv._1))
     var results = catalog.map { case (name, fn) =>
       val rs = (1 to reps).map(_ => timeOne(name, fn)).toVector
@@ -96,7 +108,7 @@ object Bench {
     if (reps > 1) {
       results = results.map { r =>
         if (r.ok && r.min < 2.0)
-          addRep(r, timeOne(r.name, SparkEntry.queries(r.name)))
+          addRep(r, timeOne(r.name, qmap(r.name)))
         else r
       }
     }
@@ -110,7 +122,7 @@ object Bench {
         .take(math.max(1, results.size / 10)).last
       results = results.map { r =>
         if (r.min >= cutoff && r.ok) {
-          val t = timeOne(r.name, SparkEntry.queries(r.name))
+          val t = timeOne(r.name, qmap(r.name))
           System.err.println(
             f"[bench] ${r.name}%-24s ${t._1}%8.2f s  (decile re-rep)")
           addRep(r, t)

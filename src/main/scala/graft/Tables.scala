@@ -35,6 +35,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Optional part↔supplier catalog table (TPC-H `partsupp` shape:
+    * `ps_partkey, ps_suppkey, ps_availqty, ps_supplycost`). NOT part of the
+    * driver testdata (hence not in [[names]]): the scale fixtures grow one
+    * via `scripts/make_scale.py`, and [[graft.queries.PartsuppOps]]'s
+    * spec-only TPC-H Q2/Q20 twins synthesize their own. Callers own the
+    * existence check. */
+  def partsupp(s: SparkSession, d: String): DataFrame = load(s, d, "partsupp")
+
   /** Events with `ts` as raw ns-since-epoch long plus a µs timestamp view. */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(s, d, "events"))
