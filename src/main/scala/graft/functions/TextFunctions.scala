@@ -174,6 +174,46 @@ object TextFunctions {
     least(a, b).cast(DoubleType) >=
       lit(t) * greatest(a, b).cast(DoubleType) - lit(1e-9)
 
+  /** Per-doc signature SKETCH for the pre-verify agreement filter: the low
+    * byte of each of the `numHashes` minhash slots, as `array<tinyint>`
+    * (~1/8 the weight of carrying the long slots through the banding
+    * shuffle). Slot equality implies byte equality, so byte agreement is a
+    * SUPERSET test of slot agreement — it can only over-admit (per-slot
+    * false agreement 1/256), never drop a pair the full-slot filter would
+    * keep. */
+  private def sigSketch(mh: Column): Column =
+    transform(mh, _.cast("tinyint"))
+
+  /** Signature-agreement pre-verify filter (the 100× probe fix, §15): on a
+    * corpus whose shingle space is small relative to the corpus (the
+    * driver's ~31-word vocabulary; boilerplate-heavy crawls in practice),
+    * the banding false-positive rate is a CONSTANT per pair — band
+    * candidates then grow quadratically with the corpus while true output
+    * stays tiny (measured: ~10³ candidates at sf0.1 → 23.5M at 100×, where
+    * joining the sorted shingle arrays onto every candidate wrote a
+    * 13.5 GB shuffle and OOMed the 8 GB probe heap before verify could
+    * discard 99.99% of them). The minhash SIGNATURE the banding pass
+    * already computed is itself a Jaccard estimator with `numHashes`
+    * independent slots, so candidates are pre-filtered INSIDE the band
+    * join condition on sketch agreement ≥ (threshold − 0.3) before any
+    * shingle payload moves: O(numHashes) bytes per enumerated pair, like
+    * [[sizeRatioOk]].
+    *
+    * Deterministic (fixed hash family) and, at these margins, lossless in
+    * the same sense banding itself is: a true pair AT the threshold
+    * (J = 0.8) has slot agreement ~ Binomial(64, 0.8)/64 — the 0.5 cut
+    * sits 4.6 sd below its mean (P(drop) ≈ 1e-7, vs the band guarantee's
+    * own 1 − (1 − t⁸)⁸ ≈ 0.99); byte-collision over-admission only widens
+    * recall further. Exact-Jaccard verify still runs AFTER the filter, so
+    * admitted-pair results are bit-identical; the driver oracle re-proves
+    * corpus recall 1.0 per fixture, and DedupSpec pins a planted
+    * at-threshold pair. On a corpus whose TRUE near-dup mass is quadratic
+    * (wall-to-wall boilerplate) the filter keeps every true pair and the
+    * operator is honestly output-bound — the e2_edit_blocked regime. */
+  private def sketchAgreeOk(a: Column, b: Column, t: Double): Column =
+    graft.expressions.SketchAgreement(a, b).cast(DoubleType) >=
+      lit(math.max(0.0, t - 0.3)) * size(a).cast(DoubleType) - lit(1e-9)
+
   def signatureTable(docs: DataFrame, numHashes: Int,
       shingleLen: Int): DataFrame =
     // the no-shingle guard is the CHEAP equivalent precondition
@@ -226,6 +266,7 @@ object TextFunctions {
             col("mh").getItem(b * rows + r).as(s"r$r")): _*).as("sig"))
       }
       sh.select(col("doc_id"), size(col("shset")).as("sz"),
+        sigSketch(col("mh")).as("sk"),
         explode(array(bandCols: _*)).as("bucket"))
     }
     val bStore = buckets(storeSig)
@@ -239,12 +280,14 @@ object TextFunctions {
     val cand = bStore.as("a").join(bBatch.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
-          sizeRatioOk(col("a.sz"), col("b.sz"), threshold))
+          sizeRatioOk(col("a.sz"), col("b.sz"), threshold) &&
+          sketchAgreeOk(col("a.sk"), col("b.sk"), threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .unionByName(bBatch.as("a").join(bBatch.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id") &&
-            sizeRatioOk(col("a.sz"), col("b.sz"), threshold))
+            sizeRatioOk(col("a.sz"), col("b.sz"), threshold) &&
+            sketchAgreeOk(col("a.sk"), col("b.sk"), threshold))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
       .dropDuplicates("doc_a", "doc_b")
     // Exact verify fetches shingle sets of CANDIDATES only: doc_b is always
@@ -305,11 +348,13 @@ object TextFunctions {
           col("mh").getItem(b * rows + r).as(s"r$r")): _*).as("sig"))
     }
     val buckets = sh.select(col("doc_id"), col("sz"),
+      sigSketch(col("mh")).as("sk"),
       explode(array(bandCols: _*)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
-          sizeRatioOk(col("a.sz"), col("b.sz"), threshold))
+          sizeRatioOk(col("a.sz"), col("b.sz"), threshold) &&
+          sketchAgreeOk(col("a.sk"), col("b.sk"), threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       // checkpointed so the banding join runs ONCE: the candidate table

@@ -42,6 +42,38 @@ class DedupSpec extends SparkSpec {
     assert(got == truth, s"got $got want $truth")
   }
 
+  test("an AT-threshold pair survives the signature-agreement pre-filter") {
+    // the sketch filter (sketchAgreeOk, the 100x-probe fix) prunes banding
+    // false positives at agreement >= threshold - 0.3; a true pair sitting
+    // EXACTLY at the jaccard threshold is its worst case and must still be
+    // recalled. Build one at J ~= threshold by mixing shared + private
+    // tails, compute its exact jaccard, and run at that exact threshold.
+    import spark.implicits._
+    val shared = (1 to 60).map(i => s"w$i").mkString(" ")
+    val tailA = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val tailB = (1 to 12).map(i => s"beta$i").mkString(" ")
+    val df = Seq((0L, s"$shared $tailA"), (1L, s"$shared $tailB"))
+      .toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), shingles(col("text"), 5).as("s"))
+    val j = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+        size(array_union(col("a.s"), col("b.s"))))
+      .head().getDouble(0)
+    assert(j > 0.5 && j < 0.95, s"fixture drifted: exact jaccard $j")
+    // 32 bands of 2 rows: banding recall at this J is ~1 - (1-J^2)^32 ~= 1,
+    // so the sketch filter is the ONLY mechanism that could drop the pair —
+    // the test isolates the filter at its worst-case margin (the 8x8
+    // catalog banding's own recall curve is a separate property, proven
+    // against the driver oracle where true dups sit at J ~= 1)
+    val got = minhashLshPairs(df, numHashes = 64, bands = 32,
+      shingleLen = 5, threshold = j)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)),
+      s"at-threshold pair (J=$j) lost by the pre-verify filter: $got")
+  }
+
   test("simhash: near-dups collide at small hamming distance, unrelated don't") {
     val pairs = simhashPairs(planted, maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
