@@ -49,16 +49,18 @@ object ConnectedComponents {
     // materialize the (possibly expensive) edge pipeline ONCE before
     // mirroring: a union of two selects over the same subtree executes that
     // subtree twice — for a pair-finding input that doubles the dominant cost
-    val e = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    // Ckpt.bounded: the edge table is DATA-sized and re-read every round —
+    // fat serialized blocks re-inflate whole per task on re-read, the 100×
+    // OOM class (operators/Ckpt.scala)
+    val e = Ckpt.bounded(edges.select(col(src).as("a"), col(dst).as("b")))
     // both directions, so "neighbor min" sees the full undirected adjacency
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     // vertex init fused with round 1: label₀ = min(id, min neighbor) costs
     // the same shuffle a plain distinct-vertices init would, but already
     // carries labels one hop
-    var labels = sym.groupBy(col("a").as("id"))
+    var labels = Ckpt.bounded(sym.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nbr_min"))
-      .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
-      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+      .select(col("id"), least(col("id"), col("nbr_min")).as("label")))
     // the checkpoint backing the CURRENT labels; superseded snapshots are
     // released per round (and the mirrored edge table at exit) so a run
     // pins exactly one label table, not one per round — on a long-running
@@ -89,10 +91,10 @@ object ConnectedComponents {
       // chains, at the cost of one extra (small, (id,label)-sized) join
       // per round
       val byId = prop.select(col("id").as("pid"), col("lab1").as("plab"))
-      val next = prop.join(byId, prop("lab1") === byId("pid"), "left")
-        .select(col("id"), col("old"),
-          least(col("lab1"), coalesce(col("plab"), col("lab1"))).as("label"))
-        .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+      val next = Ckpt.bounded(
+        prop.join(byId, prop("lab1") === byId("pid"), "left")
+          .select(col("id"), col("old"),
+            least(col("lab1"), coalesce(col("plab"), col("lab1"))).as("label")))
       // convergence = an aggregate over the label table (no data collect)
       changed = next.filter(col("label") =!= col("old")).count()
       labelsCkpt.unpersist()

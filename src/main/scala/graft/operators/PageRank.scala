@@ -56,9 +56,13 @@ object PageRank {
     // side (bounded by |V|/numPartitions, uniform under hash partitioning —
     // vertex COUNT, not edge fan-out) and streams the skewed edge side, so
     // per-task memory is independent of the hottest vertex's degree.
-    val ed = edges.join(deg.hint("shuffle_hash"), "src")
-      .select(col("src"), col("dst"), col("d")).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
-    val ids = ed.select(col("src").as("vid")).distinct().localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    // Ckpt.bounded, not a bare localCheckpoint: this table is DATA-sized
+    // (one row per edge) and re-read every round — exactly the shape whose
+    // fat serialized blocks OOMed the 100× probe on re-inflation
+    // (operators/Ckpt.scala has the mechanism)
+    val ed = Ckpt.bounded(edges.join(deg.hint("shuffle_hash"), "src")
+      .select(col("src"), col("dst"), col("d")))
+    val ids = Ckpt.bounded(ed.select(col("src").as("vid")).distinct())
     var r = ids.select(col("vid").as("id"), lit(1000000L).as("rank"))
     // superseded per-round checkpoints are RELEASED as soon as the next
     // round's snapshot exists — otherwise every run pins (iterations + 2)
@@ -80,7 +84,7 @@ object PageRank {
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+      r = Ckpt.bounded(r)
       if (prevCkpt != null) prevCkpt.unpersist()
       prevCkpt = r
     }
