@@ -842,9 +842,6 @@ object TextOps {
           .when(!(col("mwl") >= 3.0 && col("mwl") <= 10.0), "2_mean_wlen")
           .when(!(col("n_stop") >= 2), "3_stopwords")
           .otherwise("4_kept")
-        // the 4-row stage table feeds both the total and the funnel window:
-        // materialize it once or the whole corpus-sized gate evaluation
-        // (tokenize + 3 rules per doc) runs twice
         val counts = docs(s, dir)
           .select(col("text"), tokens(col("text")).as("toks"))
           .select(size(col("toks")).cast("long").as("n_words"),
@@ -856,12 +853,18 @@ object TextOps {
             col("n_stop"))
           .select(stage.as("stage"))
           .groupBy("stage").agg(count(lit(1)).as("n"))
-          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
-        val total = counts.agg(sum("n").as("total"))
+        // total = a second FRAME of the same 4-row window, not a separate
+        // aggregate: one consumer of the corpus-sized gate evaluation (no
+        // checkpoint, no crossJoin), and the global window sits DIRECTLY
+        // above its bounding aggregation — the structural property the
+        // at-scale lint sweep reads off the plan
         val w = Window.orderBy("stage")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        counts.withColumn("cum", sum("n").over(w))
-          .crossJoin(broadcast(total))
+        val wAll = Window.orderBy("stage")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        counts
+          .select(col("stage"), col("n"), sum("n").over(w).as("cum"),
+            sum("n").over(wAll).as("total"))
           .select(col("stage"), col("n"),
             when(col("stage") === "4_kept", col("n"))
               .otherwise(col("total") - col("cum")).as("surviving_after"))

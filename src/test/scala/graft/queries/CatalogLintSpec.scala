@@ -25,7 +25,38 @@ class CatalogLintSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private val allowed: Map[String, Set[String]] = Map(
+  private def allowed = CatalogLintSpec.allowed
+
+  test("every catalog plan is lint-clean modulo the justified allowlist") {
+    val bad = for {
+      (name, fn) <- QueryCatalog.queries.toSeq.sortBy(_._1)
+      f <- PlanLint.audit(fn(spark, dir))
+      if !allowed.getOrElse(name, Set.empty).contains(f.rule)
+    } yield s"$name $f"
+    assert(bad.isEmpty, "unsanctioned plan findings:\n" + bad.mkString("\n"))
+  }
+
+  test("the allowlist carries no dead entries") {
+    // an allowlisted rule that no longer fires means the plan improved —
+    // shrink the list so it can't silently mask a future regression
+    val live = (for {
+      (name, fn) <- allowed.keys.toSeq.map(n => n -> QueryCatalog.queries(n))
+      f <- PlanLint.audit(fn(spark, dir))
+    } yield (name, f.rule)).toSet
+    val dead = for {
+      (name, rules) <- allowed.toSeq; r <- rules
+      if !live.contains((name, r))
+    } yield s"$name/$r"
+    assert(dead.isEmpty, s"allowlist entries that no longer fire: $dead")
+  }
+}
+
+/** The one justified-findings allowlist, shared by the sf0.001 sweep above
+  * and the scale-fixture sweep ([[ScaleCatalogLintSpec]]) so the two nets
+  * cannot drift apart. */
+object CatalogLintSpec {
+
+  val allowed: Map[String, Set[String]] = Map(
     "a27_heavy_hitters" -> Set("global-window", "single-partition-exchange"),
     "e4_gate_attrition" -> Set("global-window", "single-partition-exchange"),
     "j12_top_revenue_supplier" ->
@@ -53,27 +84,4 @@ class CatalogLintSpec extends SparkSpec {
     "e3_cosine_topk" -> Set("theta-bnlj"),
     "e3_embed_neardup" -> Set("theta-bnlj"),
     "e3_hybrid_rrf" -> Set("theta-bnlj"))
-
-  test("every catalog plan is lint-clean modulo the justified allowlist") {
-    val bad = for {
-      (name, fn) <- QueryCatalog.queries.toSeq.sortBy(_._1)
-      f <- PlanLint.audit(fn(spark, dir))
-      if !allowed.getOrElse(name, Set.empty).contains(f.rule)
-    } yield s"$name $f"
-    assert(bad.isEmpty, "unsanctioned plan findings:\n" + bad.mkString("\n"))
-  }
-
-  test("the allowlist carries no dead entries") {
-    // an allowlisted rule that no longer fires means the plan improved —
-    // shrink the list so it can't silently mask a future regression
-    val live = (for {
-      (name, fn) <- allowed.keys.toSeq.map(n => n -> QueryCatalog.queries(n))
-      f <- PlanLint.audit(fn(spark, dir))
-    } yield (name, f.rule)).toSet
-    val dead = for {
-      (name, rules) <- allowed.toSeq; r <- rules
-      if !live.contains((name, r))
-    } yield s"$name/$r"
-    assert(dead.isEmpty, s"allowlist entries that no longer fire: $dead")
-  }
 }
