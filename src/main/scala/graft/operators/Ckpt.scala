@@ -43,6 +43,53 @@ object Ckpt {
     * blocks. */
   val TargetBlockBytes: Long = 32L << 20
 
+  /** Conservative serialized-bytes-per-source-byte inflation for
+    * [[sourceBytes]]-driven pre-partitioning: parquet is columnar-compressed
+    * and UnsafeRow externalization is not — the g1 edge table measured
+    * ~2.6× its source parquet bytes. Overshooting only makes blocks
+    * smaller. */
+  val SerInflation: Long = 3L
+
+  /** Sum of the FILE-SOURCE leaf sizes of `df`'s optimized plan — the one
+    * size signal that is real, not estimated (file relations report actual
+    * file bytes). Every other leaf is skipped: a checkpointed-RDD leaf
+    * COPIES its origin plan's Catalyst estimate, which without CBO is a
+    * children-size product for join-derived plans — off by orders of
+    * magnitude in both directions (measured: a band-join-derived
+    * checkpoint leaf claiming astronomically more than its real size) —
+    * and intermediate-plan estimates are untrustworthy for the same
+    * reason. Returns 0 when no file leaf is visible: "no trustworthy
+    * signal", which [[bounded]] maps to measured-backstop-only.
+    * Driver-side plan walk, no job. */
+  def sourceBytes(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val s = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case r: LogicalRelation => r.stats.sizeInBytes
+      case r: DataSourceV2ScanRelation => r.stats.sizeInBytes
+      case _ => BigInt(0)
+    }.sum
+    if (s > BigInt(Long.MaxValue)) Long.MaxValue else s.toLong
+  }
+
+  /** Partition count that lays `bytes` of source data out near
+    * [[TargetBlockBytes]] after [[SerInflation]]; 0 (= "no signal, leave
+    * the layout alone") when `bytes` is 0 or already fits the session's
+    * shuffle width. Callers that know their join/agg key should spend this
+    * on a KEYED repartition feeding that operation — the wide layout then
+    * REPLACES the operation's own shuffle and downstream checkpoints
+    * inherit it, instead of bounded's round-robin fallback adding one
+    * (measured on g1 at 100×: key-reuse 66 s vs +93 s for the round-robin
+    * form, because the per-round join lost its reusable exchange). */
+  def partitionsFor(bytes: Long,
+      targetBytes: Long = TargetBlockBytes): Int = {
+    if (bytes <= 0) return 0
+    val want = math.min(1L << 14, bytes * SerInflation / targetBytes).toInt
+    val sp = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    if (want > sp) want else 0
+  }
+
   /** `localCheckpoint(SerLevel)` with MEASURED block granularity: after the
     * eager checkpoint materializes, the actual cached size is read off the
     * block manager (driver-side metadata, no job) and, when average block
@@ -54,6 +101,19 @@ object Ckpt {
     * to matter — at sf0.1 and 10× the measured layout is already under
     * target and this is a no-op.
     *
+    * The measured re-layout alone is NOT enough for a data-sized table: the
+    * measurement pass itself materializes fat blocks, and any of those
+    * evicted to disk under the put pressure re-inflates WHOLE when the
+    * re-layout shuffle reads it back — the same OOM one step later (the
+    * second 100× g1 failure). So callers that know their table is
+    * data-sized pass `sizeHintBytes` (typically [[sourceBytes]] of the
+    * pre-checkpoint plan — real file bytes, scaled by [[SerInflation]]) and
+    * the FIRST materialization is already laid out near target; the
+    * measured pass then merely verifies and backstops a hint that was >2×
+    * under. A zero/absent hint skips pre-partitioning (right for
+    * vertex-sized round tables, where an extra shuffle per round would cost
+    * more than it protects).
+    *
     * The storage-info diff identifies the new checkpoint by RDD id; under
     * concurrent checkpointing from another thread the match can pick the
     * sibling — harmless for correctness (repartition preserves rows; the
@@ -62,10 +122,19 @@ object Ckpt {
     * table is a children-size product — off by orders of magnitude in both
     * directions. */
   def bounded(df: DataFrame,
-      targetBytes: Long = TargetBlockBytes): DataFrame = {
+      targetBytes: Long = TargetBlockBytes,
+      sizeHintBytes: Long = 0L): DataFrame = {
     val sc = df.sparkSession.sparkContext
+    val pre = {
+      // round-robin fallback for callers with no reusable key; the width
+      // check is against the session shuffle setting, NOT df.rdd (under
+      // AQE, materializing the RDD to count partitions can trigger
+      // partial execution of the plan being checkpointed)
+      val want = partitionsFor(sizeHintBytes, targetBytes)
+      if (want > 0) df.repartition(want) else df
+    }
     val before = sc.getRDDStorageInfo.map(_.id).toSet
-    val ck = df.localCheckpoint(true, SerLevel)
+    val ck = pre.localCheckpoint(true, SerLevel)
     val created = sc.getRDDStorageInfo
       .filterNot(i => before(i.id)).sortBy(-_.id).headOption
     created match {

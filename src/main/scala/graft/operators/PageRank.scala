@@ -36,7 +36,16 @@ object PageRank {
     * @return (id, rank) with rank in micro-units (1.0 ≡ 1,000,000). */
   def ranks(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // when the SOURCE bytes say the edge table will checkpoint fat (the
+    // 100× OOM class, operators/Ckpt.scala), widen the layout HERE, keyed
+    // on src: this repartition REPLACES the degree-agg and degree-join
+    // shuffles (both consume hash(src)) and the checkpoint inherits the
+    // bounded blocks, so the per-round join keeps its reusable exchange —
+    // measured at 100×: 66 s vs 159 s for a round-robin re-layout that
+    // forced a full edge reshuffle every round
+    val wide = Ckpt.partitionsFor(Ckpt.sourceBytes(edges))
+    val eIn = if (wide > 0) edges.repartition(wide, col("src")) else edges
+    val deg = eIn.groupBy("src").agg(count(lit(1)).as("d"))
     // The per-edge (src, dst, d) table is ITERATION-INVARIANT: materialize
     // it ONCE (localCheckpoint) so every round is a single join (edge table
     // ⋈ ranks) + one partial-agged sum, instead of re-deriving the whole
@@ -56,11 +65,7 @@ object PageRank {
     // side (bounded by |V|/numPartitions, uniform under hash partitioning —
     // vertex COUNT, not edge fan-out) and streams the skewed edge side, so
     // per-task memory is independent of the hottest vertex's degree.
-    // Ckpt.bounded, not a bare localCheckpoint: this table is DATA-sized
-    // (one row per edge) and re-read every round — exactly the shape whose
-    // fat serialized blocks OOMed the 100× probe on re-inflation
-    // (operators/Ckpt.scala has the mechanism)
-    val ed = Ckpt.bounded(edges.join(deg.hint("shuffle_hash"), "src")
+    val ed = Ckpt.bounded(eIn.join(deg.hint("shuffle_hash"), "src")
       .select(col("src"), col("dst"), col("d")))
     val ids = Ckpt.bounded(ed.select(col("src").as("vid")).distinct())
     var r = ids.select(col("vid").as("id"), lit(1000000L).as("rank"))

@@ -82,17 +82,70 @@ object AnalyticsOps {
     * with the degree cap applied at the source (see [[CoshareCap]]) and the
     * aggregation shape chosen from the supplier cardinality (see
     * [[CosharePairKeySpaceMax]]). */
-  def coshareTop(cs: DataFrame, cap: Int, nSupp: Long): DataFrame = {
-    val capped = cs
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("c").orderBy("sk")))
-      .filter(col("rn") <= cap).drop("rn")
+  /** Pair-key budget per task in the sized-exchange route: bounds the
+    * single-level agg's per-task hash table at ~50 MB worst case, so 32
+    * concurrent tasks stay under ~2 GB of agg state regardless of data
+    * scale (the 100× probe OOMed the session-width exchange: 1.3 G pairs /
+    * 32 partitions = 40 M keys per task's table, GC-locker thrash → heap
+    * OOM). */
+  val CosharePairKeysPerTask = 512L << 10
+
+  /** The degree cap applied to a (c, sk) posting list — shared by
+    * [[coshareTop]] and the [[cosharePairCount]] statistic so the sizing
+    * pass counts exactly the pairs the projection will enumerate. */
+  def cappedPosting(cs: DataFrame, cap: Int): DataFrame = cs
+    .withColumn("rn",
+      row_number().over(Window.partitionBy("c").orderBy("sk")))
+    .filter(col("rn") <= cap).drop("rn")
+
+  /** Exact capped-pair cardinality of the fixture's posting list —
+    * Σ d·(d−1)/2 over capped degrees, the statistic that sizes the big
+    * route's exchange in [[coshareTop]]. One aggregate job per fixture,
+    * memoized like [[supplierCount]] (keyed on the lineitem fixture token,
+    * so a regenerated fixture re-counts). */
+  private val pairCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  def cosharePairCount(s: SparkSession, dir: String, cap: Int): Long =
+    pairCountCache.getOrElseUpdate(
+      s"$dir|$cap|${Tables.fixtureToken(dir, "lineitem")}",
+      cappedPosting(custSupp(s, dir), cap)
+        .groupBy("c").agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)))
+        .head().getLong(0))
+
+  /** @param pairCount capped-pair cardinality, by-name: forced only on the
+    *                   big-key-space route (callers with a fixture pass the
+    *                   memoized [[cosharePairCount]]; the default replays
+    *                   the statistic job on `cs` directly). */
+  def coshareTop(cs: DataFrame, cap: Int, nSupp: Long,
+      pairCount: => Option[Long] = None): DataFrame = {
+    val capped = cappedPosting(cs, cap)
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.c") === col("b.c") && col("a.sk") < col("b.sk"))
       .select((shiftleft(col("a.sk"), 32) + col("b.sk")).as("pk"))
     val keySpace = nSupp * (nSupp - 1) / 2
     val routed = if (keySpace <= CosharePairKeySpaceMax) pairs
-                 else pairs.repartition(col("pk"))
+    else {
+      // the exchange must be SIZED, not just keyed: pair-group count grows
+      // with the data while the session shuffle width does not, so at scale
+      // a width-32 exchange hands each task a hash table it cannot hold
+      // (measured at 100×: 1.3 G pairs / 32 partitions OOMed the 8 GB probe
+      // heap; the sized form runs it in 113 s, linear vs 10×). The pair
+      // cardinality is one cheap aggregate over the capped degree
+      // distribution — the statistic a CBO would hold, same posture as
+      // supplierCount for the route itself. No pinned checkpoint: a
+      // localCheckpoint here would stay pinned under the returned plan for
+      // the session, a scale-sized storage leak.
+      val pc = pairCount.getOrElse(
+        capped.groupBy("c").agg(count(lit(1)).as("d"))
+          .agg(coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)))
+          .head().getLong(0))
+      val sp = cs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val n = math.min(1L << 14, math.max(sp.toLong,
+        (pc + CosharePairKeysPerTask - 1) / CosharePairKeysPerTask))
+        .toInt
+      pairs.repartition(n, col("pk"))
+    }
     routed
       .groupBy("pk")
       .agg(count(lit(1)).as("shared_customers"))
@@ -258,7 +311,8 @@ object AnalyticsOps {
     // Top-20 via TakeOrderedAndProject.
     QueryDef("g2_coshare",
       (s, dir) => coshareTop(custSupp(s, dir), CoshareCap,
-        supplierCount(s, dir)),
+        supplierCount(s, dir),
+        Some(cosharePairCount(s, dir, CoshareCap))),
       Some("""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
         SELECT a.sk AS supp_a, b.sk AS supp_b,

@@ -35,6 +35,36 @@ class CkptSpec extends SparkSpec {
     re.unpersist()
   }
 
+  test("a size hint pre-partitions the FIRST materialization near target") {
+    import spark.implicits._
+    // without the hint this 1-partition table would first materialize as
+    // one fat block (the re-inflation hazard the hint exists to avoid)
+    val df = (1 to 20000).toDF("i").repartition(1)
+    val re = Ckpt.bounded(df, targetBytes = 64L << 10,
+      sizeHintBytes = 1L << 20)
+    // 1 MiB hint * SerInflation / 64 KiB target = 48 partitions up front
+    assert(re.rdd.getNumPartitions == 48,
+      s"hinted pre-partitioning off: ${re.rdd.getNumPartitions}")
+    assert(re.count() == 20000L)
+    re.unpersist()
+  }
+
+  test("sourceBytes reads real file-relation sizes and skips placeholders") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val real = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+      .length
+    val got = Ckpt.sourceBytes(docs.select(col("doc_id")))
+    // parquet leaf stats are file bytes (within metadata slack)
+    assert(got > 0 && got >= real / 2 && got <= real * 2,
+      s"sourceBytes $got vs files $real")
+    // a checkpointed-RDD leaf copies its origin's Catalyst ESTIMATE (for a
+    // join-derived plan, a children-size product) — not a real size, so it
+    // must contribute nothing
+    val ck = docs.limit(10).localCheckpoint(true, Ckpt.SerLevel)
+    assert(Ckpt.sourceBytes(ck) == 0L, "non-file leaf not skipped")
+    ck.unpersist()
+  }
+
   test("bounded preserves rows and values exactly across the re-layout") {
     import spark.implicits._
     val df = (1 to 50000).toDF("i")

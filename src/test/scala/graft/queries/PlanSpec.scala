@@ -674,14 +674,15 @@ class PlanSpec extends SparkSpec {
     val above = 2829L // keySpace 4,000,206 >  4M -> explicit pk repartition
     assert(below * (below - 1) / 2 <= AnalyticsOps.CosharePairKeySpaceMax)
     assert(above * (above - 1) / 2 > AnalyticsOps.CosharePairKeySpaceMax)
-    // custSupp's own c-repartition is also REPARTITION_BY_COL (printed
+    // custSupp's own c-repartition is also a REPARTITION_BY_* (printed
     // twice by the self-join) — only the packed-pair-key exchange is the
-    // routing signal
+    // routing signal. The big route is REPARTITION_BY_NUM since round 10:
+    // the exchange is SIZED from the pair cardinality, not just keyed.
     def pkRepartitions(nSupp: Long) =
       AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap, nSupp)
         .queryExecution.executedPlan.toString
         .linesIterator.count(l =>
-          l.contains("REPARTITION_BY_COL") && l.contains("pk#"))
+          l.contains("REPARTITION_BY_") && l.contains("pk#"))
     assert(pkRepartitions(below) == 0,
       "small key space must plan the partial-agg shape (no explicit pk repartition)")
     assert(pkRepartitions(above) == 1,
