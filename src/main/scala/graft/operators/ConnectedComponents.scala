@@ -49,10 +49,11 @@ object ConnectedComponents {
     // materialize the (possibly expensive) edge pipeline ONCE before
     // mirroring: a union of two selects over the same subtree executes that
     // subtree twice — for a pair-finding input that doubles the dominant cost
-    // Ckpt.bounded: the edge table is DATA-sized and re-read every round —
-    // fat serialized blocks re-inflate whole per task on re-read, the 100×
-    // OOM class (operators/Ckpt.scala)
-    val e = Ckpt.bounded(edges.select(col(src).as("a"), col(dst).as("b")))
+    // Ckpt.bounded with a source-bytes hint: the edge table is DATA-sized
+    // and re-read every round — fat serialized blocks re-inflate whole per
+    // task on re-read, the 100× OOM class (operators/Ckpt.scala)
+    val e = Ckpt.bounded(edges.select(col(src).as("a"), col(dst).as("b")),
+      sizeHintBytes = Ckpt.sourceBytes(edges))
     // both directions, so "neighbor min" sees the full undirected adjacency
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     // vertex init fused with round 1: label₀ = min(id, min neighbor) costs
