@@ -29,7 +29,10 @@ object MultimodalOps {
   private def decodedPortable(s: SparkSession, dir: String) = {
     import s.implicits._
     val h = md5Hash60(col("text"))
-    Tables.documents(s, dir).select(
+    // WidenScan: the per-row hash-derive below is the decode stand-in — at
+    // deployment this is a real codec, the most compute-heavy per-row work
+    // in the engine; never let a narrow scan single-thread it
+    graft.operators.WidenScan(Tables.documents(s, dir)).select(
         col("doc_id").as("media_id"),
         lit("video").as("media_type"),
         (lit(64) + pmod(h, lit(448L))).cast("int").as("width"),

@@ -19,8 +19,11 @@ import graft.operators.EditBlock
   */
 object TextOps {
 
+  // WidenScan: every consumer below is per-doc compute-heavy (tokenizer /
+  // shingles / hashing); a narrow scan would single-thread them all
+  // (operators/WidenScan.scala — the round-10 100× finding)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    graft.operators.WidenScan(Tables.documents(s, dir))
 
   /** Scale-PROPORTIONAL store/batch split point for the incremental rows:
     * ids below `max(doc_id)·4/5` are the historical corpus, the top 20%

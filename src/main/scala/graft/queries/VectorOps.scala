@@ -216,8 +216,10 @@ object VectorOps {
         // w feeds the norm table AND both sides of the pair join:
         // materialize it once (the e4_tfidf tf-checkpoint rationale) or
         // the tokenize+explode+aggregate chain replays per consumer
-        val w = TfIdf.weights(Tables.documents(s, dir)
-          .filter(col("doc_id") < universe)).localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+        // widen AFTER the filter so the shuffle moves only surviving rows
+        val w = TfIdf.weights(graft.operators.WidenScan(
+            Tables.documents(s, dir).filter(col("doc_id") < universe)))
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val tn = TfIdf.norms(w)
         val sdots = w.as("a")
           .join(w.as("b"), col("a.t") === col("b.t") &&
