@@ -62,7 +62,20 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, gcMs - g0, ok)
+      val dt = ((System.nanoTime() - t0) / 1e9, gcMs - g0, ok)
+      // each catalog row is an INDEPENDENT query: once its result is
+      // written, the localCheckpoint blocks its plan pinned are dead, but
+      // nothing in the session releases them (the operator cannot — the
+      // caller's DataFrame was still live). ~150 rows of leaked blocks
+      // accumulate until a late data-sized row OOMs on the residue (the
+      // 100x probe: g1's END-OF-SESSION decile re-rep failed where its own
+      // fresh-state reps passed). Released OUTSIDE the timed window:
+      // cross-row warm state lives in /tmp parquet (signature stores,
+      // quantizers), never in block-store references — every memo cache in
+      // main source holds scalars only.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      dt
     }
 
     case class Res(name: String, runs: Vector[(Double, Long)], ok: Boolean) {
