@@ -19,7 +19,10 @@ object Bench {
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+      // safety net under the targeted post-row GC below: the cleaner's own
+      // periodic GC defaults to 30 min — longer than an entire 100x leg
+      .config("spark.cleaner.periodicGC.interval", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm shared codegen/IO paths once (parquet scan, window, hash agg) so
@@ -75,6 +78,16 @@ object Bench {
       // main source holds scalars only.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // Broadcast blocks (build-side hash relations, dim tables) are freed
+      // only when the ContextCleaner processes their weak references; under
+      // the sustained allocation pressure of a data-sized row the cleaner
+      // lags by whole rows. That residue — not checkpoint blocks — is what
+      // pushed g2_coshare over the 8 GB protocol heap in the combined 100x
+      // leg after two 90 s e3_lsh_ann reps (its isolated leg passed; the
+      // context died, instant-failing every later row). One explicit GC
+      // after an expensive rep lets the cleaner drain before the next row;
+      // cheap reps — the entire sf0.1 driver leg — never pay the ~0.1 s.
+      if (dt._1 > 5.0) System.gc()
       dt
     }
 

@@ -41,6 +41,21 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    evaluates the expression twice per row. Found live in this engine
   *    (the e4_fingerprint / MinHash-signing double-eval, §14.11): the fix
   *    is a cheap equivalent precondition before the projection.
+  *  - `repeated-derived-subtree`: the same canonicalized join / window /
+  *    aggregate / generate subtree present more than once in one plan.
+  *    Exchange-identical stages ARE deduplicated at runtime (ReuseExchange
+  *    / AQE stage reuse — duplicates under a repeated exchange are not
+  *    counted), but compute ABOVE an exchange is not: a plan that fans one
+  *    derived table into several consumers without materializing it
+  *    re-runs that compute per consumer. Found live in this engine
+  *    (e2_edit_blocked_audit fanned the un-checkpointed nearPairs plan
+  *    into four leaf references and re-ran the blocking join; the fix is
+  *    one output-sized localCheckpoint). Only the outermost duplicated
+  *    subtree is reported, once per distinct shape. A duplicate over
+  *    NOTHING but scans (a plain self-join) is the normal relational
+  *    shape and is not flagged — the rule requires derived compute
+  *    (join/window/agg/generate) inside the repeated subtree's own stage
+  *    region.
   */
 object PlanLint {
 
@@ -70,7 +85,7 @@ object PlanLint {
           Finding("filter-reevaluates-projection", oneLine(f), sizeOf(f))
       }
     }.flatten.distinct
-    reeval ++ plan.collect {
+    reeval ++ repeatedDerived(plan) ++ plan.collect {
       case c: CartesianProductExec =>
         Finding("cartesian-product", oneLine(c), sizeOf(c))
       // any BNLJ WITH a condition is the per-row-scan fallback — including
@@ -87,6 +102,55 @@ object PlanLint {
             !isGlobalPartialAgg(e.child) =>
         Finding("single-partition-exchange", oneLine(e), sizeOf(e.child))
     }
+  }
+
+  /** Derived-compute nodes for `repeated-derived-subtree`: re-executing one
+    * of these per consumer is real work (a repeated plain scan is not
+    * flagged — re-reading pruned columns is the normal self-join shape and
+    * usually beats materializing). Aggregates need no partial/final split
+    * here: a duplicated partial agg implies a duplicated parent exchange,
+    * which the exchange cut in [[repeatedDerived]] already de-counts. */
+  private def isDerivedCompute(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case _: WindowExec => true
+    case _: org.apache.spark.sql.execution.GenerateExec => true
+    case _ => false
+  }
+
+  /** Count and report canonicalized derived subtrees that execute more than
+    * once. Walks cut at reuse nodes and at repeated occurrences of an
+    * identical exchange (runtime computes those once — ReuseExchange /
+    * AQE stage reuse), so what remains duplicated is genuinely re-executed
+    * compute. Reports only the OUTERMOST duplicated node, once per shape. */
+  private def repeatedDerived(plan: SparkPlan): Seq[Finding] = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import scala.collection.mutable
+    val seenExch = mutable.Set.empty[SparkPlan]
+    val counts = mutable.Map.empty[SparkPlan, Int]
+    def count(n: SparkPlan): Unit = n match {
+      case _: ReusedExchangeExec => ()
+      case e @ (_: ShuffleExchangeExec | _: BroadcastExchangeExec) =>
+        if (seenExch.add(e.canonicalized)) e.children.foreach(count)
+      case d =>
+        if (isDerivedCompute(d))
+          counts.updateWith(d.canonicalized)(c => Some(c.getOrElse(0) + 1))
+        d.children.foreach(count)
+    }
+    count(plan)
+    val dup = counts.collect { case (k, c) if c >= 2 => k }.toSet
+    val emitted = mutable.Set.empty[SparkPlan]
+    val out = mutable.Buffer.empty[Finding]
+    def walk(n: SparkPlan): Unit = n match {
+      case _: ReusedExchangeExec => ()
+      case d if isDerivedCompute(d) && dup(d.canonicalized) =>
+        // nested duplicates are part of this shape; don't descend
+        if (emitted.add(d.canonicalized))
+          out += Finding("repeated-derived-subtree", oneLine(d), sizeOf(d))
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    out.toSeq
   }
 
   /** The one legitimate single-partition shuffle: the partial side of a

@@ -47,6 +47,31 @@ class PlanLintSpec extends SparkSpec {
     assert(sp.exists(_.rule == "single-partition-exchange"), sp.mkString("; "))
   }
 
+  test("detects a repeated derived subtree; checkpointed fan-out and plain " +
+      "self-joins stay clean") {
+    val df = (1 to 100).map(i => (i % 7, i)).toDF("k", "v")
+    // one aggregate fanned into two consumers without materialization: the
+    // agg subtree executes once per consumer (its exchange differs per
+    // consumer context only above the agg, so stage reuse cannot help)
+    val agg = df.groupBy("k").agg(sum("v").as("s"))
+    val fanned = agg.filter(col("s") > 10)
+      .unionAll(agg.filter(col("s") <= 10))
+    val f = PlanLint.audit(fanned)
+    assert(f.exists(_.rule == "repeated-derived-subtree"), f.mkString("; "))
+    // the fix the rule teaches: materialize once, fan out the checkpoint
+    val ck = agg.localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    val fixed = PlanLint.audit(
+      ck.filter(col("s") > 10).unionAll(ck.filter(col("s") <= 10)))
+    assert(!fixed.exists(_.rule == "repeated-derived-subtree"),
+      fixed.mkString("; "))
+    ck.unpersist()
+    // a plain self-join repeats only scans — the normal relational shape
+    val selfJoin = PlanLint.audit(
+      df.as("a").join(df.as("b"), col("a.k") === col("b.k")))
+    assert(!selfJoin.exists(_.rule == "repeated-derived-subtree"),
+      selfJoin.mkString("; "))
+  }
+
   test("flagship catalog plans audit clean") {
     val dir = "/root/testdata/sf0.001"
     // rows whose contract is "no scale anti-pattern anywhere": the flagship
