@@ -63,14 +63,18 @@ object Multimodal {
     (width, height, nFrames, feat)
   }
 
-  /** Batch decode + featurize: partition-preserving (no shuffle), processes
-    * rows in partition-sized batches — the shape a vectorized codec UDF
-    * needs. `featureDim` fixes the output embedding width. */
+  /** Batch decode + featurize: processes rows in partition-sized batches —
+    * the shape a vectorized codec UDF needs. `featureDim` fixes the output
+    * embedding width. The input is WIDENED when it arrives narrower than
+    * the session's cores (graft.operators.WidenScan): a codec is the most
+    * compute-heavy per-row work in the engine, exactly the consumer the
+    * widening repartition exists for — a single-file media drop must never
+    * decode on one core. */
   def decodeAndFeaturize(media: Dataset[MediaItem],
                          featureDim: Int = 16): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    graft.operators.WidenScan(media).mapPartitions { it =>
       it.map { m =>
         val (w, hgt, f, feat) = decodeStub(m.payload, featureDim)
         Decoded(m.media_id, m.media_type, w, hgt, f, feat)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
 
 /** Decouple COMPUTE parallelism from input file layout for per-row-expensive
   * operators (regex tokenization, shingling, hashing, binary decode).
@@ -26,10 +26,17 @@ import org.apache.spark.sql.DataFrame
   * Intended for SCAN-rooted inputs: `df.rdd.getNumPartitions` on a pure
   * file scan is driver-side planning only (no exchange exists, so AQE has
   * no stage to materialize early).
+  *
+  * GATE ON CONSUMER COMPUTE, NOT INPUT BYTES (round-10 watch item): the
+  * call site knows whether its per-row work is tokenizer/shingle/codec-
+  * grade (widen) or hash/byte-prefix-grade (don't — the repartition cost
+  * the scan-bound mm_* rows 2-3× at sf0.1 for parallelism they could not
+  * use). A bytes heuristic cannot make this call: the 10× fixture is
+  * 5.7 MB and its tokenizer rows still needed widening 4-6×.
   */
 object WidenScan {
-  def apply(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  def apply[T](ds: Dataset[T]): Dataset[T] = {
+    val cores = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < cores) ds.repartition(cores) else ds
   }
 }

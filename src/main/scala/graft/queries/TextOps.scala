@@ -19,11 +19,19 @@ import graft.operators.EditBlock
   */
 object TextOps {
 
-  // WidenScan: every consumer below is per-doc compute-heavy (tokenizer /
-  // shingles / hashing); a narrow scan would single-thread them all
-  // (operators/WidenScan.scala — the round-10 100× finding)
+  // WidenScan: every consumer of docs() is per-doc compute-heavy
+  // (tokenizer / shingles / regex — 10-100× the scan cost per byte); a
+  // narrow scan would single-thread them all (operators/WidenScan.scala —
+  // the round-10 100× finding). Consumers whose per-row work is
+  // hash/byte-prefix-grade take docsScan() instead: there the repartition
+  // buys nothing and cost the mm_* rows 2-3× at sf0.1 (round-10 watch
+  // item) — the call site knows which side it is on, a bytes heuristic
+  // does not (the 10× fixture is 5.7 MB and still needed widening for the
+  // tokenizer rows).
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.operators.WidenScan(Tables.documents(s, dir))
+  private def docsScan(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
 
   /** Scale-PROPORTIONAL store/batch split point for the incremental rows:
     * ids below `max(doc_id)·4/5` are the historical corpus, the top 20%
@@ -661,9 +669,19 @@ object TextOps {
     QueryDef("e4_tfidf_cosine",
       (s, dir) => {
         // weight/norm/dot definitions shared with e3_hybrid_rrf's sparse
-        // retriever through the single TfIdf contract object
+        // retriever through the single TfIdf contract object. w feeds the
+        // norm table AND both sides of the pair join: materialize it once
+        // (the e4_tfidf tf-checkpoint / e3_hybrid_rrf rationale) or the
+        // idf join + weight projection above the reused tf exchange
+        // replays per consumer (round-10 lint finding). Slice-bounded
+        // (doc_id < 150), so the pinned snapshot is tiny.
         val w = TfIdf.weights(docs(s, dir).filter(col("doc_id") < 150))
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+        // nrm joins back on BOTH pair sides — materialize its ≤150 rows
+        // too, or the final norm aggregate re-runs per consumer (fired
+        // only at the scale fixture, where the agg stops broadcasting)
         val nrm = TfIdf.norms(w)
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val dots = w.as("a")
           .join(w.as("b"),
             col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
@@ -1376,9 +1394,11 @@ object TextOps {
         GROUP BY cf.doc_id ORDER BY cf.doc_id""")),
 
     // E5-adjacent: opaque binary payload plumbing (multimodal column model):
-    // text → binary column, byte length + content digest
+    // text → binary column, byte length + content digest. docsScan, not
+    // docs: the mm_* rows are hash/byte-prefix-grade per row — the widening
+    // repartition cost them 2-3× at sf0.1 for parallelism they can't use
     QueryDef("mm_binary_meta",
-      (s, dir) => docs(s, dir)
+      (s, dir) => docsScan(s, dir)
         .withColumn("payload", col("text").cast("binary"))
         .select(col("doc_id"),
           length(col("payload")).cast("long").as("byte_len"),
@@ -1394,7 +1414,7 @@ object TextOps {
     // SLICING (substring over BinaryType) + hex rendering cross-engine;
     // purely map-side + a magic-sized agg.
     QueryDef("mm_magic_bytes",
-      (s, dir) => docs(s, dir)
+      (s, dir) => docsScan(s, dir)
         .withColumn("payload", col("text").cast("binary"))
         .groupBy(hex(substring(col("payload"), 1, 4)).as("magic_hex"))
         .agg(count(lit(1)).as("n"),
@@ -1416,7 +1436,7 @@ object TextOps {
     // PAYLOAD encoding, so the line breaks are stripped first (decoders
     // accept both framings, as the digest check proves).
     QueryDef("mm_base64_roundtrip",
-      (s, dir) => docs(s, dir)
+      (s, dir) => docsScan(s, dir)
         .withColumn("payload", col("text").cast("binary"))
         .withColumn("b64", base64(col("payload")))
         .select(col("doc_id"),

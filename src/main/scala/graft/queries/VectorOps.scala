@@ -215,10 +215,12 @@ object VectorOps {
             col("rank").cast("long").as("r"))
         // w feeds the norm table AND both sides of the pair join:
         // materialize it once (the e4_tfidf tf-checkpoint rationale) or
-        // the tokenize+explode+aggregate chain replays per consumer
-        // widen AFTER the filter so the shuffle moves only surviving rows
-        val w = TfIdf.weights(graft.operators.WidenScan(
-            Tables.documents(s, dir).filter(col("doc_id") < universe)))
+        // the tokenize+explode+aggregate chain replays per consumer.
+        // No WidenScan: the input is the BOUNDED 150-doc retrieval
+        // universe — tokenizing 150 docs is trivial at any corpus scale,
+        // and the repartition only added a stage (round-10 watch item)
+        val w = TfIdf.weights(
+            Tables.documents(s, dir).filter(col("doc_id") < universe))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val tn = TfIdf.norms(w)
         val sdots = w.as("a")

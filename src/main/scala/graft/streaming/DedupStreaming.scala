@@ -85,45 +85,86 @@ object DedupStreaming {
     new NearDedupState(sig, lab)
   }
 
-  /** Persist the state's three snapshots as parquet under `dir`
-    * (`signatures/`, `labeling/`, `pairs/`) — the durable artifact a
-    * restart reloads with [[loadState]]. Each snapshot lands in a `.tmp`
-    * sibling first and swaps in by rename, so persisting a state that was
-    * itself LOADED from `dir` (restart, nothing absorbed yet) cannot
-    * overwrite the files it is lazily reading from; a crash between the
-    * delete and the rename leaves the complete `.tmp` on disk for manual
-    * rescue — a transactional table commit replaces this swap at scale.
+  /** Persist the state's three snapshots as ONE group-atomic version under
+    * `dir`: everything lands in a fresh `v<N>/` staging directory
+    * (`signatures/`, `labeling/`, `pairs/`), then a `_COMMITTED` marker is
+    * created — file creation is the atomic commit point, so a restart
+    * ([[loadState]]) either sees the whole version or none of it. The
+    * previous per-snapshot rename protocol could tear BETWEEN snapshots: a
+    * crash after the signatures swap but before the labeling/pairs swaps
+    * left a state whose re-derived high-water mark claimed the batch was
+    * absorbed while its pairs and labeling were the OLD ones — the replay
+    * then classified as a redelivery and the batch's pairs were silently
+    * lost forever. With the version commit, a torn write is an uncommitted
+    * directory that loadState never reads, and the replay classifies as
+    * fresh against the last COMMITTED state.
+    *
+    * Older committed versions are deleted after the new commit. That is
+    * safe against the restart-read race (a state LOADED from `dir` lazily
+    * references the old version's files) because the caller only persists
+    * after a FRESH absorb — [[absorbBatch]] eagerly checkpoints every
+    * state frame before returning true, so by persist time no state frame
+    * reads the old files; a skipped (redelivered/empty) batch leaves state
+    * untouched and must NOT re-persist (see [[runNearDedupStream]]). A
+    * transactional table format replaces this protocol at 100 TB — the
+    * version directory + marker IS a poor man's manifest commit.
+    *
     * Cost is snapshot-sized (the frames are already eagerly checkpointed,
     * nothing recomputes); per-batch persistence via `runNearDedupStream`'s
     * `stateDir` therefore rewrites the store each batch — the parquet
     * stand-in for what a Delta/Iceberg MERGE does as an O(batch) commit. */
   def persistState(state: NearDedupState, dir: String): Unit = {
-    writeSnapshot(state.storeSig, s"$dir/signatures")
-    writeSnapshot(state.labeling, s"$dir/labeling")
-    writeSnapshot(state.pairsSeen, s"$dir/pairs")
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(
+      state.storeSig.sparkSession.sessionState.newHadoopConf())
+    val prev = committedVersions(fs, dirP)
+    val next = prev.lastOption.getOrElse(-1L) + 1
+    val vdir = new org.apache.hadoop.fs.Path(dirP, s"v$next")
+    state.storeSig.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "signatures").toString)
+    state.labeling.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "labeling").toString)
+    state.pairsSeen.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "pairs").toString)
+    // the commit point: marker creation is atomic (present or absent)
+    fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), true).close()
+    // retire superseded versions; a crash mid-cleanup is harmless (load
+    // picks the max committed version)
+    prev.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dirP, s"v$v"), true))
   }
 
-  private def writeSnapshot(df: DataFrame, dest: String): Unit = {
-    val destP = new org.apache.hadoop.fs.Path(dest)
-    val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
-    val fs = destP.getFileSystem(
-      df.sparkSession.sessionState.newHadoopConf())
-    df.write.mode("overwrite").parquet(tmpP.toString)
-    if (fs.exists(destP)) fs.delete(destP, true)
-    if (!fs.rename(tmpP, destP))
-      throw new IllegalStateException(
-        s"could not swap state snapshot into $dest (complete copy at $tmpP)")
-  }
+  /** Version numbers under `dir` carrying a `_COMMITTED` marker, ascending. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dirP: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dirP)) Seq.empty
+    else fs.listStatus(dirP).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
+      .map(_.getName.drop(1).toLong).sorted
 
-  /** Rebuild a [[NearDedupState]] from a [[persistState]] artifact. The
-    * high-water mark is NOT stored separately — it is re-derived as the
-    * store's max doc_id, so the guard can never disagree with the store it
-    * protects. The frames read straight from parquet (durable already;
-    * the first absorbed batch checkpoints the first merged snapshot). */
+  /** Rebuild a [[NearDedupState]] from the latest COMMITTED
+    * [[persistState]] version. The high-water mark is NOT stored
+    * separately — it is re-derived as the store's max doc_id, so the guard
+    * can never disagree with the store it protects, and because the three
+    * snapshots commit as one version it can never claim a batch whose
+    * pairs/labeling are missing. The frames read straight from parquet
+    * (durable already; the first absorbed batch checkpoints the first
+    * merged snapshot, after which the loaded version's files are no longer
+    * referenced and may be retired by the next persist). */
   def loadState(spark: SparkSession, dir: String): NearDedupState = {
-    val sig = spark.read.parquet(s"$dir/signatures")
-    val state = new NearDedupState(sig, spark.read.parquet(s"$dir/labeling"))
-    state.pairsSeen = spark.read.parquet(s"$dir/pairs")
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = committedVersions(fs, dirP).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed state version under $dir — nothing was ever " +
+          "persisted, or every persist crashed before its commit marker"))
+    val base = s"$dir/v$v"
+    val sig = spark.read.parquet(s"$base/signatures")
+    val state = new NearDedupState(sig, spark.read.parquet(s"$base/labeling"))
+    state.pairsSeen = spark.read.parquet(s"$base/pairs")
     val mx = sig.agg(max(col("doc_id"))).head()
     state.maxSeenId = if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0)
     state
@@ -133,10 +174,18 @@ object DedupStreaming {
     * delivery contract, band-join the store, merge roots, append the
     * store — the entire foreachBatch body, exposed so recovery specs (and
     * an operational replayer) can drive exact batch sequences, including
-    * redeliveries, without a streaming harness. */
+    * redeliveries, without a streaming harness.
+    *
+    * @return true iff the batch was FRESH and the state mutated — the
+    *         caller's signal to persist. A skipped (redelivered/empty)
+    *         batch returns false and must not trigger a persist: the state
+    *         is unchanged, and after a restart the loaded frames still
+    *         lazily reference the persisted version's files — a gratuitous
+    *         re-persist would retire exactly the files the state is
+    *         reading (the FileNotFoundException-on-next-absorb race). */
   def absorbBatch(state: NearDedupState, batch: DataFrame,
       numHashes: Int = 64, bands: Int = 8, shingleLen: Int = 5,
-      threshold: Double = 0.8): Unit = {
+      threshold: Double = 0.8): Boolean = {
     // ONE signing pass per micro-batch; the table then serves the delivery
     // classification, the pair finding, and the store append. Its unpersist
     // rides a finally so a guard throw cannot leak the checkpointed blocks.
@@ -178,10 +227,10 @@ object DedupStreaming {
           prevSig.unpersist()
           prevPairs.unpersist()
           newPairs.unpersist()
-        case RedeliveredBatch | EmptyBatch => () // idempotent skip
+          true
+        case RedeliveredBatch | EmptyBatch => false // idempotent skip
       }
     } finally batchSig.unpersist()
-    ()
   }
 
   /** Start the stream: parquet file source over `inputDir` (one or more
@@ -208,8 +257,12 @@ object DedupStreaming {
       .writeStream
     checkpointDir.foreach(w.option("checkpointLocation", _))
     w.foreachBatch { (batch: DataFrame, _: Long) =>
-        absorbBatch(state, batch, numHashes, bands, shingleLen, threshold)
-        stateDir.foreach(persistState(state, _))
+        // persist ONLY after a fresh absorb: a skipped batch leaves state
+        // unchanged, and re-persisting would retire the very version a
+        // just-restarted state still lazily reads (see absorbBatch)
+        if (absorbBatch(state, batch, numHashes, bands, shingleLen,
+            threshold))
+          stateDir.foreach(persistState(state, _))
       }
       .start()
   }

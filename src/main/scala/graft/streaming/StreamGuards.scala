@@ -49,6 +49,28 @@ private[streaming] object StreamGuards {
     * long-id frames (any column name); `absorbedIds` is by-name lazy and
     * only evaluated when the batch overlaps the high-water mark. `idName` /
     * `what` label the error messages ("doc_id" / "near-dedup"). */
+  /** The within-batch exactly-once check ALONE — for paths that already
+    * know how to place the batch (e.g. a batchId-keyed crash replay, which
+    * bypasses the high-water classification) but must still reject a
+    * duplicated id inside the batch. Returns the batch's max id, or None
+    * for an empty batch. */
+  def requireUniqueIds(batchIds: DataFrame, idName: String,
+      what: String): Option[Long] = {
+    val idc = col(batchIds.columns.head)
+    val bounds = batchIds.agg(max(idc), count(idc), countDistinct(idc)).head()
+    if (bounds.isNullAt(0)) None
+    else {
+      val (mx, n, nd) =
+        (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+      if (n != nd)
+        throw new IllegalStateException(
+          s"duplicated $idName within a micro-batch ($n rows, $nd distinct " +
+            s"ids); the $what stream requires exactly-once rows within a " +
+            "batch (dedupe the landing feed)")
+      Some(mx)
+    }
+  }
+
   def classify(batchIds: DataFrame, maxSeenId: Long,
       absorbedIds: => DataFrame, idName: String,
       what: String): BatchVerdict = {

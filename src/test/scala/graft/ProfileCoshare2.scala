@@ -39,7 +39,9 @@ object ProfileCoshare2 {
     timed("capped posting list")(noop(capped))
 
     timed("full shipped row")(
-      noop(AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap, 1000L)))
+      noop(AnalyticsOps.coshareTop(
+        AnalyticsOps.cappedPostingArtifact(spark, dir,
+          AnalyticsOps.CoshareCap), 1000L)))
 
     // same but cap window removed (join directly on cs)
     val noCap = cs.as("a").join(cs.as("b"),

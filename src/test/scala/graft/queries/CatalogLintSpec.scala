@@ -76,12 +76,52 @@ object CatalogLintSpec {
     "e8_mix_rebalance" -> Set("theta-bnlj"),
     "j13_dormant_customers" -> Set("theta-bnlj"),
     "e2_edit_blocked" -> Set("theta-bnlj"),
-    // the audit row contains the full e2_edit_blocked plan (it audits that
-    // row's output), so it inherits the same justified finding
-    "e2_edit_blocked_audit" -> Set("theta-bnlj"),
+    // (e2_edit_blocked_audit's inherited theta-bnlj entry was removed in
+    // round 11: the audit now checkpoints the pair set, so the blocking
+    // join sits behind a checkpoint leaf and the finding no longer fires)
     "e2_edit_distance" -> Set("theta-bnlj"),
     "e3_cosine_pairs" -> Set("theta-bnlj"),
     "e3_cosine_topk" -> Set("theta-bnlj"),
     "e3_embed_neardup" -> Set("theta-bnlj"),
-    "e3_hybrid_rrf" -> Set("theta-bnlj"))
+    "e3_hybrid_rrf" -> Set("theta-bnlj"),
+
+    // ---- repeated-derived-subtree adjudications (round 11) ----
+    // The rule flags compute that executes once per consumer because it
+    // sits ABOVE a (reused) exchange. Each entry below is a case where
+    // re-executing that compute is CHEAPER or safer than materializing:
+    //
+    // a16: the dev table (fact ⋈ broadcast median) feeds the MAD aggregate
+    // and the final gate — re-executing it is a map-side broadcast-join
+    // rescan of a 2-column columnar projection, embarrassingly parallel at
+    // any scale; materializing would write a fact-sized intermediate. The
+    // query doc declares the three-scan shape as the honest cost of exact
+    // MAD.
+    "a16_mad_outliers" -> Set("repeated-derived-subtree"),
+    // a21: the full-outer merge of the two bucket-rate tables feeds the
+    // totals and the PSI terms. Both inputs are aggregated to ≤4 rows per
+    // event_type (structurally bounded, the same bound the global-window
+    // allowlist entries rest on); the re-executed merge join is over
+    // bucket-level rows only — the fact-sized aggregations beneath are
+    // deduplicated by exchange reuse.
+    "a21_psi_drift" -> Set("repeated-derived-subtree"),
+    // e2 bounded-verifier self-joins: the shingle/band Generate runs once
+    // per join side. The exploded table is ~shingle-count× its input —
+    // materializing it costs far more I/O than re-running a codegen'd
+    // explode over the bounded slice (e2_containment/e2_ngram_jaccard:
+    // doc_id < 300/500 verifier slices; e2_simhash*: 4 band rows per
+    // signature; e2_neardup_incremental: the explode re-runs over the
+    // O(batch) arriving side only — the store side reads its parquet
+    // artifact).
+    "e2_containment" -> Set("repeated-derived-subtree"),
+    "e2_ngram_jaccard" -> Set("repeated-derived-subtree"),
+    "e2_simhash" -> Set("repeated-derived-subtree"),
+    "e2_simhash_md5" -> Set("repeated-derived-subtree"),
+    "e2_neardup_incremental" -> Set("repeated-derived-subtree"),
+    // e4 vocabulary totals consumed twice: the re-executed aggregate is
+    // the final (above-exchange) step over vocab/alphabet-bounded groups —
+    // corpus-level tiny tables where a checkpoint would cost more than the
+    // recompute (e4_jsd: one term-table agg; e4_char_entropy: the per-doc
+    // char-count table, ≤ alphabet-size rows per doc).
+    "e4_char_entropy" -> Set("repeated-derived-subtree"),
+    "e4_jsd" -> Set("repeated-derived-subtree"))
 }

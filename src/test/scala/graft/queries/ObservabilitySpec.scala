@@ -46,18 +46,23 @@ class ObservabilitySpec extends SparkSpec {
     assert(audit.getAs[Long]("cap") == cap.toLong)
     // and the projection under the cap keeps only pairs of the first 4
     // suppliers per customer: C(4,2)=6 pairs, vs C(10,2)=45 uncapped
-    val capped = AnalyticsOps.coshareTop(cs, cap, nSupp = 10L).collect()
+    val capped = AnalyticsOps
+      .coshareTop(AnalyticsOps.cappedPosting(cs, cap), nSupp = 10L).collect()
     assert(capped.length == 6)
     assert(capped.forall(r => r.getAs[Long]("supp_b") <= 4L))
-    assert(AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap, nSupp = 10L)
+    assert(AnalyticsOps
+      .coshareTop(AnalyticsOps.cappedPosting(cs, AnalyticsOps.CoshareCap),
+        nSupp = 10L)
       .count() == 20) // top-20 of the 45 uncapped pairs
     // the supplier-cardinality routing is a pure physical choice: the
     // partial-agg shape (small key space) and the repartition shape (forced
     // via a key space above CosharePairKeySpaceMax) return identical rows
     val viaPartial = AnalyticsOps
-      .coshareTop(cs, cap, nSupp = 10L).collect().toSeq
+      .coshareTop(AnalyticsOps.cappedPosting(cs, cap), nSupp = 10L)
+      .collect().toSeq
     val viaRepart = AnalyticsOps
-      .coshareTop(cs, cap, nSupp = 10_000_000L).collect().toSeq
+      .coshareTop(AnalyticsOps.cappedPosting(cs, cap), nSupp = 10_000_000L)
+      .collect().toSeq
     assert(viaPartial == viaRepart)
     // the shipping fixture is far below the cap — the catalog row's audit
     // companion proves (not assumes) zero truncation today

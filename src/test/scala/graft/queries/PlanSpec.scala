@@ -494,20 +494,25 @@ class PlanSpec extends SparkSpec {
       s"codebook (128 rows) and ADC table (queries×16×8) must broadcast:\n$p")
   }
 
-  test("g2 coshare caps degree before the self-join and aggregates on the packed key") {
+  test("g2 coshare serves the capped posting artifact and aggregates on the packed key") {
     val p = plan("g2_coshare")
-    assert(p.contains("row_number()"),
-      s"the 1024 degree cap must bound per-customer lists BEFORE the join:\n$p")
+    // the degree-cap Window runs ONCE per fixture, at artifact build time
+    // (cappedPostingArtifact — the round-10 lint finding was the Window
+    // executing once per self-join side); the serving plan must READ the
+    // artifact and carry no Window at all
+    assert(p.contains("graft_coshare_capped"),
+      s"both join sides must scan the capped posting artifact:\n$p")
+    assert(!p.contains("row_number()") && !p.contains("Window"),
+      s"the capping Window must not re-execute in the serving plan:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"global top-20 must not plan a full sort:\n$p")
-    // two wide shuffles at runtime: the explicit c repartition (the
-    // self-join prints the identical subtree on both sides — same
-    // canonical stage, AQE's stage cache materializes it once) and the
-    // packed-pair-key repartition that replaces the doomed
+    // wide shuffles at runtime: the self-join's key exchange (identical on
+    // both printed sides — same canonical stage, materialized once) plus
+    // the packed-pair-key exchange that replaces the doomed
     // near-input-cardinality partial agg (ProfileCoshare: 25.6 s → 8.4 s
-    // at 10×)
+    // at 10×); at sf0.001 the tiny artifact broadcasts instead
     val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(ex <= 3, s"expected c (×2 printed) + pk exchanges only, saw $ex:\n$p")
+    assert(ex <= 3, s"expected join-key (×2 printed) + pk exchanges only, saw $ex:\n$p")
     assert(p.contains("shiftleft"),
       s"pair aggregation must ride the packed single-long key:\n$p")
   }
@@ -678,8 +683,9 @@ class PlanSpec extends SparkSpec {
     // twice by the self-join) — only the packed-pair-key exchange is the
     // routing signal. The big route is REPARTITION_BY_NUM since round 10:
     // the exchange is SIZED from the pair cardinality, not just keyed.
+    val capped = AnalyticsOps.cappedPosting(cs, AnalyticsOps.CoshareCap)
     def pkRepartitions(nSupp: Long) =
-      AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap, nSupp)
+      AnalyticsOps.coshareTop(capped, nSupp)
         .queryExecution.executedPlan.toString
         .linesIterator.count(l =>
           l.contains("REPARTITION_BY_") && l.contains("pk#"))
@@ -687,9 +693,9 @@ class PlanSpec extends SparkSpec {
       "small key space must plan the partial-agg shape (no explicit pk repartition)")
     assert(pkRepartitions(above) == 1,
       "large key space must plan the explicit repartition-on-pk shape")
-    val rBelow = AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap, below)
+    val rBelow = AnalyticsOps.coshareTop(capped, below)
       .collect().map(_.toSeq).toSeq
-    val rAbove = AnalyticsOps.coshareTop(cs, AnalyticsOps.CoshareCap, above)
+    val rAbove = AnalyticsOps.coshareTop(capped, above)
       .collect().map(_.toSeq).toSeq
     assert(rBelow.nonEmpty && rBelow == rAbove,
       "the two aggregation shapes must produce identical results")

@@ -212,4 +212,174 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(storeRows(healStore) == once,
       "a replayed batch must heal the partial landing it replaces")
   }
+
+  test("near-dedup: a persist that crashes before its commit marker is invisible, and the batch replays as fresh") {
+    // the round-11 advisory window: the old per-snapshot rename protocol
+    // could tear BETWEEN the signatures swap and the labeling/pairs swaps —
+    // the re-derived high-water mark then claimed the batch while its
+    // pairs/labeling were lost. The versioned commit closes it: a torn
+    // persist is an uncommitted directory loadState never reads.
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .orderBy("doc_id").localCheckpoint()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    val stateDir = tmp("dedup_torn") + "/state"
+
+    val s1 = DedupStreaming.emptyState(spark, docs, numHashes, shingleLen)
+    DedupStreaming.absorbBatch(s1, slice(-1, maxId / 2))
+    DedupStreaming.persistState(s1, stateDir) // committed: v0
+
+    // batch 2 absorbs, then its persist crashes AFTER writing the (new)
+    // signatures but BEFORE the commit marker — exactly the torn window
+    DedupStreaming.absorbBatch(s1, slice(maxId / 2, maxId))
+    s1.storeSig.write.mode("overwrite").parquet(s"$stateDir/v1/signatures")
+    // no labeling/, no pairs/, no _COMMITTED: the crash point
+
+    // a restarted process must load v0 — NOT the torn v1 — so batch 2
+    // classifies as FRESH and re-absorbs; nothing is lost
+    val s2 = DedupStreaming.loadState(spark, stateDir)
+    assert(s2.maxSeenId == maxId / 2,
+      "loadState read a torn (uncommitted) version")
+    assert(DedupStreaming.absorbBatch(s2, slice(maxId / 2, maxId)),
+      "the batch lost to the torn persist must replay as fresh")
+
+    // full parity with the uninterrupted run, pairs included — the exact
+    // artifact the torn window used to lose
+    def dump(s: DedupStreaming.NearDedupState) = (
+      s.storeSig.select("doc_id").collect().map(_.getLong(0)).toSet,
+      s.pairsSeen.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      s.labeling.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(dump(s2) == dump(s1),
+      "recovery from the torn persist diverged from the uninterrupted run")
+  }
+
+  test("near-dedup: a redelivered first batch after restart must not re-persist (and the next fresh batch still absorbs)") {
+    // the round-11 advisory race: loadState's frames lazily read the
+    // persisted files; a gratuitous persist on the skip path would retire
+    // exactly those files and the next fresh absorb would die on
+    // FileNotFoundException. The contract is absorbBatch == false → no
+    // persist; this drives the full sequence through the loaded state.
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .orderBy("doc_id").localCheckpoint()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    val stateDir = tmp("dedup_redeliver") + "/state"
+
+    val s1 = DedupStreaming.emptyState(spark, docs, numHashes, shingleLen)
+    assert(DedupStreaming.absorbBatch(s1, slice(-1, maxId / 2)))
+    DedupStreaming.persistState(s1, stateDir)
+
+    val s2 = DedupStreaming.loadState(spark, stateDir)
+    // crash-window redelivery of the persisted batch: skip, signal no-persist
+    assert(!DedupStreaming.absorbBatch(s2, slice(-1, maxId / 2)),
+      "a fully-absorbed batch must classify as a redelivery")
+    // the skip left the lazily-loaded frames intact; the fresh batch
+    // absorbs and the post-absorb persist retires the old version safely
+    assert(DedupStreaming.absorbBatch(s2, slice(maxId / 2, maxId)))
+    DedupStreaming.persistState(s2, stateDir)
+    val s3 = DedupStreaming.loadState(spark, stateDir)
+    assert(s3.maxSeenId == maxId && s3.storeSig.count() == docs.count(),
+      "state after skip→absorb→persist→reload diverged")
+  }
+
+  test("IVF store: a batch-built (top-level cluster=) store is refused, and migration makes it appendable") {
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val b1 = embRaw.filter(col("vec_id") < 100)
+    val b2 = embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val storePath = tmp("ivf_legacy") + "/store"
+
+    // seed a batch-built store: the postingStorePath layout (cluster= at
+    // the top level)
+    VectorOps.assignWithVectors(VectorOps.prepEmb(b1), cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(storePath)
+
+    // the append stream must refuse the mixed-depth trap up front
+    val ex = intercept[IllegalStateException] {
+      AnnStreaming.runIvfStoreAppendStream(spark, s"$storePath/__no_in",
+        embRaw.schema, storePath, new AnnStreaming.StoreAppendState, cents)
+    }
+    assert(ex.getMessage.contains("batch-built"))
+
+    // migration is pure renames; afterwards the high-water mark reflects
+    // the seeded ids (no double-append window) and appends compose
+    AnnStreaming.migrateBatchBuiltStore(spark, storePath)
+    val st = AnnStreaming.stateFromStore(spark, storePath)
+    assert(st.lastBatchId == -1L && st.maxSeenId == 99L,
+      "migrated store must report its seeded ids as absorbed")
+    AnnStreaming.absorbStoreBatch(st, b2, 0L, storePath, cents)
+    val stored = spark.read.parquet(storePath)
+      .select(col("vec_id"), col("cluster").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchAssign = VectorOps
+      .nearestCentroid(VectorOps.prepEmb(
+        embRaw.filter(col("vec_id") < 200)), cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == batchAssign,
+      "append onto the migrated store diverged from the batch assignment")
+    // and a redelivery of the seeded corpus under a new batchId skips
+    val before = stored.size
+    AnnStreaming.absorbStoreBatch(st, b1, 1L, storePath, cents)
+    assert(spark.read.parquet(storePath).count() == before,
+      "a redelivery of the migrated seed corpus must skip, not double-append")
+  }
+
+  test("IVF store: a crashed mid-landing write is invisible to readers and swept at restart") {
+    // round-10 stretch item: landings commit by rename, so a reader
+    // concurrent with a mid-landing crash never sees a partial batch —
+    // the crashed attempt exists only as a dot-prefixed staging dir that
+    // partition discovery cannot list
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val b1 = embRaw.filter(col("vec_id") < 100)
+    val b2 = embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val base = tmp("ivf_atomic")
+    val storePath = s"$base/store"
+    val st = new AnnStreaming.StoreAppendState
+    AnnStreaming.absorbStoreBatch(st, b1, 0L, storePath, cents)
+
+    // the crash point: batch 1's rows fully written to staging, rename
+    // never happened
+    val staged = s"$storePath/.staging_ingest_batch=1"
+    VectorOps.assignWithVectors(VectorOps.prepEmb(b2), cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(staged)
+
+    // a reader sees exactly the committed store — none of batch 1
+    assert(spark.read.parquet(storePath).count() == 100,
+      "staged (uncommitted) rows leaked into a whole-store read")
+    val st2 = AnnStreaming.stateFromStore(spark, storePath)
+    assert(st2.lastBatchId == 0L && st2.maxSeenId == 99L,
+      "state rebuild saw the uncommitted landing")
+
+    // the stream entry point sweeps the garbage before starting
+    val inputDir = s"$base/in"
+    new java.io.File(inputDir).mkdirs()
+    val q = AnnStreaming.runIvfStoreAppendStream(spark, inputDir,
+      embRaw.schema, storePath, st2, cents)
+    try q.processAllAvailable() finally q.stop()
+    assert(!new java.io.File(staged).exists(),
+      "stale staging directory survived the restart sweep")
+  }
+
+  test("IVF store: a dup-id batch is rejected on the crash-replay path too") {
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val b1 = embRaw.filter(col("vec_id") < 50)
+    val storePath = tmp("ivf_dup") + "/store"
+    val st = new AnnStreaming.StoreAppendState
+    AnnStreaming.absorbStoreBatch(st, b1, 0L, storePath, cents)
+    // replay of batchId 0 arrives CORRUPTED with a duplicated id — the
+    // replay branch must reject it like every other path does
+    intercept[IllegalStateException] {
+      AnnStreaming.absorbStoreBatch(st,
+        b1.unionByName(b1.filter(col("vec_id") === 0)), 0L, storePath, cents)
+    }
+  }
 }
