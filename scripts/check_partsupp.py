@@ -39,11 +39,14 @@ ORACLE = {
           FROM offers) t
         WHERE cost_micros = mn
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""",
-    # TPC-H Q20 full form (fixture-adapted): NATION_3 suppliers holding
-    # excess stock of %bolt% parts vs half their 1995 shipped quantity
+    # TPC-H Q20 full form (fixture-adapted): NATION_19 suppliers holding
+    # excess stock of %a% parts vs half their 1995 shipped quantity.
+    # Non-default params (DumpPartsupp carries the same ones): the scale
+    # fixture's partsupp ps_suppkey stream is 10x wider than the supplier
+    # dim, so the spec defaults select an empty — vacuous — excess set.
     "ps2_excess_stock_full": """
         WITH interesting AS (SELECT p_partkey FROM part
-            WHERE p_name LIKE '%bolt%'),
+            WHERE p_name LIKE '%a%'),
           shipped AS (SELECT l_partkey, l_suppkey,
               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
                 AS qty_units
@@ -56,7 +59,7 @@ ORACLE = {
             JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
             WHERE CAST(ps_availqty AS BIGINT) * 2 > qty_units)
         SELECT s_suppkey, s_name FROM supplier
-        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_19'
         WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
         ORDER BY s_name""",
 }

@@ -23,7 +23,13 @@ object DumpPartsupp {
     spark.sparkContext.setLogLevel("WARN")
     PartsuppOps.q2MinCostSupplier(spark, dir)
       .write.mode("overwrite").parquet(s"$out/ps1_min_cost_full")
-    PartsuppOps.q20ExcessStock(spark, dir)
+    // non-default params: the scale fixture's partsupp draws ps_suppkey
+    // from a 10× wider stream than the supplier dim, so the spec defaults
+    // (%bolt%, NATION_3) select an EMPTY excess set — a vacuous check.
+    // (%a%, NATION_19) drives every operator in the decorrelated shape
+    // with surviving rows; check_partsupp.py carries the same params.
+    PartsuppOps.q20ExcessStock(spark, dir,
+        nation = "NATION_19", nameLike = "%a%")
       .write.mode("overwrite").parquet(s"$out/ps2_excess_stock_full")
     println(s"[dump-partsupp] wrote $out from $dir")
     spark.stop()
