@@ -21,18 +21,27 @@ import org.apache.spark.sql.functions._
   *   probe side: each string emits, for every length m within ±t that
   *               actually occurs in the data (broadcast length dictionary —
   *               no fabricating windows for lengths nobody has), the
-  *               substrings lying in the ±t position window of each segment
-  *               of a length-m partner, keyed the same way;
+  *               substrings lying in the MULTI-MATCH-AWARE position window
+  *               of each segment of a length-m partner (the paper's §4.2
+  *               selection — Σ window widths ~t²/2+t+1, vs (t+1)(2t+1) for
+  *               the naive ±t), keyed the same way;
   *   join on the key → candidate superset → exact `levenshtein` re-rank.
   *
   * NEVER all-pairs: the only shuffles are the (len, seg_idx, seg_str) key
   * join and the candidate dedup, and candidates shrink with segment
-  * selectivity. Probe fanout is bounded: ≤ |lengths within ±t| × (t+1)
-  * segments × (2t+1) window positions per row, all arithmetic on scan
+  * selectivity. Probe fanout is bounded: ≤ |lengths within ±t| × ~(t²/2+t+1)
+  * (segment, window-position) combinations per row, all arithmetic on scan
   * columns (no data-sized state). Measured on the driver corpus (30-char
   * prefixes, pathological 31-word vocabulary): t=8 → 41% of all-pairs
-  * survive as candidates, t=4 → 8%; on a natural corpus segments are
-  * near-unique and candidates are near-linear in matches.
+  * survive as candidates, t=4 → 8% under the ±t windows; the multi-match
+  * windows cut the measured cost a further ~1.5-1.6× (10×: 7.1 → 4.6 s
+  * isolated min-of-3; 100×: 708 → ~440 s — see REGRESS_r11.json; the
+  * window ratio is 13/45 but hot blocks concentrate in the wide middle
+  * segments, so the realized cut is smaller); on a natural corpus
+  * segments are near-unique and candidates are near-linear in matches.
+  * The residual 100× cost is candidate-bound and intrinsic to EXACT
+  * pairing on a corpus whose background distance sits just above t —
+  * [[candidateStat]] prices it linearly before the join runs.
   *
   * Short strings (len ≤ t) don't have t+1 nonempty segments, so the
   * pigeonhole guarantee fails for SHORT×SHORT pairs only (a long partner can
@@ -70,9 +79,41 @@ object EditBlock {
   def nearPairs(df: DataFrame, idCol: String, strCol: String,
                 t: Int): DataFrame = {
     require(t >= 1, "threshold must be >= 1")
+    val (long, short, idx, probe) = segTables(df, idCol, strCol, t)
+
+    val blocked = probe.join(idx, Seq("m", "si", "seg"))
+      .filter(col("id_a") =!= col("id_b"))
+
+    // short×short fallback: the pigeonhole needs > t nonempty segments
+    val shortPairs = short.select(col("id").as("id_a"), col("s").as("s_a"),
+        col("n").as("n_a"))
+      .join(short.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("n").as("n_b")),
+        col("id_a") =!= col("id_b") && abs(col("n_a") - col("n_b")) <= t)
+
+    // verify via the banded early-exit kernel: exact distance for the ≤ t
+    // pairs the query emits, O(t·len) with early termination on the ~all
+    // rejected rows — full-matrix `levenshtein` here was ~70 s of the 76 s
+    // query on the low-entropy 10× corpus (204M joined rows → 582 pairs)
+    blocked.select("id_a", "s_a", "id_b", "s_b")
+      .union(shortPairs.select("id_a", "s_a", "id_b", "s_b"))
+      .withColumn("dist", graft.expressions.LevWithin(col("s_a"), col("s_b"), t))
+      .filter(col("dist") >= 0)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("dist").cast("long").as("dist"))
+      .distinct()
+  }
+
+  /** The shared (index, probe) segment tables of [[nearPairs]] and
+    * [[candidateStat]] — ONE definition so the statistic counts exactly the
+    * join the operator will run (EditBlockSpec pins that identity). */
+  private[operators] def segTables(df: DataFrame, idCol: String,
+      strCol: String,
+      t: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val k = t + 1
     // rebalance BEFORE the fan-out: candidate generation multiplies each row
-    // ~(t+1)(2t+1)× and the verify join runs in the same stage, so the
+    // ~t²/2× and the verify join runs in the same stage, so the
     // stage's parallelism is pinned to the SCAN's split count — a one-file
     // local corpus (or one hot split) would run the whole verify on one
     // core. The partition count is EXPLICIT because the input is small in
@@ -97,15 +138,33 @@ object EditBlock {
           segLen(col("m"), col("si"), k)).as("seg"))
       .filter(length(col("seg")) > 0)
 
-    // probe side: substrings in the ±t window of each segment of a length-m
-    // partner, for the partner lengths that exist (broadcast dictionary)
+    // probe side: substrings in the MULTI-MATCH-AWARE window of each segment
+    // of a length-m partner, for the partner lengths that exist (broadcast
+    // dictionary). The window is PassJoin's multi-match-aware substring
+    // selection (Li/Deng/Feng VLDB 2011 §4.2), not the naive ±t: with
+    // Δ = n − m, segment si (0-based) only needs start shifts
+    //   d ∈ [max(−si, Δ − (t − si)), min(si, Δ + (t − si))]
+    // — at most si edits can precede the FIRST untouched segment (each of
+    // the si earlier segments is touched), and at most t − si can follow
+    // the LAST one; the paper's completeness lemma composes the two into
+    // one lossless window per segment. Σ window widths is ~t²/2 + t + 1
+    // instead of (t+1)(2t+1): at t=4 that is 13 probe positions per
+    // partner length instead of 45 — a 3.5× cut in probe fan-out
+    // (realized candidate cut ~1.5×, because hot blocks concentrate in
+    // the wide middle segments). The 100× sweep measured the ±t spelling
+    // at 708 s on scale_sf10 (~91× its 10× cost: hot 6-char blocks on
+    // the 31-word vocabulary); the exactness gate is EditBlockSpec's
+    // all-pairs identity plus the driver oracle.
     val lens = long.select(col("n").as("m")).distinct()
     val probe = s.join(broadcast(lens), abs(col("n") - col("m")) <= t)
       .select(col("id").as("id_a"), col("s").as("s_a"), col("n"), col("m"), si)
       .withColumn("st", segStart(col("m"), col("si"), k))
       .withColumn("ln", segLen(col("m"), col("si"), k))
-      .withColumn("lo", greatest(lit(1), col("st") - t))
-      .withColumn("hi", least(col("n") - col("ln") + 1, col("st") + t))
+      .withColumn("dlt", (col("n") - col("m")).cast("int"))
+      .withColumn("lo", greatest(lit(1),
+        col("st") + greatest(-col("si"), col("dlt") - (lit(t) - col("si")))))
+      .withColumn("hi", least(col("n") - col("ln") + 1,
+        col("st") + least(col("si"), col("dlt") + (lit(t) - col("si")))))
       // guard BEFORE explode: sequence(lo, hi) with lo > hi would generate a
       // descending range, not an empty one
       .filter(col("ln") > 0 && col("lo") <= col("hi"))
@@ -114,28 +173,45 @@ object EditBlock {
       .select(col("id_a"), col("s_a"), col("m"), col("si"),
         col("s_a").substr(col("p"), col("ln")).as("seg"))
 
-    val blocked = probe.join(idx, Seq("m", "si", "seg"))
-      .filter(col("id_a") =!= col("id_b"))
+    (long, short, idx, probe)
+  }
 
-    // short×short fallback: the pigeonhole needs > t nonempty segments
-    val shortPairs = short.select(col("id").as("id_a"), col("s").as("s_a"),
-        col("n").as("n_a"))
-      .join(short.select(col("id").as("id_b"), col("s").as("s_b"),
-        col("n").as("n_b")),
-        col("id_a") =!= col("id_b") && abs(col("n_a") - col("n_b")) <= t)
-
-    // verify via the banded early-exit kernel: exact distance for the ≤ t
-    // pairs the query emits, O(t·len) with early termination on the ~all
-    // rejected rows — full-matrix `levenshtein` here was ~70 s of the 76 s
-    // query on the low-entropy 10× corpus (204M joined rows → 582 pairs)
-    blocked.select("id_a", "s_a", "id_b", "s_b")
-      .union(shortPairs.select("id_a", "s_a", "id_b", "s_b"))
-      .withColumn("dist", graft.expressions.LevWithin(col("s_a"), col("s_b"), t))
-      .filter(col("dist") >= 0)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("dist").cast("long").as("dist"))
-      .distinct()
+  /** Candidate-cardinality statistic of the blocking join — Σ over
+    * (m, si, seg) blocks of probe_rows × index_rows, i.e. EXACTLY the
+    * joined-row count [[nearPairs]]'s verify stage will enumerate
+    * (including the id_a = id_b self-matches the operator then filters) —
+    * for the LINEAR cost of the two segment scans plus one block-keyed
+    * aggregate, never the join itself. The g2 `cosharePairCount` posture
+    * applied to the edit family: exact edit-distance pairing is
+    * candidate-QUADRATIC on a low-entropy corpus (the 100× sweep measured
+    * the full corpus run at ~7-12 min because ~6G candidates survive
+    * blocking on the 31-word driver vocabulary), and the only honest
+    * defense is to SEE that number before paying it. A deployment gates
+    * the exact run on `candidates` (e.g. per-core budget) and routes to a
+    * tighter t, [[nearPairsCapped]], or a sampled audit when the corpus is
+    * adversarial; `hottest_block` separates "dense everywhere" from "one
+    * boilerplate key".
+    *
+    * One row: `(n_long, n_short, probe_rows, index_rows, blocks,
+    * candidates, hottest_block)`. */
+  def candidateStat(df: DataFrame, idCol: String, strCol: String,
+      t: Int): DataFrame = {
+    require(t >= 1, "threshold must be >= 1")
+    val (long, short, idx, probe) = segTables(df, idCol, strCol, t)
+    val pc = probe.groupBy("m", "si", "seg").agg(count(lit(1)).as("pc"))
+    val ic = idx.groupBy("m", "si", "seg").agg(count(lit(1)).as("ic"))
+    val blocks = pc.join(ic, Seq("m", "si", "seg"))
+      .select((col("pc") * col("ic")).as("cand"))
+    val joined = blocks.agg(
+      count(lit(1)).as("blocks"),
+      coalesce(sum(col("cand")), lit(0L)).as("candidates"),
+      coalesce(max(col("cand")), lit(0L)).as("hottest_block"))
+    val sides = long.agg(count(lit(1)).as("n_long"))
+      .crossJoin(short.agg(count(lit(1)).as("n_short")))
+      .crossJoin(probe.agg(count(lit(1)).as("probe_rows")))
+      .crossJoin(idx.agg(count(lit(1)).as("index_rows")))
+    // 1-row aggregates — the sanctioned condition-free tiny crossJoin
+    sides.crossJoin(joined)
   }
 
   /** Each pair's WORST per-endpoint rank: the pair set unrolled into a

@@ -1435,8 +1435,15 @@ object TextOps {
     // DuckDB's to_base64 is plain RFC 4648 — the length compares the
     // PAYLOAD encoding, so the line breaks are stripped first (decoders
     // accept both framings, as the digest check proves).
+    // docs (widened), unlike the other mm_* rows: base64 + unbase64 + two
+    // sha2 passes per payload is codec-grade per-byte work — the 100× sweep
+    // measured the narrow-scan spelling at 28.6 s (16.8× its 10× cost,
+    // single-threaded by the one-file fixture) where the widened shape is
+    // ~linear; at sf0.1 the repartition costs ~0.2 s. The other mm rows
+    // stay scan-bound (byte prefix / length / one hash) and measured
+    // ~linear unwidened.
     QueryDef("mm_base64_roundtrip",
-      (s, dir) => docsScan(s, dir)
+      (s, dir) => docs(s, dir)
         .withColumn("payload", col("text").cast("binary"))
         .withColumn("b64", base64(col("payload")))
         .select(col("doc_id"),

@@ -102,6 +102,34 @@ class EditBlockSpec extends SparkSpec {
       "an unbinding budget must be the identity")
   }
 
+  test("candidateStat counts exactly the joined rows the verify stage enumerates") {
+    // the statistic must equal the TRUE cardinality of the blocking join
+    // (self-matches included, per its contract) — it is the gate a
+    // deployment reads BEFORE paying the join, so an estimate that drifts
+    // from the join it prices is worse than none
+    import spark.implicits._
+    val t = 4
+    for (df <- Seq(fixture, (0 until 25).map(i =>
+        (i.toLong, s"template boilerplate line ${i % 3}")).toDF("id", "s"))) {
+      val stat = EditBlock.candidateStat(df, "id", "s", t).head()
+      val (_, _, idx, probe) = EditBlock.segTables(df, "id", "s", t)
+      val joined = probe.join(idx, Seq("m", "si", "seg")).count()
+      assert(stat.getAs[Long]("candidates") == joined,
+        "statistic diverged from the join it prices")
+      assert(stat.getAs[Long]("probe_rows") == probe.count())
+      assert(stat.getAs[Long]("index_rows") == idx.count())
+      assert(stat.getAs[Long]("hottest_block") <= stat.getAs[Long]("candidates"))
+    }
+    // and on a boilerplate-stamped corpus it makes the quadratic VISIBLE:
+    // candidates ~ n² while the corpus is only n rows
+    val n = 40
+    val boiler = (0 until n).map(i => (i.toLong, "identical thirty char line xx"))
+      .toDF("id", "s")
+    val stat = EditBlock.candidateStat(boiler, "id", "s", t).head()
+    assert(stat.getAs[Long]("candidates") >= n.toLong * n,
+      "a pathological corpus must price as quadratic before the join runs")
+  }
+
   test("blocked pairs == all pairs on a random mutation corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
