@@ -192,8 +192,10 @@ object EditBlock {
     * adversarial; `hottest_block` separates "dense everywhere" from "one
     * boilerplate key".
     *
-    * One row: `(n_long, n_short, probe_rows, index_rows, blocks,
-    * candidates, hottest_block)`. */
+    * One row: `(n_long, n_short, blocks, candidates, hottest_block)`. Each
+    * derived table is consumed exactly once (probe → pc, idx → ic, their
+    * join → the block aggregate), so the pricing plan is itself lint-clean
+    * — no repeated Generate, nothing materialized. */
   def candidateStat(df: DataFrame, idCol: String, strCol: String,
       t: Int): DataFrame = {
     require(t >= 1, "threshold must be >= 1")
@@ -206,12 +208,10 @@ object EditBlock {
       count(lit(1)).as("blocks"),
       coalesce(sum(col("cand")), lit(0L)).as("candidates"),
       coalesce(max(col("cand")), lit(0L)).as("hottest_block"))
-    val sides = long.agg(count(lit(1)).as("n_long"))
-      .crossJoin(short.agg(count(lit(1)).as("n_short")))
-      .crossJoin(probe.agg(count(lit(1)).as("probe_rows")))
-      .crossJoin(idx.agg(count(lit(1)).as("index_rows")))
     // 1-row aggregates — the sanctioned condition-free tiny crossJoin
-    sides.crossJoin(joined)
+    long.agg(count(lit(1)).as("n_long"))
+      .crossJoin(short.agg(count(lit(1)).as("n_short")))
+      .crossJoin(joined)
   }
 
   /** Each pair's WORST per-endpoint rank: the pair set unrolled into a

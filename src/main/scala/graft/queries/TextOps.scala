@@ -1232,6 +1232,61 @@ object TextOps {
           (SELECT CAST(coalesce(sum(CASE WHEN worst > 64 THEN 1
             ELSE 0 END), 0) AS BIGINT) FROM w) AS capped_rows""")),
 
+    // E2h pricing row: the candidate-cardinality statistic of the blocking
+    // join (EditBlock.candidateStat) — Σ probe×index rows per (m, si, seg)
+    // block, the EXACT joined-row count the verify stage enumerates,
+    // priced for LINEAR cost before the join runs (the g2 pair-count
+    // posture; round-11's 100× sweep measured the unpriced quadratic at
+    // 708 s). The oracle re-derives the SAME PassJoin segment layout and
+    // multi-match-aware probe windows in SQL, so the window arithmetic —
+    // the exactness-critical part of the round-11 fix — is pinned
+    // cross-engine: an off-by-one in either engine's segStart/window math
+    // changes `candidates` and fails the hash.
+    QueryDef("e2_edit_candidates",
+      (s, dir) => EditBlock.candidateStat(
+        docs(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 30).as("s")),
+        "doc_id", "s", t = 4),
+      Some("""WITH s0 AS (SELECT doc_id AS id, substring(text, 1, 30) AS s,
+            length(substring(text, 1, 30)) AS n
+          FROM documents WHERE text IS NOT NULL),
+        lng AS (SELECT * FROM s0 WHERE n > 4),
+        shrt AS (SELECT * FROM s0 WHERE n <= 4),
+        iseg AS (SELECT m, si, substring(s, CAST(stp AS INT),
+              CAST(ln AS INT)) AS sg
+          FROM (SELECT s, n AS m, si,
+              1 + si * (n // 5) + least(si, n % 5) AS stp,
+              (n // 5) + CASE WHEN si < n % 5 THEN 1 ELSE 0 END AS ln
+            FROM (SELECT *, unnest(generate_series(0, 4)) AS si FROM lng) t0
+            ) t1 WHERE ln > 0),
+        lens AS (SELECT DISTINCT n AS m FROM lng),
+        pr0 AS (SELECT s0.s, s0.n, l.m FROM s0
+          JOIN lens l ON abs(s0.n - l.m) <= 4),
+        pr1 AS (SELECT s, n, m, si,
+            1 + si * (m // 5) + least(si, m % 5) AS stp,
+            (m // 5) + CASE WHEN si < m % 5 THEN 1 ELSE 0 END AS ln,
+            n - m AS dlt
+          FROM (SELECT *, unnest(generate_series(0, 4)) AS si FROM pr0) t0),
+        pr2 AS (SELECT *,
+            greatest(1, stp + greatest(-si, dlt - (4 - si))) AS lo,
+            least(n - ln + 1, stp + least(si, dlt + (4 - si))) AS hi
+          FROM pr1 WHERE ln > 0),
+        probe AS (SELECT m, si,
+            substring(s, CAST(p AS INT), CAST(ln AS INT)) AS sg
+          FROM (SELECT *, unnest(generate_series(lo, hi)) AS p
+            FROM pr2 WHERE lo <= hi) t0),
+        pcnt AS (SELECT m, si, sg, count(*) AS pc FROM probe GROUP BY 1, 2, 3),
+        icnt AS (SELECT m, si, sg, count(*) AS ic FROM iseg GROUP BY 1, 2, 3),
+        blocks AS (SELECT pcnt.pc * icnt.ic AS cand
+          FROM pcnt JOIN icnt ON pcnt.m = icnt.m AND pcnt.si = icnt.si
+            AND pcnt.sg = icnt.sg)
+        SELECT (SELECT count(*) FROM lng) AS n_long,
+          (SELECT count(*) FROM shrt) AS n_short,
+          count(*) AS blocks,
+          CAST(coalesce(sum(cand), 0) AS BIGINT) AS candidates,
+          CAST(coalesce(max(cand), 0) AS BIGINT) AS hottest_block
+        FROM blocks""")),
+
     // E4i: unigram LM quality score — the CCNet-style perplexity gate with a
     // corpus-trained unigram model standing in for the KenLM: per doc, the
     // mean negative log-probability of its tokens under corpus frequencies

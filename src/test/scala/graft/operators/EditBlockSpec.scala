@@ -112,12 +112,12 @@ class EditBlockSpec extends SparkSpec {
     for (df <- Seq(fixture, (0 until 25).map(i =>
         (i.toLong, s"template boilerplate line ${i % 3}")).toDF("id", "s"))) {
       val stat = EditBlock.candidateStat(df, "id", "s", t).head()
-      val (_, _, idx, probe) = EditBlock.segTables(df, "id", "s", t)
+      val (long, short, idx, probe) = EditBlock.segTables(df, "id", "s", t)
       val joined = probe.join(idx, Seq("m", "si", "seg")).count()
       assert(stat.getAs[Long]("candidates") == joined,
         "statistic diverged from the join it prices")
-      assert(stat.getAs[Long]("probe_rows") == probe.count())
-      assert(stat.getAs[Long]("index_rows") == idx.count())
+      assert(stat.getAs[Long]("n_long") == long.count())
+      assert(stat.getAs[Long]("n_short") == short.count())
       assert(stat.getAs[Long]("hottest_block") <= stat.getAs[Long]("candidates"))
     }
     // and on a boilerplate-stamped corpus it makes the quadratic VISIBLE:

@@ -76,6 +76,11 @@ object CatalogLintSpec {
     "e8_mix_rebalance" -> Set("theta-bnlj"),
     "j13_dormant_customers" -> Set("theta-bnlj"),
     "e2_edit_blocked" -> Set("theta-bnlj"),
+    // same justified node as e2_edit_blocked: the probe side's |n−m| ≤ t
+    // inequality join against the BROADCAST length dictionary — a
+    // handful-of-rows build side at any corpus size (distinct string
+    // lengths), the sanctioned tiny-broadcast theta shape
+    "e2_edit_candidates" -> Set("theta-bnlj"),
     // (e2_edit_blocked_audit's inherited theta-bnlj entry was removed in
     // round 11: the audit now checkpoints the pair set, so the blocking
     // join sits behind a checkpoint leaf and the finding no longer fires)
