@@ -1023,35 +1023,37 @@ object TextOps {
     // the per-doc rollup ships ~1 row/doc. Same shape at 100 TB.
     QueryDef("e2_dup_ngrams",
       (s, dir) => {
-        // per-doc totals come from the array size (map-side, no join); only
-        // shingles that are actually duplicated (df >= 2) flow back through
-        // the posting-list join — on a real corpus most shingles are unique,
-        // so the join-back side is a small fraction of the shingle table.
-        // The shingle kernel IS evaluated once per consumer (Spark shares no
-        // subtrees), and that is deliberate: checkpointing the exploded
-        // posting table to share it was measured SLOWER (3.2 s vs 2.6 s
-        // warm at sf0.1) — materializing corpus-sized exploded rows costs
-        // more than re-running the codegen'd kernel over the columnar scan,
-        // and the same trade holds at scale where the posting table is
-        // larger than the source text.
+        import org.apache.spark.sql.expressions.Window
+        // Single-pass window formulation: explode the per-doc-distinct
+        // shingles ONCE, window-count the document frequency per shingle
+        // (the shuffle the df aggregate needed anyway), and roll up per doc
+        // — n_shingles is the per-doc row count (ShingleSet emits a set).
+        // No join anywhere. The previous spelling (df-agg → filter df>=2 →
+        // join back to the posting table → join back to base) ran the
+        // shingle kernel 3× and handed AQE a broadcast-side decision it
+        // mis-made nondeterministically: the Generate side's runtime stat
+        // is the PRE-explode shuffle bytes (5.7 MB at 10×), so whenever
+        // that stage's stats landed first AQE flipped the posting join to
+        // BuildLeft and built a 13.6M-row hash relation on the driver —
+        // 9.5 s vs 2.8 s, bimodal across identical reps (the round-11
+        // 3.43 → 9.08 s "regression" was the race, not drift). A plan
+        // whose cost depends on a stats race is wrong at every scale;
+        // this shape has nothing to race on.
         // empty-shingle guard as the cheap length precondition — a filter
         // on the computed array would push below the projection and run
         // the shingle kernel twice per doc (the e4_fingerprint lesson)
-        val base = docs(s, dir)
+        val sh = docs(s, dir)
           .filter(length(col("text")) >= 8)
           .select(col("doc_id"), shingles(col("text"), 8).as("arr"))
-          .select(col("doc_id"),
-            size(col("arr")).cast("long").as("n_shingles"), col("arr"))
-        val sh = base.select(col("doc_id"), explode(col("arr")).as("sh"))
-        val dup = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2).select("sh")
-        val hits = sh.join(dup, "sh")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-        base.drop("arr").join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_shingles"),
-            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-            round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType)
-              / col("n_shingles"), 6).as("dup_frac"))
+          .select(col("doc_id"), explode(col("arr")).as("sh"))
+        val withDf = sh.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("sh")))
+        withDf.groupBy("doc_id").agg(
+            count(lit(1)).as("n_shingles"),
+            sum((col("df") >= 2).cast("long")).as("n_dup"))
+          .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+            round(col("n_dup").cast(DoubleType) / col("n_shingles"), 6)
+              .as("dup_frac"))
           .orderBy("doc_id")
       },
       Some(s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql(8)}) AS s

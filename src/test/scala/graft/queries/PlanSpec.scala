@@ -220,12 +220,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("e2 dup-ngram coverage joins postings on the shingle, never a loop join") {
+  test("e2 dup-ngram coverage is join-free: one explode, window df, rollup") {
     val p = plan("e2_dup_ngrams")
+    // the round-12 shape: df comes from a window over the single exploded
+    // posting table — no posting-list join for AQE to (mis-)pick a build
+    // side on, and the shingle kernel runs exactly once
+    assert(!p.contains("Join"),
+      s"dup-ngram coverage must not plan any join:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
+      s"the shingle explode must run exactly once:\n$p")
     assert(p.contains("partial_"),
-      s"df counts must combine map-side:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"posting-list join must be a hash join on sh:\n$p")
+      s"the per-doc rollup must combine map-side:\n$p")
   }
 
   test("r6 grouping sets runs one Expand pass, not one scan per set") {
