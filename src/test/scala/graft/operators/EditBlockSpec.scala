@@ -128,6 +128,66 @@ class EditBlockSpec extends SparkSpec {
     val stat = EditBlock.candidateStat(boiler, "id", "s", t).head()
     assert(stat.getAs[Long]("candidates") >= n.toLong * n,
       "a pathological corpus must price as quadratic before the join runs")
+    // ADVICE r11: a corpus dominated by strings of length ≤ t must price
+    // its short×short loop-join cost, not near-zero — short_pairs = n²
+    // (the enumerated product of the non-equi fallback join)
+    val allShort = (0 until 25).map(i => (i.toLong, "ab")).toDF("id", "s")
+    val shortStat = EditBlock.candidateStat(allShort, "id", "s", t).head()
+    assert(shortStat.getAs[Long]("candidates") == 0L)
+    assert(shortStat.getAs[Long]("short_pairs") == 625L,
+      "all-short corpus must price the fallback loop join as n_short²")
+  }
+
+  test("routing: the candidate budget picks exact, capped-at-tighter-t, or refuses") {
+    import spark.implicits._
+    // shape 1 (benign corpus, roomy budget): exact at the requested t, and
+    // the routed output is nearPairs plus the constant decision columns
+    val d1 = EditBlock.priceRoute(fixture, "id", "s", 4, 1000000L)
+    assert(d1.route == "exact" && d1.tUsed == 4)
+    val routed = EditBlock.nearPairsRouted(fixture, "id", "s", 4, 1000000L, 64)
+      .localCheckpoint()
+    val head = routed.head()
+    assert(head.getAs[String]("route") == "exact")
+    assert(head.getAs[Long]("t_used") == 4L)
+    assert(head.getAs[Long]("priced_candidates") == d1.pricedCandidates)
+    assert(head.getAs[Long]("budget") == 1000000L)
+    assert(routed.select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === blocked(fixture, 4),
+      "the exact route must be nearPairs row-for-row")
+
+    // shape 2 (priced over budget at the requested t, affordable tighter):
+    // the mutation-family corpus prices ~8× cheaper at t=2 than t=4, so a
+    // budget between the two forces the step-down; the routed rows must be
+    // nearPairsCapped's at the re-priced t — the audited cap semantics
+    val fam = (0 until 12).flatMap(g => (0 until 5).map(j =>
+      (g * 10L + j, s"shared prefix block $g suffix $j")))
+      .toDF("id", "s")
+    def total(t: Int): Long = EditBlock.candidateStat(fam, "id", "s", t)
+      .select(col("candidates") + col("short_pairs")).head().getLong(0)
+    val (t4, t2) = (total(4), total(2))
+    assert(t4 > t2, s"fixture must price cheaper at tighter t: $t4 vs $t2")
+    val budget = (t4 + t2) / 2
+    val d2 = EditBlock.priceRoute(fam, "id", "s", 4, budget)
+    assert(d2.route == "capped" && d2.tUsed < 4 && d2.pricedCandidates <= budget,
+      s"expected a step-down decision, got $d2")
+    val routed2 = EditBlock.nearPairsRouted(fam, "id", "s", 4, budget, 8)
+      .localCheckpoint()
+    assert(routed2.head().getAs[String]("route") == "capped")
+    assert(routed2.select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === EditBlock.nearPairsCapped(fam, "id", "s", d2.tUsed, 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "the capped route must be nearPairsCapped at the re-priced t")
+
+    // shape 3 (affordable nowhere): identical strings price quadratic at
+    // EVERY t — the route must refuse loudly, never run the join silently
+    val boiler = (0 until 40).map(i => (i.toLong, "identical thirty char line xx"))
+      .toDF("id", "s")
+    val e = intercept[IllegalStateException] {
+      EditBlock.priceRoute(boiler, "id", "s", 4, 100L)
+    }
+    assert(e.getMessage.contains("over budget"))
   }
 
   test("blocked pairs == all pairs on a random mutation corpus") {

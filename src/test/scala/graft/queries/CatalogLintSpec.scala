@@ -76,6 +76,10 @@ object CatalogLintSpec {
     "e8_mix_rebalance" -> Set("theta-bnlj"),
     "j13_dormant_customers" -> Set("theta-bnlj"),
     "e2_edit_blocked" -> Set("theta-bnlj"),
+    // the routed row plans the SAME two justified nodes as e2_edit_blocked
+    // (short×short fallback) and e2_edit_candidates (length-dictionary
+    // broadcast) — routing adds a pricing pass, not a new join shape
+    "e2_edit_routed" -> Set("theta-bnlj"),
     // same justified node as e2_edit_blocked: the probe side's |n−m| ≤ t
     // inequality join against the BROADCAST length dictionary — a
     // handful-of-rows build side at any corpus size (distinct string
