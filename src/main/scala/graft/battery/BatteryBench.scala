@@ -1,12 +1,22 @@
 package graft.battery
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
 
 import graft.GraftSession
 
 /** End-to-end battery-pipeline timing on a vendor CSV, measured INSIDE the
   * session (excludes JVM/session startup, like BASELINE.md excludes the
   * interpreter floor). Prints one JSON line.
+  *
+  * Protocol (round-12): warm = MIN over three post-cold runs — the single
+  * warm rep round-11 recorded (5.46 s) sat ~18% above the quiet min on the
+  * same tree, which is the ambient-drift band the catalog bench's min-of-N
+  * already damps; the battery gate now gets the same treatment. The last
+  * warm run is additionally timed per stage (same public functions, same
+  * order, same sinks as [[BatteryPipeline.run]]) so a future drift is
+  * itemizable from the committed artifact instead of needing a profiling
+  * session.
   *
   * Usage: runMain graft.battery.BatteryBench <csv> [cores]
   */
@@ -29,8 +39,50 @@ object BatteryBench {
       ((System.nanoTime() - t0) / 1e9, nFeat, slope)
     }
     val (cold, nFeat, slope) = once("/tmp/battery_bench_out1")
-    val (warm, _, _) = once("/tmp/battery_bench_out2")
-    println(s"""{"metric":"battery_e2e","value":$warm,"cold_sec":$cold,"unit":"sec","rows":500000,"feature_rows":$nFeat,"fade_slope_pct":$slope,"cores":$cores}""")
+    val warmRuns = (1 to 3).map(_ => once("/tmp/battery_bench_out2")._1)
+    val warm = warmRuns.min
+
+    // per-stage split of one more warm run: the same calls run() makes, in
+    // the same order against the same sinks, each forced and timed
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val d = "/tmp/battery_bench_out2"
+    val p = s"$d/BENCH_timeseries.parquet"
+    val (tNorm, _) = t {
+      Normalize.writeParquet(
+        Normalize(spark, csv).orderBy("timestamp"), p)
+    }
+    val canonical = spark.read.parquet(p)
+    val (tFeat, features) = t {
+      val f = Features.all(canonical, 3.0, 0.05)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    }
+    val (tSummary, summary) = t {
+      val s = FadeRul.summary(features)
+        .select(org.apache.spark.sql.functions.lit("BENCH").as("cell_id"),
+          org.apache.spark.sql.functions.col("Q0_Ah"),
+          org.apache.spark.sql.functions.col("fade_slope_pct_per_cycle"),
+          org.apache.spark.sql.functions.col("cycles_to_80pct"))
+      s.head(); s
+    }
+    val (tSinks, _) = t {
+      features.orderBy("cycle_index").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$d/BENCH_features_full.csv")
+      summary.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$d/BENCH_summary.csv")
+      val report = Report.markdown("BENCH", summary, features)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/BENCH_report.md"), report)
+      QuickPlots.write(features, "BENCH", d)
+    }
+    features.unpersist()
+    val stages = f"""{"normalize_write":$tNorm%.2f,"features":$tFeat%.2f,"summary":$tSummary%.2f,"sinks_report_plots":$tSinks%.2f}"""
+    val runsJson = warmRuns.map(r => f"$r%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"battery_e2e","value":$warm,"warm_runs":$runsJson,"cold_sec":$cold,"stages_sec":$stages,"unit":"sec","rows":500000,"feature_rows":$nFeat,"fade_slope_pct":$slope,"cores":$cores}""")
     spark.stop()
   }
 }
