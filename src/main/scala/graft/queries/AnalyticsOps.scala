@@ -33,15 +33,19 @@ object AnalyticsOps {
     * regenerated fixture at the same path changes the token and re-counts. */
   private val suppCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
-  def supplierCount(s: SparkSession, dir: String): Long = {
-    val dim = Tables.supplier(s, dir)
+  def supplierCount(s: SparkSession, dir: String): Long =
+    supplierCountOf(Tables.supplier(s, dir),
+      s"$dir|${Tables.fixtureToken(dir, "supplier")}")
+
+  /** The same statistic over ANY supplier-dimension frame — the seam that
+    * lets a deployment hand g2's routing an ANALYZE'd catalog table
+    * (CardinalityStatsSpec pins that path at zero jobs) while the
+    * fixture-path callers keep the memoized-count fallback. */
+  def supplierCountOf(dim: DataFrame, memoKey: String): Long =
     // catalog statistics first (graft.plans.CardinalityStats — an ANALYZE'd
     // deployment routes with zero jobs), memoized count as the fallback
     graft.plans.CardinalityStats.rowCount(dim)(
-      suppCountCache.getOrElseUpdate(
-        s"$dir|${Tables.fixtureToken(dir, "supplier")}",
-        dim.count()))
-  }
+      suppCountCache.getOrElseUpdate(memoKey, dim.count()))
 
   /** Distinct customer→supplier posting list, pre-partitioned on customer so
     * dedup / cap-window / self-join all ride one hash exchange. */
