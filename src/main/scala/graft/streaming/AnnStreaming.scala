@@ -280,6 +280,7 @@ object AnnStreaming {
           "replaying the corpus, or migrate the store first " +
           "(migrateBatchBuiltStore).")
     sweepStaging(spark, storePath)
+    recoverConsolidation(spark, storePath)
     val landed = stateFromStore(spark, storePath)
     if (landed.lastBatchId > state.lastBatchId ||
         landed.maxSeenId > state.maxSeenId) {
@@ -322,6 +323,133 @@ object AnnStreaming {
       }
     // carry the batch build's _SUCCESS along so persistedArtifactPath-style
     // completeness checks keep passing on the migrated layout
+  }
+
+  /** The landing id consolidation folds into: −2 sorts below the migration
+    * seed (−1) and every streamed batch, so [[stateFromStore]]'s
+    * `lastBatchId` always reflects the newest REAL landing. */
+  val ConsolidatedBatchId = -2L
+
+  private val ParkPrefix = ".old_ingest_batch="
+
+  final case class ConsolidationStats(batchDirsBefore: Int,
+      batchDirsAfter: Int, filesBefore: Long, filesAfter: Long,
+      rows: Long, skipped: Boolean)
+
+  /** Fold every landed batch EXCEPT the most recent into one consolidated
+    * landing `ingest_batch=-2` — the store-level maintenance op a streamed
+    * posting store needs (a day of micro-batches is thousands of
+    * `ingest_batch=` directories × nlist cluster leaves; per-leaf
+    * [[graft.sources.Compaction]] cannot reduce that — each leaf is
+    * already one file — only folding the BATCH dimension can). The newest
+    * landing is deliberately left alone: foreachBatch's crash-replay
+    * contract only ever re-runs the final uncommitted batch, and a replay
+    * rewrites its own `ingest_batch=<id>` directory — folding that id
+    * away would turn the rewrite into data loss, while every older batch
+    * is checkpoint-committed and can never replay. Delivery state is
+    * unchanged by construction: `lastBatchId` still reads from the kept
+    * newest dir, `maxSeenId` from the same rows.
+    *
+    * Single-writer (quiesce the stream, the [[graft.sources.Compaction]]
+    * contract) and crash-recoverable: rows land in a dot-prefixed staging
+    * dir (invisible to partition discovery), are row-count-verified,
+    * sources are PARKED (renamed dot-prefixed, still on disk), the staging
+    * commits by one rename, and only then are the parked sources deleted.
+    * A crash at any point leaves every row on disk; [[recoverConsolidation]]
+    * (run at stream start) rolls an uncommitted park back and sweeps a
+    * committed one. A reader concurrent with the park window sees the
+    * store minus some WHOLE batches — never a partially-visible batch —
+    * and the serving plan is unchanged (`cluster` stays a partition column
+    * one level down, DPP still prunes un-probed lists). */
+  def consolidateStore(spark: SparkSession, storePath: String,
+      targetBytes: Long = 128L * 1024 * 1024): ConsolidationStats = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def batchDirs() = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("ingest_batch=")).toSeq
+    def filesUnder(paths: Seq[org.apache.hadoop.fs.Path]): Seq[(String, Long)] =
+      paths.flatMap { d =>
+        val it = fs.listFiles(d, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet"))
+            buf += ((f.getPath.toString, f.getLen))
+        }
+        buf.toSeq
+      }
+    val dirs = batchDirs()
+    val filesBefore = filesUnder(dirs)
+    val lastId = dirs.map(_.getName.stripPrefix("ingest_batch=").toLong)
+      .foldLeft(Long.MinValue)(math.max)
+    val sources = dirs.filter(
+      _.getName.stripPrefix("ingest_batch=").toLong != lastId)
+    if (sources.isEmpty || (sources.size == 1 &&
+        sources.head.getName == s"ingest_batch=$ConsolidatedBatchId"))
+      return ConsolidationStats(dirs.size, dirs.size,
+        filesBefore.size.toLong, filesBefore.size.toLong, -1, skipped = true)
+
+    val staging = new org.apache.hadoop.fs.Path(p, ".staging_consolidated")
+    fs.delete(staging, true)
+    // basePath keeps `cluster` a column while reading only the source dirs
+    val src = spark.read.option("basePath", storePath)
+      .parquet(sources.map(_.toString): _*)
+    val srcBytes = filesUnder(sources).map(_._2).sum
+    val want = math.max(1L, (srcBytes + targetBytes - 1) / targetBytes).toInt
+    src.select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+      .coalesce(want)
+      .write.partitionBy("cluster").parquet(staging.toString)
+    val rows = spark.read.parquet(staging.toString).count()
+    val rowsExpected = src.count()
+    if (rows != rowsExpected) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"consolidation of $storePath dropped rows " +
+          s"($rowsExpected -> $rows); sources left untouched")
+    }
+    // park sources (dot-prefixed: invisible, recoverable), then commit
+    sources.foreach { s =>
+      if (!fs.rename(s, new org.apache.hadoop.fs.Path(p,
+          s"$ParkPrefix${s.getName.stripPrefix("ingest_batch=")}")))
+        throw new IllegalStateException(s"could not park $s — " +
+          "store intact; run recoverConsolidation and retry")
+    }
+    val dest = new org.apache.hadoop.fs.Path(p,
+      s"ingest_batch=$ConsolidatedBatchId")
+    if (!fs.rename(staging, dest))
+      throw new IllegalStateException(s"could not commit $staging -> $dest" +
+        " — every row is still on disk in the parked sources; run " +
+        "recoverConsolidation to roll back")
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith(ParkPrefix)).foreach(fs.delete(_, true))
+    val after = batchDirs()
+    ConsolidationStats(dirs.size, after.size, filesBefore.size.toLong,
+      filesUnder(after).size.toLong, rows, skipped = false)
+  }
+
+  /** Heal a crashed [[consolidateStore]]: parked sources with no committed
+    * consolidated landing roll back (rename the park away); parked sources
+    * WITH one are the already-committed leftovers and are swept. Every
+    * path keeps all rows. Run at stream start (and before reading a store
+    * that might have crashed mid-consolidation). */
+  def recoverConsolidation(spark: SparkSession, storePath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val parked = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith(ParkPrefix)).toSeq
+    if (parked.isEmpty) return
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(p,
+      s"ingest_batch=$ConsolidatedBatchId"))
+    if (committed) parked.foreach(fs.delete(_, true))
+    else parked.foreach { s =>
+      val back = new org.apache.hadoop.fs.Path(p,
+        s"ingest_batch=${s.getName.stripPrefix(ParkPrefix)}")
+      if (!fs.rename(s, back))
+        throw new IllegalStateException(
+          s"could not roll back parked $s — restore it manually")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(p, ".staging_consolidated"), true)
   }
 
   /** Serve top-k from the stream-maintained index — the identical plan as

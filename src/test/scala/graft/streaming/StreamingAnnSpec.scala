@@ -108,6 +108,162 @@ class StreamingAnnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed store maintenance loop: consolidate batch landings, re-serve byte-identically") {
+    // round-11 verdict item 7. The streamed store's small-file problem is
+    // the BATCH dimension — N ingest_batch= dirs × nlist cluster leaves,
+    // each already one file, which per-leaf Compaction can never reduce —
+    // so the maintenance loop is consolidateStore (fold all but the
+    // newest landing into ingest_batch=-2), then a leaf-level Compaction
+    // pass over the same live store. Asserted: fewer dirs AND files,
+    // identical content, byte-identical serving under the same
+    // cluster-partitioned DPP plan, the stream still absorbing afterwards,
+    // and a concurrent reader observing only WHOLE-batch snapshots during
+    // the swap (counts must be full minus a subset of folded batches —
+    // a partially-visible batch would read as any other number).
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val maxId = embRaw.agg(max("vec_id")).head().getLong(0)
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val inputDir = java.nio.file.Files
+      .createTempDirectory("graft_annstore_compact_in").toString
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_annstore_compact").toString + "/store"
+    val state = new AnnStreaming.StoreAppendState
+    val q = AnnStreaming.runIvfStoreAppendStream(spark, inputDir,
+      embRaw.schema, storePath, state, cents)
+    try {
+      val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId + 1)
+      var lo = -1L
+      for (hi <- cuts) {
+        embRaw.filter(col("vec_id") > lo && col("vec_id") <= hi)
+          .write.mode("append").parquet(inputDir)
+        q.processAllAvailable()
+        lo = hi
+      }
+      def batchDirs() = new java.io.File(storePath).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      assert(batchDirs().length == cuts.length)
+      // per-batch row counts, for the whole-batch-snapshot assertion: the
+      // newest landing never folds, so a concurrent read during the park
+      // window sees full minus a subset of the OLDER batches
+      val sizes = batchDirs().map(d =>
+        d.getName.stripPrefix("ingest_batch=").toLong ->
+          spark.read.parquet(d.getPath).count()).toMap
+      val newest = sizes.keys.max
+      val foldable = (sizes - newest).values.toSeq
+      val legalCounts = foldable.indices.foldLeft(Set(0L)) { (acc, i) =>
+        acc ++ acc.map(_ + foldable(i))
+      }.map(sizes.values.sum - _)
+      val expectRows = embRaw.count()
+      assert(sizes.values.sum == expectRows)
+      val contentBefore = spark.read.parquet(storePath).drop("ingest_batch")
+        .collect().map(_.toString).sorted.toSeq
+      val queries = VectorOps.prepEmb(embRaw).filter(col("vec_id") < nQueries)
+        .localCheckpoint()
+      val servedBefore = VectorOps.serveFromStorePath(spark, storePath,
+        queries, cents, k, nprobe).collect().toSeq
+
+      // concurrent reader: whole-batch snapshots only
+      val wrong = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val okReads = new java.util.concurrent.atomic.AtomicLong(0L)
+      val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stopReader.get()) {
+          try {
+            val n = spark.read.parquet(storePath).count()
+            if (legalCounts.contains(n)) okReads.incrementAndGet()
+            else wrong.compareAndSet(-1L, n)
+          } catch { case _: Throwable => () } // transient rename window
+        }
+      })
+      reader.start()
+      val stats = try {
+        AnnStreaming.consolidateStore(spark, storePath)
+      } finally { stopReader.set(true); reader.join(30000) }
+
+      assert(!stats.skipped && stats.rows == foldable.sum,
+        s"consolidation must fold exactly the older batches: $stats")
+      assert(stats.batchDirsAfter == 2 &&
+        stats.filesAfter < stats.filesBefore,
+        s"expected [consolidated, newest] with fewer files: $stats")
+      assert(wrong.get() == -1L,
+        s"a concurrent reader saw a NON-whole-batch snapshot: " +
+          s"${wrong.get()} rows (legal: $legalCounts)")
+      assert(okReads.get() >= 1L, "the concurrent reader never completed a read")
+      // content (modulo the folded batch ids) and serving are identical
+      val contentAfter = spark.read.parquet(storePath).drop("ingest_batch")
+        .collect().map(_.toString).sorted.toSeq
+      assert(contentAfter == contentBefore,
+        "consolidation changed the store's content")
+      val servedAfter = VectorOps.serveFromStorePath(spark, storePath,
+        queries, cents, k, nprobe).collect().toSeq
+      assert(servedAfter == servedBefore,
+        "the consolidated store served differently")
+      // a leaf-level Compaction pass composes with the consolidated layout
+      // (here a metadata-only skip — consolidation already wrote compact
+      // leaves — but the layout stays valid for it either way)
+      val cstats = graft.sources.Compaction.compactParquet(spark, storePath)
+      assert(spark.read.parquet(storePath).count() == expectRows)
+      assert(cstats.filesAfter <= stats.filesAfter)
+      assert(VectorOps.serveFromStorePath(spark, storePath,
+        queries, cents, k, nprobe).collect().toSeq == servedBefore,
+        "the leaf-compacted store served differently")
+      // and the stream keeps absorbing on the consolidated layout
+      val extra = embRaw.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + maxId + 1)
+      extra.write.mode("append").parquet(inputDir)
+      q.processAllAvailable()
+      assert(spark.read.parquet(storePath).count() == expectRows + 50,
+        "the stream must keep absorbing after consolidation")
+    } finally q.stop()
+  }
+
+  test("a crashed consolidation heals at stream start: rollback or sweep, never loss") {
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    def freshStore(): (String, String) = {
+      val in = java.nio.file.Files
+        .createTempDirectory("graft_annstore_heal_in").toString
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_annstore_heal").toString + "/store"
+      val q = AnnStreaming.runIvfStoreAppendStream(spark, in, embRaw.schema,
+        store, new AnnStreaming.StoreAppendState, cents)
+      try {
+        embRaw.filter(col("vec_id") < 100).write.mode("append").parquet(in)
+        q.processAllAvailable()
+        embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      (in, store)
+    }
+    val total = 200L
+    // shape 1: parked source, NO committed consolidated landing (crash
+    // between park and commit) → rollback, store serves every row again
+    val (_, s1) = freshStore()
+    val f1 = new java.io.File(s1, "ingest_batch=0")
+    assert(f1.renameTo(new java.io.File(s1, ".old_ingest_batch=0")))
+    assert(spark.read.parquet(s1).count() < total, "park must hide the batch")
+    AnnStreaming.recoverConsolidation(spark, s1)
+    assert(spark.read.parquet(s1).count() == total,
+      "rollback must restore the parked batch")
+    // shape 2: parked source AND a committed consolidated landing (crash
+    // between commit and cleanup) → sweep the park, rows stay singular
+    val (_, s2) = freshStore()
+    val src = new java.io.File(s2, "ingest_batch=0")
+    val consolidated = new java.io.File(s2,
+      s"ingest_batch=${AnnStreaming.ConsolidatedBatchId}")
+    // "commit" = the folded copy landed: move the batch there, park a copy
+    assert(src.renameTo(consolidated))
+    val parked = new java.io.File(s2, ".old_ingest_batch=0")
+    assert(parked.mkdir())
+    AnnStreaming.recoverConsolidation(spark, s2)
+    assert(!parked.exists(), "a committed consolidation must sweep its park")
+    assert(spark.read.parquet(s2).count() == total,
+      "sweep must not touch live rows")
+  }
+
   test("the append stream enforces the same delivery guards as the heap ingest") {
     // the two ingest modes share StreamGuards.classify; this drives the
     // APPEND stream's wiring of it specifically, so moving the parquet
