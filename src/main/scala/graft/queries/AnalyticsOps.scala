@@ -119,12 +119,21 @@ object AnalyticsOps {
     * deliberately does not flag. Keyed on both input fixtures + the
     * builder's class bytes, so a regenerated fixture or an edited builder
     * re-materializes instead of serving stale rows. */
+  /** ONE key string for the capped-posting artifact AND every memo derived
+    * from it (advisory finding, round 11: the pair-count memo key omitted
+    * the orders fixture and builder-code tokens the artifact key carried,
+    * so a regenerated orders fixture rebuilt the artifact but served a
+    * stale pair count, mis-sizing the big-route exchange — one shared
+    * definition makes the invalidation semantics unable to drift). */
+  private def cappedPostingKey(dir: String, cap: Int): String =
+    s"$dir|$cap|${Tables.fixtureToken(dir, "orders")}" +
+      s"|${Tables.fixtureToken(dir, "lineitem")}" +
+      s"|${Tables.codeToken(AnalyticsOps.getClass)}|v1"
+
   def cappedPostingArtifact(s: SparkSession, dir: String,
       cap: Int): DataFrame =
     Tables.persistedArtifact(s, "graft_coshare_capped",
-      s"$dir|$cap|${Tables.fixtureToken(dir, "orders")}" +
-        s"|${Tables.fixtureToken(dir, "lineitem")}" +
-        s"|${Tables.codeToken(AnalyticsOps.getClass)}|v1") {
+      cappedPostingKey(dir, cap)) {
       cappedPosting(custSupp(s, dir), cap)
     }
 
@@ -139,7 +148,7 @@ object AnalyticsOps {
     scala.collection.concurrent.TrieMap.empty[String, Long]
   def cosharePairCount(s: SparkSession, dir: String, cap: Int): Long =
     pairCountCache.getOrElseUpdate(
-      s"$dir|$cap|${Tables.fixtureToken(dir, "lineitem")}",
+      cappedPostingKey(dir, cap),
       cappedPostingArtifact(s, dir, cap)
         .groupBy("c").agg(count(lit(1)).as("d"))
         .agg(coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)))

@@ -307,7 +307,14 @@ object AnnStreaming {
     * appending. Readers see one consistent partition depth with an extra
     * `ingest_batch` partition column, which every serving path ignores
     * (they select explicit columns). Call once, NOT concurrently with
-    * readers of the same path. */
+    * readers of the same path. The per-directory renames are not one
+    * atomic step: a crash mid-migration leaves some `cluster=` dirs moved
+    * and some not — no rows are lost, but reads fail on the mixed depths
+    * until a RE-RUN finishes the remaining renames (the method is
+    * idempotent: already-moved dirs no longer match the top-level
+    * filter). The batch build's `_SUCCESS` marker is intentionally left
+    * at the store root, where persistedArtifactPath-style completeness
+    * checks look for it. */
   def migrateBatchBuiltStore(spark: SparkSession, storePath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -321,8 +328,8 @@ object AnnStreaming {
             s"could not move $c under $dest — store left partially " +
               "migrated; re-run to finish")
       }
-    // carry the batch build's _SUCCESS along so persistedArtifactPath-style
-    // completeness checks keep passing on the migrated layout
+    // (the batch build's _SUCCESS stays at the store root by design — see
+    // the method scaladoc)
   }
 
   /** The landing id consolidation folds into: −2 sorts below the migration

@@ -60,6 +60,15 @@ object DedupStreaming {
     /** Highest doc_id absorbed so far (MinValue = nothing yet); the
       * arrival-order guard below checks each batch against it. */
     @volatile var maxSeenId: Long = Long.MinValue
+    /** True when every state frame is detached from any persisted
+      * version's files (eagerly checkpointed by an absorb, or empty).
+      * [[loadState]] clears it — a loaded state's frames lazily read the
+      * loaded version's parquet — and the next fresh absorb sets it.
+      * [[persistState]] no-ops while it is false: persisting a loaded,
+      * un-absorbed state would write a new version from frames still
+      * reading the old one and then DELETE that old version out from
+      * under them (FileNotFoundException on the next absorb). */
+    @volatile var framesDetached: Boolean = true
     /** Pairs emitted so far (accumulated delta output — what a downstream
       * pair sink would have received). */
     @volatile var pairsSeen: DataFrame = initSig.sparkSession
@@ -114,6 +123,12 @@ object DedupStreaming {
     * `stateDir` therefore rewrites the store each batch — the parquet
     * stand-in for what a Delta/Iceberg MERGE does as an O(batch) commit. */
   def persistState(state: NearDedupState, dir: String): Unit = {
+    // ENFORCED, not just documented (advisory finding, round 11): a state
+    // fresh off loadState has nothing new to persist — its content IS the
+    // latest committed version — and persisting it anyway would retire the
+    // very files its frames still lazily read. No-op until a fresh absorb
+    // detaches the frames (idempotent-persistence semantics for callers).
+    if (!state.framesDetached) return
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val fs = dirP.getFileSystem(
       state.storeSig.sparkSession.sessionState.newHadoopConf())
@@ -140,7 +155,11 @@ object DedupStreaming {
     if (!fs.exists(dirP)) Seq.empty
     else fs.listStatus(dirP).toSeq
       .map(_.getPath)
+      // drop(1).nonEmpty: forall on the empty remainder is vacuously true,
+      // so a stray directory literally named "v" (with a _COMMITTED file)
+      // would otherwise reach "".toLong and brick persist AND load
       .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).nonEmpty &&
         p.getName.drop(1).forall(_.isDigit) &&
         fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
       .map(_.getName.drop(1).toLong).sorted
@@ -167,6 +186,9 @@ object DedupStreaming {
     state.pairsSeen = spark.read.parquet(s"$base/pairs")
     val mx = sig.agg(max(col("doc_id"))).head()
     state.maxSeenId = if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0)
+    // the frames above lazily read version v's parquet until the first
+    // fresh absorb swaps in checkpointed snapshots — see framesDetached
+    state.framesDetached = false
     state
   }
 
@@ -218,6 +240,10 @@ object DedupStreaming {
           state.storeSig = newSig
           state.pairsSeen = newPairsSeen
           state.maxSeenId = maxId
+          // every frame is a fresh eager checkpoint now — no reference to
+          // a persisted version's files remains, so persistState may
+          // safely retire superseded versions
+          state.framesDetached = true
           // every superseded or intermediate checkpoint is released once
           // the new snapshots exist — without this each micro-batch pins
           // additional copies in the block store (unbounded growth over

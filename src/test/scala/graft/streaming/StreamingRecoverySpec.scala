@@ -284,6 +284,48 @@ class StreamingRecoverySpec extends SparkSpec {
       "state after skip→absorb→persist→reload diverged")
   }
 
+  test("near-dedup: persistState on a just-loaded state is a guarded no-op, not a version rewrite") {
+    // the round-11 advisory's PUBLIC-API half: the skip-path contract above
+    // relies on callers, but persistState itself must refuse the foot-gun —
+    // called directly on a loadState result (no fresh absorb), it would
+    // write a new version from frames still lazily reading the old one,
+    // then delete the old one out from under them. Enforced via the
+    // framesDetached flag: the call is a no-op (no new version directory),
+    // and the next absorb still reads its frames successfully.
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .orderBy("doc_id").localCheckpoint()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val stateDir = tmp("dedup_noop_persist") + "/state"
+    val s1 = DedupStreaming.emptyState(spark, docs, numHashes, shingleLen)
+    assert(DedupStreaming.absorbBatch(s1,
+      docs.filter(col("doc_id") <= maxId / 2)))
+    DedupStreaming.persistState(s1, stateDir)
+    def versions() = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName).sorted.toSeq
+    val v0 = versions()
+
+    val s2 = DedupStreaming.loadState(spark, stateDir)
+    DedupStreaming.persistState(s2, stateDir) // must no-op
+    assert(versions() == v0,
+      "persistState on a loaded, un-absorbed state must not write a version")
+    // the loaded frames are intact: the next fresh absorb works and its
+    // persist writes the next version
+    assert(DedupStreaming.absorbBatch(s2,
+      docs.filter(col("doc_id") > maxId / 2)))
+    DedupStreaming.persistState(s2, stateDir)
+    assert(versions() != v0, "a post-absorb persist must commit a new version")
+    val s3 = DedupStreaming.loadState(spark, stateDir)
+    assert(s3.storeSig.count() == docs.count())
+
+    // and a stray directory literally named "v" cannot brick the protocol
+    val stray = new java.io.File(stateDir, "v")
+    assert(stray.mkdir())
+    assert(new java.io.File(stray, "_COMMITTED").createNewFile())
+    assert(DedupStreaming.loadState(spark, stateDir).storeSig.count()
+      == docs.count(), "a stray 'v' directory must be ignored, not parsed")
+  }
+
   test("IVF store: a batch-built (top-level cluster=) store is refused, and migration makes it appendable") {
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
