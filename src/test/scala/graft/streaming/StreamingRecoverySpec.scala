@@ -368,6 +368,27 @@ class StreamingRecoverySpec extends SparkSpec {
     AnnStreaming.absorbStoreBatch(st, b1, 1L, storePath, cents)
     assert(spark.read.parquet(storePath).count() == before,
       "a redelivery of the migrated seed corpus must skip, not double-append")
+
+    // maintenance composes with the migrated layout: the -1 seed landing
+    // is older than the newest streamed batch, so consolidation folds it
+    // (and any older batches) into -2 while keeping the newest landing,
+    // delivery state, and serving identical
+    val b3 = embRaw.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    AnnStreaming.absorbStoreBatch(st, b3, 2L, storePath, cents)
+    val contentBefore = spark.read.parquet(storePath).drop("ingest_batch")
+      .collect().map(_.toString).sorted.toSeq
+    val cstats = AnnStreaming.consolidateStore(spark, storePath)
+    assert(!cstats.skipped && cstats.batchDirsAfter == 2,
+      s"expected the seed + older batch folded into [-2, newest]: $cstats")
+    val names = new java.io.File(storePath).listFiles()
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).sorted
+    assert(names.toSeq == Seq("ingest_batch=-2", "ingest_batch=2"), names.toSeq)
+    assert(spark.read.parquet(storePath).drop("ingest_batch")
+      .collect().map(_.toString).sorted.toSeq == contentBefore,
+      "consolidating a migrated store changed its content")
+    val st2 = AnnStreaming.stateFromStore(spark, storePath)
+    assert(st2.lastBatchId == 2L && st2.maxSeenId == 299L,
+      "delivery state diverged after consolidating the migrated store")
   }
 
   test("IVF store: a crashed mid-landing write is invisible to readers and swept at restart") {
