@@ -26,7 +26,12 @@ object BenchNat {
     "e1_dedup_exact", "e2_neardup_hash", "e2_minhash_lsh", "e2_simhash",
     "e2_simhash_md5", "e2_dup_ngrams", "e2_span_dedup", "e2_ngram_jaccard",
     "e2_containment", "e2_cc_clusters", "e2_dedup_report",
-    "e2_edit_distance", "e2_edit_blocked")
+    "e2_edit_distance", "e2_edit_blocked",
+    // round-12: the pricing row and the routed entry point — on natural
+    // text the statistic prices the join near-linear and the route stays
+    // "exact" at the requested t (the driver-corpus step-down in
+    // BENCH100_r12 is the 31-word vocabulary, not the operator)
+    "e2_edit_candidates", "e2_edit_routed")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_NAT_SMALL", "/root/repo/scale_rich_small")
