@@ -48,6 +48,13 @@ object GraftSession {
     // mirror the reference's errors="coerce" → NULL semantics
     // (/root/reference/pipeline.py:98-99,106).
     .config("spark.sql.ansi.enabled", "false")
+    // Serve ANALYZE'd catalog tables' row counts through logical plan
+    // statistics, so cardinality-routed operators (CardinalityStats →
+    // g2's key-space route) read the catalog with ZERO jobs in a
+    // warehouse deployment. No effect on path-based parquet reads (every
+    // fixture row), which carry no catalog stats and use the memoized
+    // fallback; CardinalityStatsSpec pins both paths.
+    .config("spark.sql.cbo.planStats.enabled", "true")
 
   def local(cores: Int = 32, app: String = "graft"): SparkSession = {
     val s = tune(

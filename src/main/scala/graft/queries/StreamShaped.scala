@@ -713,6 +713,12 @@ object StreamShaped {
             sum("k").as("k_sum"))
           .orderBy("event_type")
       },
+      // oracle nuance: the malformed-row guard must be a NESTED CASE, not
+      // `json_valid(p) AND json_extract_string(p, ...)` — DuckDB CASE
+      // branches short-circuit but a vectorized AND evaluates both
+      // conjuncts on large batches, so json_extract throws on the dirty
+      // rows at sf0.1 while a small-fixture run happens to pass
+      // (found replaying the full oracle at sf0.1, round 12)
       Some("""WITH d AS (SELECT event_type,
             CASE WHEN event_id % 10 = 0
               THEN substring(props, 1, length(props) - 1)
@@ -720,8 +726,9 @@ object StreamShaped {
           FROM events)
         SELECT event_type, count(*) AS n,
           CAST(sum(CASE WHEN json_valid(p)
-              AND json_extract_string(p, '$.k') IS NOT NULL
-            THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+              THEN CASE WHEN json_extract_string(p, '$.k') IS NOT NULL
+                THEN 0 ELSE 1 END
+              ELSE 1 END) AS BIGINT) AS n_bad,
           CAST(sum(CASE WHEN json_valid(p)
             THEN CAST(json_extract_string(p, '$.k') AS BIGINT) END)
             AS BIGINT) AS k_sum
