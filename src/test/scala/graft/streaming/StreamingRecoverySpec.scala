@@ -306,14 +306,25 @@ class StreamingRecoverySpec extends SparkSpec {
     val v0 = versions()
 
     val s2 = DedupStreaming.loadState(spark, stateDir)
-    DedupStreaming.persistState(s2, stateDir) // must no-op
+    assert(!DedupStreaming.persistState(s2, stateDir), // must no-op, visibly
+      "the guarded no-op must return false, not claim it persisted")
     assert(versions() == v0,
       "persistState on a loaded, un-absorbed state must not write a version")
+    // the guard is scoped to the LOADED dir (advisory finding, round 12):
+    // persisting the same loaded state to a DIFFERENT dir is a copy/backup
+    // that retires none of the files the frames read — it must write, not
+    // silently skip, and the backup must be independently loadable
+    val backupDir = tmp("dedup_noop_persist_backup") + "/state"
+    assert(DedupStreaming.persistState(s2, backupDir),
+      "a loaded-state persist to a different dir is a backup and must write")
+    assert(DedupStreaming.loadState(spark, backupDir).storeSig.count()
+      == s2.storeSig.count(), "the backup must be loadable and complete")
     // the loaded frames are intact: the next fresh absorb works and its
     // persist writes the next version
     assert(DedupStreaming.absorbBatch(s2,
       docs.filter(col("doc_id") > maxId / 2)))
-    DedupStreaming.persistState(s2, stateDir)
+    assert(DedupStreaming.persistState(s2, stateDir),
+      "a post-absorb persist must report it wrote")
     assert(versions() != v0, "a post-absorb persist must commit a new version")
     val s3 = DedupStreaming.loadState(spark, stateDir)
     assert(s3.storeSig.count() == docs.count())
