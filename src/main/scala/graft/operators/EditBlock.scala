@@ -220,31 +220,124 @@ object EditBlock {
       .withColumn("short_pairs", col("n_short") * col("n_short"))
   }
 
+  /** [[candidateStat]] for EVERY threshold τ ∈ [1, tMax] in ONE plan — one
+    * row per τ: `(t, n_long, n_short, blocks, candidates, hottest_block,
+    * short_pairs)`. The round-12 [[priceRoute]] re-ran `candidateStat` per
+    * step-down τ (≤ t sequential actions, each re-scanning the corpus);
+    * here τ is just another explode dimension — every string fans out to
+    * (τ, segment/window) key rows for all τ at once, the per-τ corpus
+    * counts ride the same union as a null-key leg, and ONE two-level
+    * aggregation yields the whole monotone pricing vector, so routing is a
+    * single action regardless of how far it steps down (EditBlockSpec pins
+    * both the per-τ equality with [[candidateStat]] and the one-execution
+    * accounting). KEY-ONLY rows (no id/string payload) — the statistic's
+    * wire is (τ, m, si, seg) + four tag longs, partial-aggregated map-side.
+    *
+    * Cost note, measured at 10× (local[32]): the all-τ fan-out is ~1.8× the
+    * τ=4-only generation (Σ_τ window·lens weights), but one action instead
+    * of up to four and no payload columns — net ~even when the requested t
+    * is affordable, and strictly cheaper the further the route steps down
+    * (the 100× corpus steps 4→2: one action instead of three). */
+  def candidateStatVector(df: DataFrame, idCol: String, strCol: String,
+      tMax: Int): DataFrame = {
+    require(tMax >= 1, "threshold must be >= 1")
+    // column twins of segStart/segLen with k = t+1 as a COLUMN (the scalar
+    // versions take k as an Int; here t varies per row)
+    def cStart(m: Column, i: Column, t: Column): Column =
+      (lit(1) + i * floor(m / (t + 1)).cast("int") +
+        least(i, m % (t + 1))).cast("int")
+    def cLen(m: Column, i: Column, t: Column): Column =
+      (floor(m / (t + 1)).cast("int") +
+        when(i < m % (t + 1), lit(1)).otherwise(lit(0))).cast("int")
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val s = df.select(col(idCol).as("id"), col(strCol).as("s"),
+        length(col(strCol)).as("n")).filter(col("s").isNotNull)
+      .repartition(par, col("id"))
+      .select(col("s"), col("n"))
+    val st = s.select(col("s"), col("n"),
+      explode(sequence(lit(1), lit(tMax))).as("t"))
+    val zero = lit(0L)
+    // index leg: own segments of the τ-long (n > τ) strings, key-only
+    val idxK = st.filter(col("n") > col("t"))
+      .select(col("s"), col("n").as("m"), col("t"),
+        explode(sequence(lit(0), col("t"))).as("si"))
+      .select(col("t"), col("m"), col("si"),
+        col("s").substr(cStart(col("m"), col("si"), col("t")),
+          cLen(col("m"), col("si"), col("t"))).as("seg"))
+      .filter(length(col("seg")) > 0)
+      .select(col("t"), col("m"), col("si"), col("seg"),
+        zero.as("pc"), lit(1L).as("ic"), zero.as("lc"), zero.as("sc"))
+    // probe leg: the multi-match-aware window substrings (same arithmetic
+    // as segTables, t as a column). lens twin: a length m occurring in the
+    // corpus is a τ-long partner length iff m > τ — one broadcast distinct
+    // over ALL lengths serves every τ.
+    val lensAll = s.select(col("n").as("m")).distinct()
+    val probeK = st.join(broadcast(lensAll),
+        abs(col("n") - col("m")) <= col("t") && col("m") > col("t"))
+      .select(col("s"), col("n"), col("m"), col("t"),
+        explode(sequence(lit(0), col("t"))).as("si"))
+      .withColumn("st", cStart(col("m"), col("si"), col("t")))
+      .withColumn("ln", cLen(col("m"), col("si"), col("t")))
+      .withColumn("dlt", (col("n") - col("m")).cast("int"))
+      .withColumn("lo", greatest(lit(1), col("st") +
+        greatest(-col("si"), col("dlt") - (col("t") - col("si")))))
+      .withColumn("hi", least(col("n") - col("ln") + 1, col("st") +
+        least(col("si"), col("dlt") + (col("t") - col("si")))))
+      .filter(col("ln") > 0 && col("lo") <= col("hi"))
+      .select(col("s"), col("t"), col("m"), col("si"), col("ln"),
+        explode(sequence(col("lo"), col("hi"))).as("p"))
+      .select(col("t"), col("m"), col("si"),
+        col("s").substr(col("p"), col("ln")).as("seg"),
+        lit(1L).as("pc"), zero.as("ic"), zero.as("lc"), zero.as("sc"))
+    // corpus-count leg: per-τ long/short tallies under a null block key
+    val cntK = st.select(col("t"),
+      lit(null).cast("int").as("m"), lit(null).cast("int").as("si"),
+      lit(null).cast("string").as("seg"), zero.as("pc"), zero.as("ic"),
+      when(col("n") > col("t"), 1L).otherwise(0L).as("lc"),
+      when(col("n") <= col("t"), 1L).otherwise(0L).as("sc"))
+    probeK.unionByName(idxK).unionByName(cntK)
+      .groupBy("t", "m", "si", "seg")
+      .agg(sum("pc").as("pc"), sum("ic").as("ic"),
+        sum("lc").as("lc"), sum("sc").as("sc"))
+      .groupBy("t").agg(
+        sum("lc").as("n_long"), sum("sc").as("n_short"),
+        coalesce(sum(when(col("pc") > 0 && col("ic") > 0, 1L)
+          .otherwise(0L)), lit(0L)).as("blocks"),
+        coalesce(sum(col("pc") * col("ic")), lit(0L)).as("candidates"),
+        coalesce(max(col("pc") * col("ic")), lit(0L)).as("hottest_block"))
+      .withColumn("short_pairs", col("n_short") * col("n_short"))
+  }
+
   /** One routing decision of [[nearPairsRouted]], with the numbers it was
     * made from — returned to the caller and stamped onto every output row
     * so a downstream consumer (or the driver oracle) can re-derive it. */
   final case class RouteDecision(route: String, tUsed: Int,
       pricedCandidates: Long, budget: Long)
 
-  /** Price the blocking join at `t`, stepping t down (re-pricing each
-    * step — each pricing is one linear job) until
-    * `candidates + short_pairs` fits `candidateBudget`. Returns the
-    * decision: `exact` when the requested t is affordable, `capped` when a
-    * tighter t' < t is (the capped path bounds OUTPUT as well — a corpus
-    * adversarial enough to blow the candidate budget is the same corpus
-    * whose duplicate families blow the pair sink). Throws when even t = 1
-    * is over budget: silently running a priced-unaffordable join is the
-    * exact failure mode the statistic exists to prevent, so the caller
-    * must raise the budget (or sample the corpus) CONSCIOUSLY. Driver
-    * cost: ≤ t one-row collects. */
+  /** Price the blocking join for every τ ≤ t in ONE action
+    * ([[candidateStatVector]]) and pick the largest τ whose
+    * `candidates + short_pairs` fits `candidateBudget` — identical to the
+    * round-12 step-down (scanning τ = t, t−1, … and stopping at the first
+    * affordable τ IS the max affordable τ), but one job instead of up to
+    * t sequential pricings. Returns the decision: `exact` when the
+    * requested t is affordable, `capped` when only a tighter τ < t is (the
+    * capped path bounds OUTPUT as well — a corpus adversarial enough to
+    * blow the candidate budget is the same corpus whose duplicate families
+    * blow the pair sink). Throws when even τ = 1 is over budget: silently
+    * running a priced-unaffordable join is the exact failure mode the
+    * statistic exists to prevent, so the caller must raise the budget (or
+    * sample the corpus) CONSCIOUSLY. Driver cost: one ≤t-row collect. */
   def priceRoute(df: DataFrame, idCol: String, strCol: String,
       t: Int, candidateBudget: Long): RouteDecision = {
     require(candidateBudget >= 1, "candidateBudget must be >= 1")
+    // an empty corpus yields an empty vector: every τ prices 0 (affordable)
+    val totals = candidateStatVector(df, idCol, strCol, t)
+      .select(col("t"),
+        (col("candidates") + col("short_pairs")).as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     var cur = t
     while (cur >= 1) {
-      val priced = candidateStat(df, idCol, strCol, cur)
-        .select((col("candidates") + col("short_pairs")).as("total"))
-        .head().getLong(0)
+      val priced = totals.getOrElse(cur, 0L)
       if (priced <= candidateBudget)
         return RouteDecision(if (cur == t) "exact" else "capped",
           cur, priced, candidateBudget)

@@ -190,6 +190,66 @@ class EditBlockSpec extends SparkSpec {
     assert(e.getMessage.contains("over budget"))
   }
 
+  test("candidateStatVector == candidateStat at every t, and priceRoute is ONE action") {
+    // round-12 verdict item 3: the step-down re-priced per t (≤t sequential
+    // actions). The vector must be numerically identical to the per-t
+    // statistic — it IS the oracle-checked pricing arithmetic, computed for
+    // all t in one pass — and routing must cost exactly one SQL execution
+    // no matter how far it steps down.
+    import spark.implicits._
+    val fam = (0 until 12).flatMap(g => (0 until 5).map(j =>
+      (g * 10L + j, s"shared prefix block $g suffix $j"))).toDF("id", "s")
+    for (df <- Seq(fixture, fam)) {
+      val vec = EditBlock.candidateStatVector(df, "id", "s", 4)
+        .collect().map(r => r.getAs[Int]("t") -> r).toMap
+      assert(vec.keySet == Set(1, 2, 3, 4))
+      for (t <- 1 to 4) {
+        val one = EditBlock.candidateStat(df, "id", "s", t).head()
+        for (c <- Seq("n_long", "n_short", "blocks", "candidates",
+            "hottest_block", "short_pairs"))
+          assert(vec(t).getAs[Long](c) == one.getAs[Long](c),
+            s"vector diverged from candidateStat at t=$t on $c: " +
+              s"${vec(t).getAs[Long](c)} vs ${one.getAs[Long](c)}")
+      }
+    }
+    // one-action accounting (the CardinalityStatsSpec pattern, at the SQL-
+    // execution grain — AQE splits one execution into many jobs, so jobs
+    // are the wrong unit): run priceRoute on a corpus that STEPS DOWN, and
+    // the listener must see exactly one root SQLExecutionStart.
+    import org.apache.spark.scheduler.SparkListener
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val listener = new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: SparkListenerSQLExecutionStart =>
+            // AQE re-entrant sub-executions carry a rootExecutionId that
+            // differs from their own id; count ROOT executions only
+            if (s.rootExecutionId.forall(_ == s.executionId))
+              execs.add(s.executionId)
+          case _ => ()
+        }
+    }
+    def total(t: Int): Long = EditBlock.candidateStat(fam, "id", "s", t)
+      .select(col("candidates") + col("short_pairs")).head().getLong(0)
+    val budget = (total(4) + total(2)) / 2
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = EditBlock.priceRoute(fam, "id", "s", 4, budget)
+      assert(d.route == "capped" && d.tUsed < 4)
+      // flush the FIFO listener bus: run a marker execution and wait until
+      // the listener has seen it — every earlier event is then processed
+      val priced = execs.size
+      spark.range(1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (execs.size <= priced && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(execs.size > priced, "listener flush execution never seen")
+      assert(priced == 1,
+        s"a stepped-down priceRoute must be ONE action, saw $priced")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("blocked pairs == all pairs on a random mutation corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
