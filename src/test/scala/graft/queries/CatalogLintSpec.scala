@@ -75,10 +75,14 @@ object CatalogLintSpec {
     "e4_quality_p75" -> Set("theta-bnlj"),
     "e8_mix_rebalance" -> Set("theta-bnlj"),
     "j13_dormant_customers" -> Set("theta-bnlj"),
-    "e2_edit_blocked" -> Set("theta-bnlj"),
-    // the routed row plans the SAME two justified nodes as e2_edit_blocked
-    // (short×short fallback) and e2_edit_candidates (length-dictionary
-    // broadcast) — routing adds a pricing pass, not a new join shape
+    // (e2_edit_blocked's theta-bnlj entry was removed in round 13: the row
+    // now reads the once-per-fixture persisted pair artifact — verdict
+    // item 5 — so the short×short fallback join sits behind the artifact
+    // build, not in the row's plan)
+    // the routed row plans the SAME two justified nodes the exact join
+    // has (short×short fallback) and e2_edit_candidates has (length-
+    // dictionary broadcast) — routing adds a pricing pass, not a new
+    // join shape
     "e2_edit_routed" -> Set("theta-bnlj"),
     // same justified node as e2_edit_blocked: the probe side's |n−m| ≤ t
     // inequality join against the BROADCAST length dictionary — a
