@@ -88,6 +88,20 @@ object Bench {
       // after an expensive rep lets the cleaner drain before the next row;
       // cheap reps — the entire sf0.1 driver leg — never pay the ~0.1 s.
       if (dt._1 > 5.0) System.gc()
+      // Round-13 residue bisect (ProfileResidue, one JVM per config): a GC
+      // CALL is not a cleaner DRAIN — the weak-reference queue is processed
+      // by the cleaner thread AFTER the GC, and the next data-sized row
+      // re-pressures the heap before it finishes, so residue compounds
+      // across the 100x top tier (g2_coshare: 124 s in-sweep under the
+      // gc-only hygiene — one attempt died outright — vs 108 s with a
+      // drained reset vs 103 s isolated on the same session). For rows
+      // heavy enough to matter, pay ~4 s for the full drain: drop cached
+      // plans, GC, give the cleaner wall time, GC the now-unreferenced
+      // blocks. The sf0.1 leg (every row sub-2 s) never triggers this.
+      if (dt._1 > 30.0) {
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(2000); System.gc()
+      }
       dt
     }
 
