@@ -1069,17 +1069,21 @@ object TextOps {
         // to windows). Measured head-to-head at 10×/100× on a 90%-hot
         // footer corpus AND the natural fixture: unique-subtract ~2.2×
         // faster than the window everywhere, identical rows
-        // (HOTSHINGLE_r13.json; the kernel runs twice — explode is
-        // codegen'd and cheaper than shuffling windowed rows).
+        // (HOTSHINGLE_r13.json). n_shingles needs no posting rows at all —
+        // it is size(arr) on the pre-explode grain (the array IS the
+        // distinct-shingle set), so the single Generate has a single
+        // consumer and the kernel feeds both branches from one projection.
         // empty-shingle guard as the cheap length precondition — a filter
         // on the computed array would push below the projection and run
         // the shingle kernel twice per doc (the e4_fingerprint lesson)
-        val sh = docs(s, dir)
+        val based = docs(s, dir)
           .filter(length(col("text")) >= 8)
           .select(col("doc_id"), shingles(col("text"), 8).as("arr"))
+        val perDoc = based
+          .select(col("doc_id"), size(col("arr")).cast("long").as("n_shingles"))
+        val uniqPerDoc = based
           .select(col("doc_id"), explode(col("arr")).as("sh"))
-        val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-        val uniqPerDoc = sh.groupBy("sh")
+          .groupBy("sh")
           .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
           .filter(col("df") === 1)
           .groupBy("doc_id").agg(count(lit(1)).as("n_uniq"))

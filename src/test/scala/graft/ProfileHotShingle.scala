@@ -32,13 +32,17 @@ object ProfileHotShingle {
           .as("dup_frac"))
   }
 
-  /** The skew-proof aggregation-only shape. */
+  /** The skew-proof aggregation-only shape (matches the catalog row:
+    * n_shingles = size(arr) on the pre-explode grain, one Generate with
+    * one consumer). */
   def uniqueSubtractShape(docs: DataFrame): DataFrame = {
-    val sh = docs.filter(length(col("text")) >= 8)
+    val based = docs.filter(length(col("text")) >= 8)
       .select(col("doc_id"), shingles(col("text"), 8).as("arr"))
+    val perDoc = based
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n_shingles"))
+    val uniqPerDoc = based
       .select(col("doc_id"), explode(col("arr")).as("sh"))
-    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val uniqPerDoc = sh.groupBy("sh")
+      .groupBy("sh")
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
       .filter(col("df") === 1)
       .groupBy("doc_id").agg(count(lit(1)).as("n_uniq"))
