@@ -922,7 +922,11 @@ object VectorOps {
     * lets an at-least-once append sink serve exact results. */
   private[graft] def serveFromStorePath(s: SparkSession, storePath: String,
       queries: DataFrame, cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val store = s.read.schema(postingStoreSchema).parquet(storePath)
+    // manifest-aware when the store carries one (committed batches only —
+    // the isin filter on the ingest_batch partition column prunes at
+    // planning, so the DPP-pruned serving plan below is unchanged);
+    // byte-identical plain read otherwise
+    val store = graft.streaming.AnnStreaming.readStore(s, storePath)
     val probeTop = OrderedOps.topKPerGroup(centScored(queries, cents),
         Seq("vec_id"), Seq(col("c_cos").desc, col("c_id")), nprobe)
       .select(col("vec_id").as("q_id"), col("c_id").as("cluster"))

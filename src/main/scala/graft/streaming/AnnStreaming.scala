@@ -145,7 +145,9 @@ object AnnStreaming {
       val hasData = entries.exists(n =>
         !n.startsWith("_") && !n.startsWith("."))
       if (hasData) {
-        val mx = spark.read.parquet(storePath).agg(max(col("vec_id"))).head()
+        // manifest-aware: a torn (landed-but-unmanifested) batch must not
+        // feed the high-water mark — its replay re-lands it anyway
+        val mx = readStore(spark, storePath).agg(max(col("vec_id"))).head()
         if (!mx.isNullAt(0)) state.maxSeenId = mx.getLong(0)
       }
     }
@@ -181,6 +183,58 @@ object AnnStreaming {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(p) && fs.listStatus(p).exists(
       _.getPath.getName.startsWith("cluster="))
+  }
+
+  private def fsOf(spark: SparkSession,
+      storePath: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Current committed-batch manifest of `storePath`, when it has one —
+    * see [[graft.sources.StoreManifest]]. None = legacy store (every
+    * landed directory is visible). */
+  def manifest(spark: SparkSession, storePath: String): Option[Set[Long]] = {
+    val (fs, p) = fsOf(spark, storePath)
+    graft.sources.StoreManifest.read(fs, p)
+  }
+
+  /** Turn an existing (quiesced) streamed store into a MANIFESTED store:
+    * every landed batch becomes committed, and from here on landings and
+    * consolidations maintain the manifest while readers filter on it —
+    * torn directories are invisible by visibility rule, not by naming, and
+    * consolidation becomes one atomic manifest swap
+    * (StreamingManifestSpec). */
+  def enableManifest(spark: SparkSession, storePath: String): Set[Long] = {
+    if (isBatchBuiltLayout(spark, storePath))
+      throw new IllegalStateException(
+        s"$storePath holds a batch-built posting store (top-level " +
+          "cluster= layout) — the manifest commits ingest_batch ids; " +
+          "migrate the store first (migrateBatchBuiltStore)")
+    val (fs, p) = fsOf(spark, storePath)
+    graft.sources.StoreManifest.bootstrap(fs, p)
+  }
+
+  /** The whole-store posting read every serving/maintenance path shares:
+    * manifest-filtered (`ingest_batch IN manifest` — partition pruning; an
+    * un-manifested directory's files are never opened) when the store is
+    * manifested, the plain partitioned read otherwise. Column set is the
+    * posting contract `(vec_id, v, nrm, cluster)` either way, so the
+    * serving plan above is byte-identical across modes. */
+  def readStore(spark: SparkSession, storePath: String): DataFrame = {
+    import graft.queries.VectorOps.postingStoreSchema
+    manifest(spark, storePath) match {
+      case Some(ids) =>
+        spark.read
+          .schema(postingStoreSchema.add("ingest_batch",
+            org.apache.spark.sql.types.LongType))
+          .parquet(storePath)
+          .filter(col("ingest_batch").isin(ids.toSeq: _*))
+          .select(postingStoreSchema.fieldNames.map(col): _*)
+      case None =>
+        spark.read.schema(postingStoreSchema).parquet(storePath)
+    }
   }
 
   /** Absorb one micro-batch into the ON-DISK store. The landing is
@@ -221,10 +275,22 @@ object AnnStreaming {
         // retire a previous landing of this batchId (replay heal): between
         // the delete and the rename a reader briefly misses the batch —
         // strictly safer than the partial content it could read before
+        // (under a manifest the window disappears: the rewrite happens on
+        // an id the replay implies was never manifested, or the delete+
+        // rename swaps byte-equal content)
         if (fs.exists(dest)) fs.delete(dest, true)
         if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dest))
           throw new IllegalStateException(
             s"could not commit landing $staging -> $dest")
+        // manifested store: the landing COMMITS when its id enters the
+        // manifest (idempotent set-add). A crash between the rename and
+        // this write leaves an un-manifested directory that every reader
+        // ignores and the foreachBatch replay rewrites-then-manifests.
+        val (mfs, mp) = fsOf(b.sparkSession, storePath)
+        graft.sources.StoreManifest.read(mfs, mp).foreach { ids =>
+          if (!ids.contains(batchId))
+            graft.sources.StoreManifest.write(mfs, mp, ids + batchId)
+        }
       }
       if (batchId <= state.lastBatchId) {
         // crash-replay of an already-landed batchId (same data by the
@@ -241,7 +307,7 @@ object AnnStreaming {
         }
       } else {
         StreamGuards.classify(b.select("vec_id"), state.maxSeenId,
-          b.sparkSession.read.parquet(storePath).select("vec_id"),
+          readStore(b.sparkSession, storePath).select("vec_id"),
           "vec_id", "ANN ingest") match {
           case FreshBatch(maxId) =>
             land()
@@ -429,6 +495,8 @@ object AnnStreaming {
       targetBytes: Long = 128L * 1024 * 1024): ConsolidationStats = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (graft.sources.StoreManifest.read(fs, p).isDefined)
+      return consolidateManifested(spark, storePath, targetBytes)
     def batchDirs() = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith("ingest_batch=")).toSeq
     def filesUnder(paths: Seq[org.apache.hadoop.fs.Path]): Seq[(String, Long)] =
@@ -513,6 +581,114 @@ object AnnStreaming {
       filesUnder(after).size.toLong, rows, skipped = false)
   }
 
+  /** [[consolidateStore]] for a MANIFESTED store — the fold becomes
+    * visible as ONE manifest swap, so a concurrent reader sees the store
+    * either entirely pre-fold or entirely post-fold (the park window's
+    * missing-whole-batches intermediate state is gone; StreamingManifestSpec
+    * pins exactly-two legal reader counts). Protocol: fold every manifested
+    * batch except the newest into a FRESH consolidated id (one below the
+    * store's minimum — repeated folds walk −2, −3, …, so the target never
+    * collides with a prior fold being folded), verify, stamp the run token
+    * inside, rename into place (still un-manifested = invisible), swap the
+    * manifest (THE commit), then park + sweep the folded sources. A crash
+    * before the swap leaves an un-manifested fold dir that recovery
+    * deletes (every row still lives in the manifested sources); a crash
+    * after the swap leaves parked-or-live source dirs that recovery sweeps
+    * (their token's fold dir is manifested). Same single-consolidator and
+    * no-concurrent-restart constraints as the legacy protocol; landings
+    * may run concurrently — they touch neither the source snapshot nor the
+    * manifest entries this fold swaps (set-union on disjoint ids). */
+  private def consolidateManifested(spark: SparkSession, storePath: String,
+      targetBytes: Long): ConsolidationStats = {
+    val (fs, p) = fsOf(spark, storePath)
+    def filesUnder(paths: Seq[org.apache.hadoop.fs.Path]): Long =
+      paths.map { d =>
+        val it = fs.listFiles(d, true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }.sum
+    val stale = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(ParkPrefix))
+    if (stale.nonEmpty)
+      throw new IllegalStateException(
+        s"$storePath holds parked sources from a crashed consolidation " +
+          s"(${stale.mkString(", ")}); run recoverConsolidation first")
+    val ids = graft.sources.StoreManifest.read(fs, p).get
+    def dirOf(id: Long) = new org.apache.hadoop.fs.Path(p, s"ingest_batch=$id")
+    val allDirs = ids.toSeq.sorted.map(dirOf)
+    val filesBefore = filesUnder(allDirs)
+    val newest = ids.foldLeft(Long.MinValue)(math.max)
+    val sourceIds = (ids - newest).toSeq.sorted
+    if (sourceIds.size < 2)
+      return ConsolidationStats(ids.size, ids.size, filesBefore,
+        filesBefore, -1, skipped = true)
+    val sources = sourceIds.map(dirOf)
+    val foldId = math.min(ids.min, -1L) - 1
+    val token = java.util.UUID.randomUUID.toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(p, ".staging_consolidated")
+    fs.delete(staging, true)
+    val src = spark.read.option("basePath", storePath)
+      .parquet(sources.map(_.toString): _*)
+    val srcBytes = sources.map(fs.getContentSummary(_).getLength).sum
+    val want = math.max(1L, (srcBytes + targetBytes - 1) / targetBytes).toInt
+    src.select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+      .coalesce(want)
+      .write.partitionBy("cluster").parquet(staging.toString)
+    val rows = spark.read.parquet(staging.toString).count()
+    val rowsExpected = src.count()
+    if (rows != rowsExpected) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"consolidation of $storePath dropped rows " +
+          s"($rowsExpected -> $rows); sources left untouched")
+    }
+    // the token file records the fold's SOURCE ids: after the manifest
+    // swap those dirs are un-manifested garbage indistinguishable from an
+    // in-flight landing by name alone — the recorded list lets recovery
+    // delete exactly them and nothing else
+    val tok = fs.create(new org.apache.hadoop.fs.Path(staging,
+      s"$CommitMarkerPrefix$token"), true)
+    try tok.write(sourceIds.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally tok.close()
+    consolidateCrashpoint("verified")
+    if (!fs.rename(staging, dirOf(foldId)))
+      throw new IllegalStateException(
+        s"could not move $staging into place — store unchanged " +
+          "(the fold dir is un-manifested either way)")
+    consolidateCrashpoint("placed")
+    // THE commit: one manifest swap flips every reader from the old batch
+    // set to the folded one
+    graft.sources.StoreManifest.write(fs, p,
+      ids -- sourceIds + foldId)
+    consolidateCrashpoint("manifested")
+    // retire the now-invisible sources: park (dot-prefixed, token-tagged),
+    // then sweep — recovery can tell these parks committed because their
+    // token's fold dir is manifested
+    sources.foreach { s =>
+      if (!fs.rename(s, new org.apache.hadoop.fs.Path(p,
+          parkName(token, s.getName))))
+        throw new IllegalStateException(s"could not park $s — run " +
+          "recoverConsolidation to finish the committed fold's cleanup")
+      consolidateCrashpoint(s"parked:${s.getName}")
+    }
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith(ParkPrefix)).foreach(fs.delete(_, true))
+    val after = (ids -- sourceIds + foldId).toSeq.sorted.map(dirOf)
+    ConsolidationStats(ids.size, after.size, filesBefore,
+      filesUnder(after), rows, skipped = false)
+  }
+
+  /** True when `dir` holds a consolidation run's commit token whose id is
+    * in `ids` — the "this park committed" test of manifested recovery. */
+  private def manifestedTokenDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, ids: Set[Long],
+      token: String): Boolean =
+    ids.exists(id => fs.exists(new org.apache.hadoop.fs.Path(p,
+      s"ingest_batch=$id/$CommitMarkerPrefix$token")))
+
   /** Heal a crashed [[consolidateStore]]: parks whose run token has its
     * `_commit_<token>` marker inside the CURRENT `ingest_batch=-2` are that
     * committed run's leftovers and sweep; every other park — including a
@@ -529,6 +705,10 @@ object AnnStreaming {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return
+    graft.sources.StoreManifest.read(fs, p) match {
+      case Some(ids) => recoverManifested(fs, p, ids); return
+      case None => ()
+    }
     val staging = new org.apache.hadoop.fs.Path(p, ".staging_consolidated")
     val parked = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith(ParkPrefix)).toSeq
@@ -549,6 +729,64 @@ object AnnStreaming {
         }
     }
     fs.delete(staging, true)
+  }
+
+  /** [[recoverConsolidation]] for a MANIFESTED store. The manifest is the
+    * visibility authority, which makes every crash shape a local cleanup:
+    *
+    *  - an UN-manifested `ingest_batch=` dir carrying a consolidation
+    *    commit token = a fold that crashed between being renamed into
+    *    place and the manifest swap → deleted; every row still lives in
+    *    the manifested sources, and no reader ever saw the dir;
+    *  - a park whose token's fold dir IS manifested = a committed fold's
+    *    interrupted cleanup → swept;
+    *  - any other park (foreign/hand-planted — the manifested protocol
+    *    only parks after its swap) → restored, which is harmless: an
+    *    un-manifested dir is invisible until someone manifests it;
+    *  - an un-manifested dir whose id appears in a MANIFESTED fold's
+    *    recorded source list = a committed fold's un-started cleanup
+    *    (crash between swap and park) → deleted; its rows live in the
+    *    manifested fold;
+    *  - un-manifested REAL batch dirs in neither category are in-flight or
+    *    torn landings → left alone; the foreachBatch replay rewrites and
+    *    then manifests them (readers never saw them either way). */
+  private def recoverManifested(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, ids: Set[Long]): Unit = {
+    val entries = fs.listStatus(p).map(_.getPath)
+    // source ids recorded by every MANIFESTED fold's token file: those
+    // dirs' rows are committed inside the fold, so stray copies delete
+    val foldedAway: Set[Long] = ids.flatMap { id =>
+      val d = new org.apache.hadoop.fs.Path(p, s"ingest_batch=$id")
+      if (!fs.exists(d)) Set.empty[Long]
+      else fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.startsWith(CommitMarkerPrefix))
+        .flatMap { t =>
+          val in = fs.open(t)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+          finally in.close()
+        }.toSet
+    }
+    entries.filter(_.getName.startsWith("ingest_batch=")).foreach { d =>
+      val id = d.getName.stripPrefix("ingest_batch=").toLong
+      if (!ids.contains(id)) {
+        val hasToken = fs.listStatus(d).exists(
+          _.getPath.getName.startsWith(CommitMarkerPrefix))
+        if (hasToken || foldedAway.contains(id)) fs.delete(d, true)
+      }
+    }
+    entries.filter(_.getName.startsWith(ParkPrefix)).foreach { s =>
+      if (manifestedTokenDir(fs, p, ids, parkToken(s.getName)))
+        fs.delete(s, true)
+      else {
+        val back = new org.apache.hadoop.fs.Path(p,
+          parkSourceName(s.getName))
+        if (fs.exists(back) || !fs.rename(s, back))
+          throw new IllegalStateException(
+            s"could not roll back parked $s — restore it manually")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(p, ".staging_consolidated"), true)
   }
 
   /** Serve top-k from the stream-maintained index — the identical plan as
