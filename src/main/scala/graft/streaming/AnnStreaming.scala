@@ -596,8 +596,11 @@ object AnnStreaming {
     * after the swap leaves parked-or-live source dirs that recovery sweeps
     * (their token's fold dir is manifested). Same single-consolidator and
     * no-concurrent-restart constraints as the legacy protocol; landings
-    * may run concurrently — they touch neither the source snapshot nor the
-    * manifest entries this fold swaps (set-union on disjoint ids). */
+    * may run concurrently — they touch neither the source snapshot nor
+    * the entries the fold removes, and the swap is computed as a delta
+    * against a fresh manifest read so a mid-fold landing keeps its entry
+    * (StreamingManifestSpec drives one). Two SIMULTANEOUS manifest writes
+    * (same microsecond) remain the stated multi-writer gap. */
   private def consolidateManifested(spark: SparkSession, storePath: String,
       targetBytes: Long): ConsolidationStats = {
     val (fs, p) = fsOf(spark, storePath)
@@ -660,9 +663,16 @@ object AnnStreaming {
           "(the fold dir is un-manifested either way)")
     consolidateCrashpoint("placed")
     // THE commit: one manifest swap flips every reader from the old batch
-    // set to the folded one
+    // set to the folded one. The swap is a DELTA against a FRESH manifest
+    // read, not the entry snapshot: a batch that landed-and-manifested
+    // while the fold ran keeps its entry (the fold only removes its own
+    // sources and adds its fold id). What remains unarbitrated is two
+    // simultaneous manifest writes in the microseconds between this read
+    // and the version-file create — the multi-writer gap a real table
+    // format's commit protocol closes (SURVEY §18.8).
+    val atSwap = graft.sources.StoreManifest.read(fs, p).getOrElse(ids)
     graft.sources.StoreManifest.write(fs, p,
-      ids -- sourceIds + foldId)
+      atSwap -- sourceIds + foldId)
     consolidateCrashpoint("manifested")
     // retire the now-invisible sources: park (dot-prefixed, token-tagged),
     // then sweep — recovery can tell these parks committed because their

@@ -148,6 +148,45 @@ class StreamingManifestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a landing that commits mid-fold keeps its manifest entry (delta swap)") {
+    // the fold's swap is a delta against a FRESH manifest read: a batch
+    // that lands (and manifests) while the fold is staging must survive
+    // the cutover — an entry-snapshot swap would silently drop it
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val (in, store) = freshPaths("midfold")
+    val q = AnnStreaming.runIvfStoreAppendStream(spark, in, embRaw.schema,
+      store, new AnnStreaming.StoreAppendState, cents)
+    try {
+      def land(lo: Long, hi: Long): Unit = {
+        embRaw.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+      land(0, 100); land(100, 200); land(200, 300)
+      AnnStreaming.enableManifest(spark, store)
+      var landedInWindow = false
+      AnnStreaming.consolidateCrashpoint = s =>
+        if (s == "verified" && !landedInWindow) {
+          landedInWindow = true
+          land(300, 400) // lands AND manifests inside the fold window
+        }
+      val stats = try AnnStreaming.consolidateStore(spark, store)
+        finally AnnStreaming.consolidateCrashpoint = _ => ()
+      assert(landedInWindow && !stats.skipped && stats.rows == 200L)
+      assert(AnnStreaming.manifest(spark, store).get == Set(-2L, 2L, 3L),
+        "the mid-fold landing must keep its manifest entry across the swap")
+      assert(AnnStreaming.readStore(spark, store).count() == 400L,
+        "the mid-fold landing or a folded batch was lost")
+      land(400, 450)
+      assert(AnnStreaming.readStore(spark, store).count() == 450L)
+    } finally {
+      AnnStreaming.consolidateCrashpoint = _ => ()
+      q.stop()
+    }
+  }
+
   test("manifested fold crash shapes all recover to zero loss and identical serving") {
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
