@@ -492,11 +492,16 @@ object AnnStreaming {
     * — and the serving plan is unchanged (`cluster` stays a partition
     * column one level down, DPP still prunes un-probed lists). */
   def consolidateStore(spark: SparkSession, storePath: String,
-      targetBytes: Long = 128L * 1024 * 1024): ConsolidationStats = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      retainSources: Boolean = false): ConsolidationStats = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (graft.sources.StoreManifest.read(fs, p).isDefined)
-      return consolidateManifested(spark, storePath, targetBytes)
+      return consolidateManifested(spark, storePath, targetBytes,
+        retainSources)
+    require(!retainSources, "retainSources needs a manifested store — " +
+      "the legacy protocol's park rename IS its visibility mechanism, so " +
+      "sources cannot stay in place; enableManifest first")
     def batchDirs() = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith("ingest_batch=")).toSeq
     def filesUnder(paths: Seq[org.apache.hadoop.fs.Path]): Seq[(String, Long)] =
@@ -602,7 +607,7 @@ object AnnStreaming {
     * (StreamingManifestSpec drives one). Two SIMULTANEOUS manifest writes
     * (same microsecond) remain the stated multi-writer gap. */
   private def consolidateManifested(spark: SparkSession, storePath: String,
-      targetBytes: Long): ConsolidationStats = {
+      targetBytes: Long, retainSources: Boolean = false): ConsolidationStats = {
     val (fs, p) = fsOf(spark, storePath)
     def filesUnder(paths: Seq[org.apache.hadoop.fs.Path]): Long =
       paths.map { d =>
@@ -674,18 +679,27 @@ object AnnStreaming {
     graft.sources.StoreManifest.write(fs, p,
       atSwap -- sourceIds + foldId)
     consolidateCrashpoint("manifested")
-    // retire the now-invisible sources: park (dot-prefixed, token-tagged),
-    // then sweep — recovery can tell these parks committed because their
-    // token's fold dir is manifested
-    sources.foreach { s =>
-      if (!fs.rename(s, new org.apache.hadoop.fs.Path(p,
-          parkName(token, s.getName))))
-        throw new IllegalStateException(s"could not park $s — run " +
-          "recoverConsolidation to finish the committed fold's cleanup")
-      consolidateCrashpoint(s"parked:${s.getName}")
+    // retire the now-invisible sources — unless the caller RETAINS them:
+    // with retainSources the fold stops here, leaving the source dirs in
+    // place (un-manifested = invisible to every new reader, but still
+    // readable by a scan that planned against the pre-swap manifest — the
+    // snapshot-retention posture of a table format). The deferred cleanup
+    // IS recoverConsolidation: the fold's token file records its source
+    // ids, so the vacuum deletes exactly them whenever the operator next
+    // runs it. Default: park (dot-prefixed, token-tagged) then sweep —
+    // recovery can tell these parks committed because their token's fold
+    // dir is manifested.
+    if (!retainSources) {
+      sources.foreach { s =>
+        if (!fs.rename(s, new org.apache.hadoop.fs.Path(p,
+            parkName(token, s.getName))))
+          throw new IllegalStateException(s"could not park $s — run " +
+            "recoverConsolidation to finish the committed fold's cleanup")
+        consolidateCrashpoint(s"parked:${s.getName}")
+      }
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith(ParkPrefix)).foreach(fs.delete(_, true))
     }
-    fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith(ParkPrefix)).foreach(fs.delete(_, true))
     val after = (ids -- sourceIds + foldId).toSeq.sorted.map(dirOf)
     ConsolidationStats(ids.size, after.size, filesBefore,
       filesUnder(after), rows, skipped = false)

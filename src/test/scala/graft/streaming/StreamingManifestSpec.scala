@@ -187,6 +187,54 @@ class StreamingManifestSpec extends SparkSpec {
     }
   }
 
+  test("retainSources: the pre-fold snapshot stays readable until the vacuum") {
+    // snapshot retention: with retainSources the fold swaps the manifest
+    // but leaves the source dirs in place — invisible to every NEW reader,
+    // still readable by a scan that planned against the pre-swap manifest
+    // (the table-format retention posture). The vacuum IS
+    // recoverConsolidation, which deletes exactly the fold's recorded
+    // sources.
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val (in, store) = freshPaths("retain")
+    val q = AnnStreaming.runIvfStoreAppendStream(spark, in, embRaw.schema,
+      store, new AnnStreaming.StoreAppendState, cents)
+    try {
+      def land(lo: Long, hi: Long): Unit = {
+        embRaw.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+      land(0, 100); land(100, 200); land(200, 300)
+      AnnStreaming.enableManifest(spark, store)
+      val stats = AnnStreaming.consolidateStore(spark, store,
+        retainSources = true)
+      assert(!stats.skipped && stats.rows == 200L)
+      assert(AnnStreaming.manifest(spark, store).get == Set(-2L, 2L))
+      assert(AnnStreaming.readStore(spark, store).count() == 300L)
+      // the retained snapshot: source dirs still on disk and readable by
+      // an old-manifest scan, while new readers never see them
+      for (id <- Seq(0L, 1L))
+        assert(new java.io.File(store, s"ingest_batch=$id").isDirectory,
+          s"retained source ingest_batch=$id must stay on disk")
+      val oldSnapshot = spark.read.option("basePath", store)
+        .parquet(s"$store/ingest_batch=0", s"$store/ingest_batch=1")
+      assert(oldSnapshot.count() == 200L,
+        "a pre-swap reader's files must remain readable until the vacuum")
+      // the vacuum deletes exactly the fold's recorded sources
+      AnnStreaming.recoverConsolidation(spark, store)
+      val onDisk = new java.io.File(store).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+        .map(_.getName.stripPrefix("ingest_batch=").toLong).toSet
+      assert(onDisk == Set(-2L, 2L),
+        s"the vacuum must remove the retained sources, left: $onDisk")
+      assert(AnnStreaming.readStore(spark, store).count() == 300L)
+      land(300, 350)
+      assert(AnnStreaming.readStore(spark, store).count() == 350L)
+    } finally q.stop()
+  }
+
   test("manifested fold crash shapes all recover to zero loss and identical serving") {
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
