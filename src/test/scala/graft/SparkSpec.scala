@@ -5,7 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all suites (one JVM-wide session, lazy). */
 object TestSpark {
-  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  lazy val spark: SparkSession = {
+    val s = GraftSession.local(4, "graft-test")
+    // the manifest CAS specs race readers against mid-write version files;
+    // FSInputChecker handles that (reads on without the checksum) but
+    // WARN-logs a full EOFException trace each time — noise, not signal.
+    // Set AFTER session init: Spark's logging bootstrap reconfigures log4j.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.fs.FSInputChecker",
+      org.apache.logging.log4j.Level.ERROR)
+    s
+  }
 }
 
 abstract class SparkSpec extends AnyFunSuite {

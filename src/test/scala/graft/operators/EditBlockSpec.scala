@@ -279,4 +279,28 @@ class EditBlockSpec extends SparkSpec {
       assert(blocked(df, t) === allPairs(df, t), s"t=$t")
     }
   }
+
+  test("the routed CATALOG ROW fails fast on a corpus priced over budget at every t — before any compare") {
+    // the refuse asymmetry as CONTRACT (round-13 verdict item 5): the
+    // oracle SQL models the exact and capped branches; the refuse branch
+    // is deliberately asymmetric — SQL would return an empty set, Scala
+    // THROWS at the catalog-row CALL (priceRoute's driver-side pricing
+    // action runs before any join is planned), so a fixture priced over
+    // budget at every τ fails the row loudly before the driver ever
+    // compares. Fixture: one 30-char template stamped 25k times — at the
+    // row's real 5×10⁸ budget even τ=1 prices ≈ 2·(25k)² = 1.25×10⁹.
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_refuse_fixture").toString
+    (0L until 25000L).map(i => (i, "the same boilerplate, every time"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.queries.QueryCatalog.queries("e2_edit_routed")(spark, tmp)
+    }
+    assert(e.getMessage.contains("over budget at every t"),
+      s"the refuse must carry the route's message: ${e.getMessage}")
+    assert(e.getMessage.contains("raise the budget or sample the corpus"),
+      "the refuse must tell the operator the two ways out")
+  }
 }

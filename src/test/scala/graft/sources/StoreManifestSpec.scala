@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** The manifest's commit arbitration (round-13 verdict item 1 — the
+  * round's one `weak` contract): [[StoreManifest.commit]] is a
+  * compare-and-swap loop over versioned files, so two writers expressing
+  * DELTAS can interleave arbitrarily and both deltas survive; a torn
+  * version (crashed mid-write) is skipped by readers; version retirement
+  * retains the immediately-previous file so a reader racing two commits
+  * never opens a deleted path; counts (`id:rowcount`) round-trip next to
+  * the pre-round-14 bare-id format. */
+class StoreManifestSpec extends SparkSpec {
+
+  private def freshStore(tag: String): Path =
+    new Path(java.nio.file.Files
+      .createTempDirectory(s"graft_manifest_unit_$tag").toString + "/store")
+
+  private def fs = new Path("/tmp")
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("commit is a CAS: a competing commit inside the read->create window forces re-read + re-apply, both deltas survive") {
+    val store = freshStore("cas")
+    StoreManifest.commit(fs, store, _ => Map(0L -> Some(10L), 1L -> Some(20L)))
+    // writer A (the "fold"): removes 0 and 1, adds -2. Inside A's
+    // read->create window, writer B (the "landing") commits id 2 — the
+    // exact round-13 interleaving that used to let the later write clobber
+    // the earlier one.
+    @volatile var fired = false
+    StoreManifest.commitCrashpoint = _ =>
+      if (!fired) {
+        fired = true
+        StoreManifest.commit(fs, store, e => e + (2L -> Some(30L)))
+      }
+    val committed = try StoreManifest.commit(fs, store,
+        e => e -- Seq(0L, 1L) + (-2L -> Some(30L)))
+      finally StoreManifest.commitCrashpoint = _ => ()
+    assert(fired, "the seam never fired — the window was not exercised")
+    assert(committed == Map(-2L -> Some(30L), 2L -> Some(30L)),
+      s"the CAS retry must re-apply the delta over the winner: $committed")
+    assert(StoreManifest.readEntries(fs, store).get == committed,
+      "the committed manifest must carry BOTH writers' deltas")
+  }
+
+  test("a torn version is skipped: readers fall back, the next commit walks past it") {
+    val store = freshStore("torn")
+    StoreManifest.commit(fs, store, _ => Map(5L -> Some(50L)))
+    // shape 1: create happened, write didn't (zero-byte higher version)
+    fs.create(new Path(store, "_manifest_v1"), false).close()
+    assert(StoreManifest.readEntries(fs, store).get == Map(5L -> Some(50L)),
+      "a zero-byte version must be invisible to readers")
+    // shape 2: header present but the entry list is short (torn mid-body)
+    val out = fs.create(new Path(store, "_manifest_v2"), false)
+    out.write("#graft-manifest entries=3\n7\n8\n".getBytes("UTF-8"))
+    out.close()
+    assert(StoreManifest.readEntries(fs, store).get == Map(5L -> Some(50L)),
+      "a header/body count mismatch must read as torn")
+    // a new commit arbitrates past the torn files and becomes current
+    StoreManifest.commit(fs, store, e => e + (6L -> None))
+    assert(StoreManifest.read(fs, store).get == Set(5L, 6L))
+  }
+
+  test("pre-round-14 bare-id manifests parse (counts unknown) and upgrade in place") {
+    val store = freshStore("legacy")
+    fs.mkdirs(store)
+    val out = fs.create(new Path(store, "_manifest_v0"), false)
+    out.write("0\n1\n2\n".getBytes("UTF-8")) // the r13 format: ids, no header
+    out.close()
+    assert(StoreManifest.readEntries(fs, store).get
+      == Map(0L -> None, 1L -> None, 2L -> None))
+    // a delta commit over the legacy file writes the new format, keeping
+    // the unknown counts and recording the new entry's
+    StoreManifest.commit(fs, store, e => e + (3L -> Some(40L)))
+    assert(StoreManifest.readEntries(fs, store).get
+      == Map(0L -> None, 1L -> None, 2L -> None, 3L -> Some(40L)))
+    // and the r13 empty manifest (a single newline) still reads as empty
+    val store2 = freshStore("legacy_empty")
+    fs.mkdirs(store2)
+    val o2 = fs.create(new Path(store2, "_manifest_v0"), false)
+    o2.write("\n".getBytes("UTF-8"))
+    o2.close()
+    assert(StoreManifest.readEntries(fs, store2).contains(Map.empty))
+  }
+
+  test("retirement keeps the previous version; a hammering reader across rapid commits never errors") {
+    val store = freshStore("retire")
+    for (i <- 0L until 4L)
+      StoreManifest.commit(fs, store, e => e + (i -> Some(i)))
+    val onDisk = fs.listStatus(store).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v")).sorted.toSeq
+    assert(onDisk == Seq("_manifest_v2", "_manifest_v3"),
+      s"exactly the current and previous versions must survive: $onDisk")
+    // reader thread loops readEntries while the writer lands 60 commits
+    // back-to-back — with retention + FNF re-list the reader must never
+    // throw and must observe a monotonically growing id set
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val maxSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get() && err.get() == null) {
+        try {
+          val ids = StoreManifest.read(fs, store).get
+          val m = ids.max
+          val prev = maxSeen.get()
+          if (m < prev) throw new IllegalStateException(
+            s"reader went backwards: $m after $prev")
+          maxSeen.set(m)
+        } catch { case t: Throwable => err.set(t) }
+      }
+    })
+    reader.start()
+    try for (i <- 4L until 64L)
+      StoreManifest.commit(fs, store, e => e + (i -> Some(i)))
+    finally { stop.set(true); reader.join(30000) }
+    assert(err.get() == null, s"hammering reader failed: ${err.get()}")
+    assert(maxSeen.get() >= 4L, "the reader never observed a commit")
+    assert(StoreManifest.read(fs, store).get == (0L until 64L).toSet)
+  }
+
+  test("bootstrap: a missing store path becomes an empty manifested store, not a listing error") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_manifest_unit_boot").toString
+    val store = new Path(s"$base/never_created/store")
+    assert(StoreManifest.bootstrap(fs, store) == Set.empty[Long])
+    assert(StoreManifest.readEntries(fs, store).contains(Map.empty),
+      "bootstrap on a missing path must commit an empty manifest")
+    // and over an existing store: every landed dir committed, counts unknown
+    val store2 = freshStore("boot2")
+    fs.mkdirs(new Path(store2, "ingest_batch=0"))
+    fs.mkdirs(new Path(store2, "ingest_batch=7"))
+    assert(StoreManifest.bootstrap(fs, store2) == Set(0L, 7L))
+    assert(StoreManifest.readEntries(fs, store2).get
+      == Map(0L -> None, 7L -> None))
+  }
+}

@@ -287,6 +287,36 @@ class StreamingAnnSpec extends SparkSpec {
       "a foreign -2 must NOT make recovery sweep another run's park")
     assert(new java.io.File(s3, "ingest_batch=1").isDirectory,
       "rollback must restore the parked batch under its own id")
+    // shape 4 — pre-round-13 (TOKEN-LESS) parks next to a live -2: the
+    // old-code run may have COMMITTED (its parks should sweep) or be a
+    // hand-planted fake (its parks should roll back) — no token exists to
+    // prove which, and guessing either way is wrong in the other world
+    // (a blind rollback would duplicate folded rows against the committed
+    // -2; a blind sweep is the r12 loss). Recovery must REFUSE with the
+    // manual resolution, touching nothing (advisory finding, round 13).
+    val (_, s4) = freshStore()
+    val src4 = new java.io.File(s4, "ingest_batch=0")
+    val cons4 = new java.io.File(s4,
+      s"ingest_batch=${AnnStreaming.ConsolidatedBatchId}")
+    assert(src4.renameTo(cons4)) // the "old-code committed -2"
+    val park4 = new java.io.File(s4, ".old_ingest_batch=1") // legacy name
+    assert(new java.io.File(s4, "ingest_batch=1").renameTo(park4))
+    val e4 = intercept[IllegalStateException] {
+      AnnStreaming.recoverConsolidation(spark, s4)
+    }
+    assert(e4.getMessage.contains("token-less"), e4.getMessage)
+    assert(park4.isDirectory && cons4.isDirectory,
+      "the refused recovery must leave the ambiguous store untouched")
+    // shape 5 — a token-less park with NO -2 anywhere is unambiguous (an
+    // old-code run that crashed before its commit, or a hand-planted
+    // park): rollback, as always
+    val (_, s5) = freshStore()
+    val park5 = new java.io.File(s5, ".old_ingest_batch=0")
+    assert(new java.io.File(s5, "ingest_batch=0").renameTo(park5))
+    AnnStreaming.recoverConsolidation(spark, s5)
+    assert(new java.io.File(s5, "ingest_batch=0").isDirectory)
+    assert(spark.read.parquet(s5).count() == total,
+      "the token-less park must roll back when no -2 clouds the picture")
   }
 
   test("two-cycle consolidation crashes (both orderings) recover with zero row loss") {
