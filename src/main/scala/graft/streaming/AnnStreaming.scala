@@ -208,12 +208,17 @@ object AnnStreaming {
     graft.sources.StoreManifest.readEntries(fs, p)
   }
 
-  /** Turn an existing (quiesced) streamed store into a MANIFESTED store:
-    * every landed batch becomes committed, and from here on landings and
-    * consolidations maintain the manifest while readers filter on it —
-    * torn directories are invisible by visibility rule, not by naming, and
-    * consolidation becomes one atomic manifest swap
-    * (StreamingManifestSpec). */
+  /** Turn an existing (quiesced) PRE-round-14 streamed store into a
+    * MANIFESTED store: every landed batch becomes committed, and from here
+    * on landings and consolidations maintain the manifest while readers
+    * filter on it — torn directories are invisible by visibility rule, not
+    * by naming, and consolidation becomes one atomic manifest swap
+    * (StreamingManifestSpec). New stores start manifested automatically
+    * ([[runIvfStoreAppendStream]]), so this is the MIGRATION shim for
+    * stores created before the manifest existed. Idempotent: an
+    * already-manifested store returns its current ids untouched —
+    * re-bootstrapping from the directory listing would re-commit
+    * vacuum-pending retained sources (rows a fold already carries). */
   def enableManifest(spark: SparkSession, storePath: String): Set[Long] = {
     if (isBatchBuiltLayout(spark, storePath))
       throw new IllegalStateException(
@@ -221,7 +226,10 @@ object AnnStreaming {
           "cluster= layout) — the manifest commits ingest_batch ids; " +
           "migrate the store first (migrateBatchBuiltStore)")
     val (fs, p) = fsOf(spark, storePath)
-    graft.sources.StoreManifest.bootstrap(fs, p)
+    graft.sources.StoreManifest.read(fs, p) match {
+      case Some(ids) => ids
+      case None => graft.sources.StoreManifest.bootstrap(fs, p)
+    }
   }
 
   /** The whole-store posting read every serving/maintenance path shares:
@@ -236,17 +244,25 @@ object AnnStreaming {
     * preceded a fold's swap but whose listing followed the fold's vacuum
     * silently counted only the surviving directories — partial data with
     * no error (latent since round 13; surfaced by this round's hardened
-    * hammering-reader spec). Pinning the paths makes that race LOUD (the
-    * vacuumed path fails the plan), and this method then retries against
-    * a fresh manifest — a bounded loop, since each retry reads a manifest
-    * at least as new as the fold that invalidated the last one. Partition
-    * pruning is unchanged: `cluster` stays a partition column one level
-    * down (DPP still prunes un-probed lists), and `ingest_batch` pruning
-    * is the path enumeration itself. */
+    * hammering-reader spec). Explicit paths alone are not enough either:
+    * Spark's file index treats a directory deleted between the existence
+    * check and the leaf listing as EMPTY (logged, not thrown), so after
+    * building the scan this method re-reads the manifest and accepts the
+    * plan only if it is UNCHANGED — any fold whose vacuum could have
+    * raced the listing must have swapped the manifest first, so an equal
+    * re-read proves the listed snapshot was intact. On mismatch (or a
+    * vanished path failing the plan outright) it re-plans against the
+    * fresh manifest — a bounded loop, since each retry observes a
+    * strictly newer manifest. Files vacuumed AFTER planning fail the
+    * read loudly (`ignoreMissingFiles` stays off), exactly a table
+    * format's read-behind-retention error. Partition pruning is
+    * unchanged: `cluster` stays a partition column one level down (DPP
+    * still prunes un-probed lists), and `ingest_batch` pruning is the
+    * path enumeration itself. */
   def readStore(spark: SparkSession, storePath: String): DataFrame = {
     import graft.queries.VectorOps.postingStoreSchema
     var attempts = 0
-    while (true) {
+    while (attempts <= 10) {
       manifest(spark, storePath) match {
         case Some(ids) =>
           if (ids.isEmpty)
@@ -254,18 +270,21 @@ object AnnStreaming {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               postingStoreSchema)
           try {
-            return spark.read
+            val df = spark.read
               .schema(postingStoreSchema.add("ingest_batch",
                 org.apache.spark.sql.types.LongType))
               .option("basePath", storePath)
               .parquet(ids.toSeq.sorted
                 .map(id => s"$storePath/ingest_batch=$id"): _*)
               .select(postingStoreSchema.fieldNames.map(col): _*)
+            // the file index is built; an unchanged manifest proves no
+            // fold vacuumed a listed directory mid-listing
+            if (manifest(spark, storePath).contains(ids)) return df
+            attempts += 1
           } catch {
             case e: org.apache.spark.sql.AnalysisException =>
-              // a manifested dir vanished between our manifest read and
-              // the listing = a fold's vacuum won the race; re-read the
-              // (strictly newer) manifest and re-plan
+              // a manifested dir vanished before the path check = the
+              // vacuum won outright; re-plan against the newer manifest
               attempts += 1
               if (attempts > 10) throw e
           }
@@ -273,7 +292,9 @@ object AnnStreaming {
           return spark.read.schema(postingStoreSchema).parquet(storePath)
       }
     }
-    null // unreachable
+    throw new IllegalStateException(
+      s"readStore of $storePath could not observe a stable manifest in " +
+        "10 attempts — folds are committing faster than a scan can plan")
   }
 
   /** Absorb one micro-batch into the ON-DISK store. The landing is
@@ -400,6 +421,15 @@ object AnnStreaming {
           "(migrateBatchBuiltStore).")
     sweepStaging(spark, storePath)
     recoverConsolidation(spark, storePath)
+    // default posture (round 14): a NEW store starts manifested —
+    // visibility by rule from its very first landing, counts from batch 0.
+    // An EXISTING un-manifested store is left alone (its operator migrates
+    // explicitly via enableManifest; silently manifesting it here would
+    // change what its concurrent readers see mid-maintenance).
+    val (mfs, mp) = fsOf(spark, storePath)
+    if (graft.sources.StoreManifest.read(mfs, mp).isEmpty &&
+        (!mfs.exists(mp) || mfs.listStatus(mp).isEmpty))
+      graft.sources.StoreManifest.bootstrap(mfs, mp)
     val landed = stateFromStore(spark, storePath)
     if (landed.lastBatchId > state.lastBatchId ||
         landed.maxSeenId > state.maxSeenId) {
@@ -551,10 +581,11 @@ object AnnStreaming {
   }
 
   /** Test seam — invoked with a protocol-step label at each crash-shaped
-    * point of [[consolidateStore]] (`"verified"`, `"parked:<srcDir>"`,
-    * `"committed"`); specs install a throwing function to kill the run at
-    * an exact step, or a landing function to interleave a concurrent
-    * micro-batch with the park/commit window. No-op in production. */
+    * point of [[consolidateStore]] (`"verified"`, `"placed"`,
+    * `"manifested"`, `"parked:<srcDir>"`); specs install a throwing
+    * function to kill the run at an exact step, or a landing function to
+    * interleave a concurrent micro-batch with the fold window. No-op in
+    * production. */
   private[graft] var consolidateCrashpoint: String => Unit = _ => ()
 
   final case class ConsolidationStats(batchDirsBefore: Int,
@@ -562,9 +593,9 @@ object AnnStreaming {
       rows: Long, skipped: Boolean)
 
   /** Fold every landed batch EXCEPT the most recent into one consolidated
-    * landing `ingest_batch=-2` — the store-level maintenance op a streamed
-    * posting store needs (a day of micro-batches is thousands of
-    * `ingest_batch=` directories × nlist cluster leaves; per-leaf
+    * landing — the store-level maintenance op a streamed posting store
+    * needs (a day of micro-batches is thousands of `ingest_batch=`
+    * directories × nlist cluster leaves; per-leaf
     * [[graft.sources.Compaction]] cannot reduce that — each leaf is
     * already one file — only folding the BATCH dimension can). The newest
     * landing is deliberately left alone: foreachBatch's crash-replay
@@ -575,143 +606,44 @@ object AnnStreaming {
     * unchanged by construction: `lastBatchId` still reads from the kept
     * newest dir, `maxSeenId` from the same rows.
     *
-    * Single-CONSOLIDATOR — enforced by the run's lease file
-    * (`_consolidating_<token>`, heartbeated per protocol step): a second
-    * consolidation AND a stream restart's recovery pass both refuse while
-    * the lease is fresh, so nobody can roll back a live run's parks
-    * mid-protocol — and crash-recoverable: rows land in a
-    * dot-prefixed staging dir (invisible to partition discovery), are
-    * row-count-verified, the run's commit marker (`_commit_<token>`, a
-    * fresh token per run) is written inside the staging, sources are
-    * PARKED (renamed dot-prefixed with the run token, still on disk) in
-    * DETERMINISTIC ascending-id order — the prior consolidated landing
-    * (−2) always first — and the staging commits by one rename, marker
-    * and all; only then are the parked sources deleted. A crash at any
-    * point leaves every row on disk; [[recoverConsolidation]] (run at
-    * stream start) keys strictly on the run token: parks whose token
-    * matches a marker inside the CURRENT `ingest_batch=-2` are committed
-    * leftovers and sweep, any other park rolls back. Round 12 keyed
-    * recovery on the -2 directory's existence, which a PRIOR run
-    * satisfies — a second-cycle crash mid-park could then sweep a parked
-    * batch whose rows were never folded (the r12 verdict's data-loss
-    * window); the token makes that shape recover as the rollback it is,
-    * and the park order makes it unreachable from this code besides.
-    *
-    * CONCURRENT LANDINGS ARE SAFE: the protocol touches only the
-    * checkpoint-committed batches in its entry snapshot (never the newest,
-    * never one that lands mid-run — a new `ingest_batch=` dir simply
-    * isn't in `sources`), so the stream may keep absorbing while
-    * consolidation runs (StreamingAnnSpec drives a landing inside the
-    * park/commit window). A reader concurrent with the park window sees
-    * the store minus some WHOLE batches — never a partially-visible batch
-    * — and the serving plan is unchanged (`cluster` stays a partition
-    * column one level down, DPP still prunes un-probed lists). */
+    * ONE protocol since round 14: the manifested fold
+    * ([[consolidateManifested]] — one atomic CAS manifest swap, zero
+    * reader-visible intermediate states). A store that pre-dates the
+    * manifest is bootstrapped into one here (pure metadata — every landed
+    * directory becomes committed, counts accrue from the next landing on),
+    * AFTER the stale-park precheck: parks mean a crashed consolidation
+    * nobody recovered, and bootstrapping over that ambiguity could commit
+    * a prior crashed run's -2 alongside un-folded parked rows (the r12
+    * shape). The pre-round-14 park-window fold protocol is gone; its
+    * recovery branch in [[recoverConsolidation]] remains for crash states
+    * left by pre-upgrade runs. */
   def consolidateStore(spark: SparkSession, storePath: String,
       targetBytes: Long = 128L * 1024 * 1024,
       retainSources: Boolean = false): ConsolidationStats = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      return ConsolidationStats(0, 0, 0, 0, -1, skipped = true)
     // fence a second consolidator UP FRONT (before the stale-park precheck,
     // which would otherwise mis-describe a live run's parks as crashed)
     failIfLiveLease(fs, p, DefaultLeaseStaleMs)
-    if (graft.sources.StoreManifest.read(fs, p).isDefined)
-      return consolidateManifested(spark, storePath, targetBytes,
-        retainSources)
-    require(!retainSources, "retainSources needs a manifested store — " +
-      "the legacy protocol's park rename IS its visibility mechanism, so " +
-      "sources cannot stay in place; enableManifest first")
-    def batchDirs() = fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith("ingest_batch=")).toSeq
-    def filesUnder(paths: Seq[org.apache.hadoop.fs.Path]): Seq[(String, Long)] =
-      paths.flatMap { d =>
-        val it = fs.listFiles(d, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet"))
-            buf += ((f.getPath.toString, f.getLen))
-        }
-        buf.toSeq
-      }
-    // a previous run's parks mean a crash nobody recovered — running a new
-    // consolidation over them would mix two runs' parks and forfeit the
-    // one-token-at-a-time invariant recovery relies on
-    val stale = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith(ParkPrefix))
-    if (stale.nonEmpty)
-      throw new IllegalStateException(
-        s"$storePath holds parked sources from a crashed consolidation " +
-          s"(${stale.mkString(", ")}); run recoverConsolidation first")
-    val dirs = batchDirs()
-    val filesBefore = filesUnder(dirs)
-    val lastId = dirs.map(_.getName.stripPrefix("ingest_batch=").toLong)
-      .foldLeft(Long.MinValue)(math.max)
-    // ascending id: the prior consolidated landing (-2) always parks FIRST,
-    // so even without the token no reachable crash state pairs "a -2 at top
-    // level" with "a parked un-folded batch"
-    val sources = dirs.filter(
-        _.getName.stripPrefix("ingest_batch=").toLong != lastId)
-      .sortBy(_.getName.stripPrefix("ingest_batch=").toLong)
-    if (sources.isEmpty || (sources.size == 1 &&
-        sources.head.getName == s"ingest_batch=$ConsolidatedBatchId"))
-      return ConsolidationStats(dirs.size, dirs.size,
-        filesBefore.size.toLong, filesBefore.size.toLong, -1, skipped = true)
-
-    val token = java.util.UUID.randomUUID.toString.replace("-", "")
-    // the lease fences a stream restart (whose recovery pass would roll
-    // back this run's parks mid-protocol) and a second consolidator for
-    // the whole park/commit window; an in-process failure releases it (the
-    // finally), a JVM death leaves it to go stale
-    val lease = acquireLease(fs, p, token, DefaultLeaseStaleMs)
-    try {
-      val staging = new org.apache.hadoop.fs.Path(p, ".staging_consolidated")
-      fs.delete(staging, true)
-      // basePath keeps `cluster` a column while reading only the source dirs
-      val src = spark.read.option("basePath", storePath)
-        .parquet(sources.map(_.toString): _*)
-      val srcBytes = filesUnder(sources).map(_._2).sum
-      val want = math.max(1L, (srcBytes + targetBytes - 1) / targetBytes).toInt
-      src.select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
-        .coalesce(want)
-        .write.partitionBy("cluster").parquet(staging.toString)
-      heartbeat(fs, lease)
-      val rows = spark.read.parquet(staging.toString).count()
-      val rowsExpected = src.count()
-      if (rows != rowsExpected) {
-        fs.delete(staging, true)
+    // a batch-built store has no ingest_batch dimension to fold (and must
+    // not be bootstrapped into an empty manifest, which would blank it for
+    // manifested readers) — same no-op as always
+    if (isBatchBuiltLayout(spark, storePath))
+      return ConsolidationStats(0, 0, 0, 0, -1, skipped = true)
+    if (graft.sources.StoreManifest.read(fs, p).isEmpty) {
+      // a previous run's parks mean a crash nobody recovered — recover (or
+      // refuse, for ambiguous pre-upgrade shapes) before bootstrapping
+      val stale = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(ParkPrefix))
+      if (stale.nonEmpty)
         throw new IllegalStateException(
-          s"consolidation of $storePath dropped rows " +
-            s"($rowsExpected -> $rows); sources left untouched")
-      }
-      heartbeat(fs, lease)
-      // the run's commit marker rides INSIDE the staging, so the one commit
-      // rename below makes "this run committed" checkable as a single file's
-      // existence under the live -2 — never inferable from the -2 dir itself
-      fs.create(new org.apache.hadoop.fs.Path(staging,
-        s"$CommitMarkerPrefix$token"), true).close()
-      consolidateCrashpoint("verified")
-      // park sources (dot-prefixed: invisible, recoverable), then commit
-      sources.foreach { s =>
-        if (!fs.rename(s, new org.apache.hadoop.fs.Path(p,
-            parkName(token, s.getName))))
-          throw new IllegalStateException(s"could not park $s — " +
-            "store intact; run recoverConsolidation and retry")
-        heartbeat(fs, lease)
-        consolidateCrashpoint(s"parked:${s.getName}")
-      }
-      val dest = new org.apache.hadoop.fs.Path(p,
-        s"ingest_batch=$ConsolidatedBatchId")
-      if (!fs.rename(staging, dest))
-        throw new IllegalStateException(s"could not commit $staging -> $dest" +
-          " — every row is still on disk in the parked sources; run " +
-          "recoverConsolidation to roll back")
-      consolidateCrashpoint("committed")
-      fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.startsWith(ParkPrefix)).foreach(fs.delete(_, true))
-      val after = batchDirs()
-      ConsolidationStats(dirs.size, after.size, filesBefore.size.toLong,
-        filesUnder(after).size.toLong, rows, skipped = false)
-    } finally fs.delete(lease, false)
+          s"$storePath holds parked sources from a crashed consolidation " +
+            s"(${stale.mkString(", ")}); run recoverConsolidation first")
+      enableManifest(spark, storePath)
+    }
+    consolidateManifested(spark, storePath, targetBytes, retainSources)
   }
 
   /** [[consolidateStore]] for a MANIFESTED store — the fold becomes
@@ -762,7 +694,11 @@ object AnnStreaming {
     val filesBefore = filesUnder(allDirs)
     val newest = ids.foldLeft(Long.MinValue)(math.max)
     val sourceIds = (ids - newest).toSeq.sorted
-    if (sourceIds.size < 2)
+    // skip when there is nothing to fold, or when the only foldable source
+    // is already a prior fold (re-folding it alone buys nothing); a single
+    // REAL batch still folds — it gets re-sized to targetBytes
+    if (sourceIds.isEmpty || (sourceIds.size == 1 &&
+        sourceIds.head <= ConsolidatedBatchId))
       return ConsolidationStats(ids.size, ids.size, filesBefore,
         filesBefore, -1, skipped = true)
     val sources = sourceIds.map(dirOf)

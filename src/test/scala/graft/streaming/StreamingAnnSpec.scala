@@ -143,17 +143,11 @@ class StreamingAnnSpec extends SparkSpec {
       def batchDirs() = new java.io.File(storePath).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
       assert(batchDirs().length == cuts.length)
-      // per-batch row counts, for the whole-batch-snapshot assertion: the
-      // newest landing never folds, so a concurrent read during the park
-      // window sees full minus a subset of the OLDER batches
       val sizes = batchDirs().map(d =>
         d.getName.stripPrefix("ingest_batch=").toLong ->
           spark.read.parquet(d.getPath).count()).toMap
       val newest = sizes.keys.max
       val foldable = (sizes - newest).values.toSeq
-      val legalCounts = foldable.indices.foldLeft(Set(0L)) { (acc, i) =>
-        acc ++ acc.map(_ + foldable(i))
-      }.map(sizes.values.sum - _)
       val expectRows = embRaw.count()
       assert(sizes.values.sum == expectRows)
       val contentBefore = spark.read.parquet(storePath).drop("ingest_batch")
@@ -163,23 +157,28 @@ class StreamingAnnSpec extends SparkSpec {
       val servedBefore = VectorOps.serveFromStorePath(spark, storePath,
         queries, cents, k, nprobe).collect().toSeq
 
-      // concurrent reader: whole-batch snapshots only
+      // concurrent reader: since round 14 every streamed store is
+      // manifested, so the fold is ONE atomic manifest swap and the
+      // engine read's only legal count is the FULL total — strictly
+      // stronger than the old park window's whole-batch subsets
       val wrong = new java.util.concurrent.atomic.AtomicLong(-1L)
       val okReads = new java.util.concurrent.atomic.AtomicLong(0L)
       val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
       val reader = new Thread(() => {
-        while (!stopReader.get()) {
+        val deadline = System.currentTimeMillis + 120000
+        while ((!stopReader.get() || okReads.get() == 0L) &&
+            wrong.get() == -1L && System.currentTimeMillis < deadline) {
           try {
-            val n = spark.read.parquet(storePath).count()
-            if (legalCounts.contains(n)) okReads.incrementAndGet()
+            val n = AnnStreaming.readStore(spark, storePath).count()
+            if (n == expectRows) okReads.incrementAndGet()
             else wrong.compareAndSet(-1L, n)
-          } catch { case _: Throwable => () } // transient rename window
+          } catch { case _: Throwable => () } // mid-swap re-plan window
         }
       })
       reader.start()
       val stats = try {
         AnnStreaming.consolidateStore(spark, storePath)
-      } finally { stopReader.set(true); reader.join(30000) }
+      } finally { stopReader.set(true); reader.join(150000) }
 
       assert(!stats.skipped && stats.rows == foldable.sum,
         s"consolidation must fold exactly the older batches: $stats")
@@ -187,8 +186,8 @@ class StreamingAnnSpec extends SparkSpec {
         stats.filesAfter < stats.filesBefore,
         s"expected [consolidated, newest] with fewer files: $stats")
       assert(wrong.get() == -1L,
-        s"a concurrent reader saw a NON-whole-batch snapshot: " +
-          s"${wrong.get()} rows (legal: $legalCounts)")
+        s"a concurrent reader saw a partial store: ${wrong.get()} rows " +
+          s"(only legal count: $expectRows)")
       assert(okReads.get() >= 1L, "the concurrent reader never completed a read")
       // content (modulo the folded batch ids) and serving are identical
       val contentAfter = spark.read.parquet(storePath).drop("ingest_batch")
@@ -218,25 +217,26 @@ class StreamingAnnSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("a crashed consolidation heals at stream start: rollback or sweep, never loss") {
+  test("a crashed PRE-UPGRADE consolidation heals at stream start: rollback or sweep, never loss") {
+    // these shapes exercise the LEGACY (no-manifest) recovery branch,
+    // which survives for stores whose park-window consolidation crashed
+    // before the upgrade. The stores are built through absorbStoreBatch
+    // directly — the stream entry point would auto-manifest a fresh store
+    // (round-14 default posture), which is exactly what these states
+    // pre-date.
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
       .persistedTrainedCentroids(spark, dir, nlist, trainIters)
     def freshStore(): (String, String) = {
-      val in = java.nio.file.Files
-        .createTempDirectory("graft_annstore_heal_in").toString
       val store = java.nio.file.Files
         .createTempDirectory("graft_annstore_heal").toString + "/store"
-      val q = AnnStreaming.runIvfStoreAppendStream(spark, in, embRaw.schema,
-        store, new AnnStreaming.StoreAppendState, cents)
-      try {
-        embRaw.filter(col("vec_id") < 100).write.mode("append").parquet(in)
-        q.processAllAvailable()
-        embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200)
-          .write.mode("append").parquet(in)
-        q.processAllAvailable()
-      } finally q.stop()
-      (in, store)
+      val st = new AnnStreaming.StoreAppendState
+      AnnStreaming.absorbStoreBatch(st,
+        embRaw.filter(col("vec_id") < 100), 0L, store, cents)
+      AnnStreaming.absorbStoreBatch(st,
+        embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200),
+        1L, store, cents)
+      ("", store)
     }
     val total = 200L
     // shape 1: parked source, NO commit marker for its token (crash
@@ -342,24 +342,33 @@ class StreamingAnnSpec extends SparkSpec {
         q.processAllAvailable()
       }
       land(0, 100); land(100, 200)
-      // first cycle commits: dirs = {-2(batch0), 1}
+      // first cycle commits: ids = {-2(batch0 folded), 1}
       assert(!AnnStreaming.consolidateStore(spark, storePath).skipped)
+      assert(AnnStreaming.manifest(spark, storePath).get == Set(-2L, 1L))
       land(200, 300); land(300, 400)
-      val total = 400L
+      var total = 400L
+      var hi = 400L
       assert(spark.read.parquet(storePath).count() == total)
       val queries = VectorOps.prepEmb(embRaw).filter(col("vec_id") < nQueries)
         .localCheckpoint()
-      val servedBefore = VectorOps.serveFromStorePath(spark, storePath,
-        queries, cents, k, nprobe).collect().toSeq
-      // second cycle's sources, ascending: -2 (the first cycle's landing),
-      // then batch 2; batch 3 is newest and kept
-      val killAt = Seq(
-        s"parked:ingest_batch=${AnnStreaming.ConsolidatedBatchId}", // mid-park
-        "parked:ingest_batch=2", // all parked, commit rename not yet run
-        "committed") // committed, parks not yet swept
+      // every second-cycle fold below has the PRIOR cycle's fold id among
+      // its ascending sources — the exact shape whose recovery round 12
+      // got wrong. Kill at each protocol step; a PRE-swap crash ("verified",
+      // "placed") recovers by rolling the fold away, a POST-swap crash
+      // ("manifested", first park) recovers by finishing its cleanup — so
+      // after a post-swap kill a fresh batch re-creates a foldable state.
+      val killAt = Seq("verified", "placed", "manifested", "parked:")
       for (step <- killAt) {
+        while (AnnStreaming.manifest(spark, storePath).get.size < 3) {
+          land(hi, hi + 25); hi += 25; total += 25
+        }
+        assert(AnnStreaming.manifest(spark, storePath).get.exists(_ < 0),
+          "the second-cycle shape needs a prior fold id among the sources")
+        val servedBefore = VectorOps.serveFromStorePath(spark, storePath,
+          queries, cents, k, nprobe).collect().toSeq
         AnnStreaming.consolidateCrashpoint = s =>
-          if (s == step) throw new RuntimeException(s"injected crash at $s")
+          if (s.startsWith(step)) throw new RuntimeException(
+            s"injected crash at $s")
         val e = intercept[RuntimeException] {
           AnnStreaming.consolidateStore(spark, storePath)
         }
@@ -373,11 +382,11 @@ class StreamingAnnSpec extends SparkSpec {
         assert(served == servedBefore,
           s"serving diverged after a crash at '$step'")
       }
-      // after the committed-crash recovery the fold is live: {-2, 3}; a
-      // clean re-run is a no-op skip, and the stream keeps absorbing
+      // the last (post-swap) recovery left {fold, newest}: a clean re-run
+      // is a no-op skip, and the stream keeps absorbing
       assert(AnnStreaming.consolidateStore(spark, storePath).skipped)
-      land(400, 450)
-      assert(spark.read.parquet(storePath).count() == total + 50,
+      land(hi, hi + 25)
+      assert(spark.read.parquet(storePath).count() == total + 25,
         "the stream must keep absorbing after the two-cycle recovery")
     } finally {
       AnnStreaming.consolidateCrashpoint = _ => ()

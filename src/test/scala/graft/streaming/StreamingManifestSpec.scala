@@ -48,8 +48,13 @@ class StreamingManifestSpec extends SparkSpec {
         .localCheckpoint()
       val servedLegacy = VectorOps.serveFromStorePath(spark, store,
         queries, cents, k, nprobe).collect().toSeq
+      // the fresh store was auto-manifested at stream start (round-14
+      // posture); enableManifest is the idempotent migration shim and
+      // must return the current ids without rewriting the counts
       assert(AnnStreaming.enableManifest(spark, store) == Set(0L, 1L))
-      // serving parity across the mode switch
+      assert(AnnStreaming.manifestEntries(spark, store).get
+        == Map(0L -> Some(100L), 1L -> Some(100L)),
+        "enableManifest on a manifested store must not wipe its counts")
       assert(VectorOps.serveFromStorePath(spark, store, queries, cents, k,
         nprobe).collect().toSeq == servedLegacy)
       // a landing under the manifest commits by entering it
@@ -264,7 +269,9 @@ class StreamingManifestSpec extends SparkSpec {
         q.processAllAvailable()
       }
       land(0, 100); land(100, 200); land(200, 300)
-      AnnStreaming.enableManifest(spark, store)
+      // the stream auto-manifested the fresh store (round-14 posture) —
+      // enableManifest on it is an idempotent no-op returning current ids
+      assert(AnnStreaming.enableManifest(spark, store) == Set(0L, 1L, 2L))
       // interleave: when the FOLD reaches its commit's read→create window,
       // a fresh batch lands and manifests FIRST (winning the version file);
       // the fold must lose the CAS, re-read, re-apply — never clobber
@@ -295,8 +302,9 @@ class StreamingManifestSpec extends SparkSpec {
         .map(_.getName.stripPrefix("ingest_batch=").toLong).toSet
       assert(onDisk == Set(-2L, 2L, 3L), s"$onDisk")
       // and the counts recorded through the race are the true ones
+      // (every landing carried one — the store was manifested from birth)
       assert(AnnStreaming.manifestEntries(spark, store).get
-        == Map(-2L -> Some(200L), 2L -> None, 3L -> Some(100L)))
+        == Map(-2L -> Some(200L), 2L -> Some(100L), 3L -> Some(100L)))
       land(400, 450)
       assert(AnnStreaming.readStore(spark, store).count() == 450L)
     } finally {
@@ -368,9 +376,9 @@ class StreamingManifestSpec extends SparkSpec {
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
       .persistedTrainedCentroids(spark, dir, nlist, trainIters)
-    // LEGACY store (no manifest) so the legacy protocol's lease is the one
-    // exercised; the manifested fold shares acquireLease and the recovery
-    // gate sits before the manifest branch, so both modes are covered
+    // the recovery gate sits at the very top of recoverConsolidation —
+    // BEFORE the manifest branch — so the fence covers manifested stores
+    // (all new streamed stores since round 14) and pre-upgrade ones alike
     val (in, store) = freshPaths("lease")
     val q = AnnStreaming.runIvfStoreAppendStream(spark, in, embRaw.schema,
       store, new AnnStreaming.StoreAppendState, cents)
@@ -461,16 +469,16 @@ class StreamingManifestSpec extends SparkSpec {
       // the sf0.001 embeddings fixture holds exactly ids 0..499 — stay
       // inside it (an out-of-range slice lands an EMPTY batch that skips)
       land(0, 50); land(50, 100); land(100, 150)
-      AnnStreaming.enableManifest(spark, store)
-      // bootstrap entries carry no counts (counting them would be a full
-      // store read); counts accrue from here on
+      // round-14 posture: the fresh store was auto-manifested before its
+      // first landing, so every batch carries its count from birth
+      // (bootstrap-over-existing-dirs None counts are covered by
+      // StoreManifestSpec)
       assert(AnnStreaming.manifestEntries(spark, store).get
-        == Map(0L -> None, 1L -> None, 2L -> None))
+        == Map(0L -> Some(50L), 1L -> Some(50L), 2L -> Some(50L)))
       land(150, 200)
       assert(AnnStreaming.manifestEntries(spark, store).get(3L)
         == Some(50L))
-      // fold 1: sources {0,1,2} have unknown counts — audit silent; the
-      // fold's own entry records its verified row count
+      // fold 1: every source counted — the sum audit binds from the start
       assert(!AnnStreaming.consolidateStore(spark, store).skipped)
       assert(AnnStreaming.manifestEntries(spark, store).get
         == Map(-2L -> Some(150L), 3L -> Some(50L)))
