@@ -109,41 +109,56 @@ object StoreManifest {
     }
   }
 
-  /** The current manifest's entries, or None when the store has no
-    * committed manifest (legacy mode — every landed directory is visible).
-    * Walks versions from the highest down, skipping torn files; a version
+  /** One consistent observation of the manifest: the version listing, the
+    * highest CLEANLY-committed version's number (−1 when none is clean),
+    * and its entries (None when no version is clean — legacy mode). Walks
+    * versions from the highest down, skipping torn files; a version
     * retired between the listing and the open re-lists (bounded). */
-  def readEntries(fs: FileSystem, store: Path): Option[Entries] = {
+  private def readCurrent(fs: FileSystem,
+      store: Path): (Seq[(Long, Path)], Long, Option[Entries]) = {
     var attempts = 0
     while (true) {
       val vs = versions(fs, store)
-      if (vs.isEmpty) return None
+      if (vs.isEmpty) return (vs, -1L, None)
       try {
-        vs.reverseIterator.foreach { case (_, p) =>
+        vs.reverseIterator.foreach { case (v, p) =>
           parseVersion(fs, p) match {
-            case Some(e) => return Some(e)
+            case Some(e) => return (vs, v, Some(e))
             case None => () // torn version: fall back to the previous one
           }
         }
         // every listed version torn = the first-ever commit crashed before
         // writing content: the manifest never committed, store is legacy
-        return None
+        return (vs, -1L, None)
       } catch {
         case e: java.io.FileNotFoundException =>
           attempts += 1
           if (attempts > 20) throw e // not retirement churn — surface it
       }
     }
-    None // unreachable
+    (Seq.empty, -1L, None) // unreachable
   }
+
+  /** The current manifest's entries, or None when the store has no
+    * committed manifest (legacy mode — every landed directory is visible). */
+  def readEntries(fs: FileSystem, store: Path): Option[Entries] =
+    readCurrent(fs, store)._3
 
   /** The current manifest's committed batch ids — [[readEntries]] minus
     * the counts. */
   def read(fs: FileSystem, store: Path): Option[Set[Long]] =
     readEntries(fs, store).map(_.keySet)
 
+  /** How old a torn version file's mtime must be before [[commit]] declares
+    * its writer dead and heals it. The content write is one small
+    * write+close — milliseconds — so a file torn for this long is a crashed
+    * writer; a merely-paused writer whose torn file gets healed finds its
+    * close() failing and its commit call throwing (loud), never a silent
+    * loss. */
+  val DefaultTornStaleMs: Long = 30000L
+
   /** Commit `delta` applied to the CURRENT entries, under compare-and-swap
-    * arbitration: read → apply → create `_manifest_v<N+1>` with
+    * arbitration: read → apply → create `_manifest_v<basis+1>` with
     * `overwrite = false`; a collision (the version already exists — a
     * concurrent writer won) re-reads and re-applies the delta. Callers
     * therefore express INTENT (`_ + (batchId -> count)`,
@@ -151,42 +166,75 @@ object StoreManifest {
     * a stale read — the round-13 race (a landing's write reverting a
     * fold's swap) is structurally gone. Returns the entries committed.
     * The store directory is created if missing (a fresh store may start
-    * life manifested). */
+    * life manifested).
+    *
+    * The version claimed is strictly `basis + 1` where basis is the version
+    * whose content this commit read — NEVER the raw listing's max plus one.
+    * The two differ exactly when a torn version sits above the basis (a
+    * concurrent writer won its create but its content is not yet readable);
+    * claiming a higher slot while reading the older basis would silently
+    * drop the torn writer's delta the moment its write completes (its
+    * version parses clean but is no longer current). Instead the commit
+    * WAITS for the torn version to become readable — it then becomes the
+    * basis — and past `tornStaleMs` declares its writer dead, deletes the
+    * torn file, and takes the slot back through the same create
+    * arbitration. */
   def commit(fs: FileSystem, store: Path,
-      delta: Entries => Entries): Entries = {
+      delta: Entries => Entries,
+      tornStaleMs: Long = DefaultTornStaleMs): Entries = {
     if (!fs.exists(store)) fs.mkdirs(store)
-    var attempts = 0
+    var casLosses = 0
+    val tornDeadline = System.currentTimeMillis + 4 * tornStaleMs
     while (true) {
-      val vs = versions(fs, store)
-      val next = vs.lastOption.map(_._1 + 1).getOrElse(0L)
-      val cur = readEntries(fs, store).getOrElse(Map.empty)
-      val entries = delta(cur)
-      commitCrashpoint(s"pre-create:v$next")
-      val vp = new Path(store, s"$Prefix$next")
-      val out = try Some(fs.create(vp, false)) // THE arbitration point
-        catch {
-          case e: IOException =>
-            if (!fs.exists(vp)) throw e // a real IO failure, not a loser
-            None // lost the CAS: re-read, re-apply, retry
+      val (vs, basis, curOpt) = readCurrent(fs, store)
+      val cur = curOpt.getOrElse(Map.empty)
+      val next = basis + 1
+      val tornAbove = vs.filter(_._1 > basis)
+      if (tornAbove.nonEmpty) {
+        // arbitrate the torn slot(s) before claiming anything above them
+        val now = System.currentTimeMillis
+        tornAbove.foreach { case (_, p) =>
+          val stale = try now - fs.getFileStatus(p).getModificationTime >=
+              tornStaleMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(p, false) // dead writer: heal the slot
+          else Thread.sleep(20) // live writer mid-write: let it finish
         }
-      out match {
-        case Some(o) =>
-          val body = entries.toSeq.sortBy(_._1).map { case (id, c) =>
-            c.map(n => s"$id:$n").getOrElse(id.toString)
+        if (System.currentTimeMillis > tornDeadline)
+          throw new IllegalStateException(
+            s"manifest commit on $store blocked behind torn version(s) " +
+              s"${tornAbove.map(_._2.getName).mkString(", ")} for over " +
+              s"${4 * tornStaleMs} ms — inspect and remove them manually")
+      } else {
+        val entries = delta(cur)
+        commitCrashpoint(s"pre-create:v$next")
+        val vp = new Path(store, s"$Prefix$next")
+        val out = try Some(fs.create(vp, false)) // THE arbitration point
+          catch {
+            case e: IOException =>
+              if (!fs.exists(vp)) throw e // a real IO failure, not a loser
+              None // lost the CAS: re-read, re-apply, retry
           }
-          val text = (s"$Header${entries.size}" +: body)
-            .mkString("", "\n", "\n")
-          try o.write(text.getBytes("UTF-8")) finally o.close()
-          // retire versions two or more behind; the immediately-previous
-          // version survives one more commit so an in-flight reader that
-          // listed it can still open it
-          vs.foreach { case (v, p) => if (v < next - 1) fs.delete(p, false) }
-          return entries
-        case None =>
-          attempts += 1
-          if (attempts > 50) throw new IllegalStateException(
-            s"manifest commit on $store lost the version race $attempts " +
-              "times — a writer storm this code has no business surviving")
+        out match {
+          case Some(o) =>
+            val body = entries.toSeq.sortBy(_._1).map { case (id, c) =>
+              c.map(n => s"$id:$n").getOrElse(id.toString)
+            }
+            val text = (s"$Header${entries.size}" +: body)
+              .mkString("", "\n", "\n")
+            try o.write(text.getBytes("UTF-8")) finally o.close()
+            // retire versions two or more behind; the immediately-previous
+            // version survives one more commit so an in-flight reader that
+            // listed it can still open it
+            vs.foreach { case (v, p) => if (v < basis) fs.delete(p, false) }
+            return entries
+          case None =>
+            casLosses += 1
+            if (casLosses > 50) throw new IllegalStateException(
+              s"manifest commit on $store lost the version race " +
+                s"$casLosses times — a writer storm this code has no " +
+                "business surviving")
+        }
       }
     }
     Map.empty // unreachable
@@ -196,16 +244,38 @@ object StoreManifest {
     * `ingest_batch=` directory becomes committed (count unknown — counts
     * accrue as landings and folds commit). A missing store path bootstraps
     * an EMPTY manifest (the fresh-store-starts-manifested posture) instead
-    * of surfacing a raw listing error. Call once, on a quiesced store;
-    * after this, landings and consolidations maintain the manifest and
-    * readers filter on it. */
+    * of surfacing a raw listing error.
+    *
+    * Safe under a LIVE append stream (round-14 hardening): the commit is
+    * ADDITIVE (a concurrently-landed-and-manifested id's entry survives),
+    * and the list→commit loop repeats until a fresh listing is covered by
+    * the committed set. Two passes provably suffice against concurrent
+    * landings: a landing whose commit rename precedes the re-listing is
+    * swept in by the next additive commit, and one whose rename follows it
+    * necessarily re-reads the manifest AFTER the first commit made it
+    * exist, so it self-commits its own id
+    * (`AnnStreaming.absorbStoreBatch`'s post-rename manifest read). The
+    * bound is a backstop, not the correctness argument. */
   def bootstrap(fs: FileSystem, store: Path): Set[Long] = {
-    val ids: Set[Long] =
+    def listIds: Set[Long] =
       if (!fs.exists(store)) Set.empty
       else fs.listStatus(store).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("ingest_batch="))
         .map(_.stripPrefix("ingest_batch=").toLong).toSet
-    commit(fs, store, _ => ids.map(_ -> (None: Option[Long])).toMap)
-    ids
+    var committed = Set.empty[Long]
+    var passes = 0
+    var stable = false
+    while (!stable) {
+      val ids = listIds
+      committed = commit(fs, store, e =>
+        e ++ ids.filterNot(e.contains).map(_ -> (None: Option[Long]))).keySet
+      passes += 1
+      stable = listIds.subsetOf(committed)
+      if (!stable && passes > 20) throw new IllegalStateException(
+        s"manifest bootstrap on $store could not cover the directory " +
+          s"listing in $passes passes — landings are outrunning it AND " +
+          "failing to self-commit, which the landing protocol forbids")
+    }
+    committed
   }
 }

@@ -208,17 +208,22 @@ object AnnStreaming {
     graft.sources.StoreManifest.readEntries(fs, p)
   }
 
-  /** Turn an existing (quiesced) PRE-round-14 streamed store into a
-    * MANIFESTED store: every landed batch becomes committed, and from here
-    * on landings and consolidations maintain the manifest while readers
-    * filter on it — torn directories are invisible by visibility rule, not
-    * by naming, and consolidation becomes one atomic manifest swap
+  /** Turn an existing PRE-round-14 streamed store into a MANIFESTED store:
+    * every landed batch becomes committed, and from here on landings and
+    * consolidations maintain the manifest while readers filter on it —
+    * torn directories are invisible by visibility rule, not by naming, and
+    * consolidation becomes one atomic manifest swap
     * (StreamingManifestSpec). New stores start manifested automatically
     * ([[runIvfStoreAppendStream]]), so this is the MIGRATION shim for
     * stores created before the manifest existed. Idempotent: an
     * already-manifested store returns its current ids untouched —
     * re-bootstrapping from the directory listing would re-commit
-    * vacuum-pending retained sources (rows a fold already carries). */
+    * vacuum-pending retained sources (rows a fold already carries). Safe
+    * while the store's append stream is LIVE: the bootstrap's additive
+    * list→commit loop and the landing's post-rename manifest self-commit
+    * close the window where a landing that read "no manifest" could be
+    * missed by the bootstrap's listing
+    * ([[graft.sources.StoreManifest.bootstrap]]'s two-pass argument). */
   def enableManifest(spark: SparkSession, storePath: String): Set[Long] = {
     if (isBatchBuiltLayout(spark, storePath))
       throw new IllegalStateException(
@@ -332,6 +337,7 @@ object AnnStreaming {
         // readers are entitled to plan against (round-13 verdict item 2).
         // Skip the landing outright; the store is already byte-correct.
         if (manifested.exists(_.contains(batchId))) return
+        landCrashpoint(s"read-manifest:$batchId")
         val staging = s"$storePath/$StagingPrefix$batchId"
         VectorOps.assignWithVectors(b, cents)
           .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
@@ -359,8 +365,17 @@ object AnnStreaming {
         // one posting row per prepped input row) and buys the post-fold
         // sum audit. A crash between the rename and this commit leaves an
         // un-manifested directory every reader ignores and the replay
-        // re-lands.
-        manifested.foreach { _ =>
+        // re-lands. The manifest is RE-READ here rather than reusing the
+        // entry-time read: a legacy store being bootstrapped into a
+        // manifest mid-stream (consolidateStore on a pre-upgrade store)
+        // could otherwise commit a listing taken before this rename while
+        // this landing, having read "no manifest" at entry, never
+        // committed its id — a permanently invisible batch. With the
+        // post-rename read, either the bootstrap's stabilizing re-list
+        // sees the renamed directory, or this read sees the bootstrapped
+        // manifest and self-commits (StoreManifest.bootstrap's two-pass
+        // argument; StreamingManifestSpec drives the interleaving).
+        graft.sources.StoreManifest.read(mfs, mp).foreach { _ =>
           val n = b.count()
           graft.sources.StoreManifest.commit(mfs, mp,
             e => if (e.contains(batchId)) e else e + (batchId -> Some(n)))
@@ -430,6 +445,23 @@ object AnnStreaming {
     if (graft.sources.StoreManifest.read(mfs, mp).isEmpty &&
         (!mfs.exists(mp) || mfs.listStatus(mp).isEmpty))
       graft.sources.StoreManifest.bootstrap(mfs, mp)
+    // store-integrity signal at stream start: when every manifested batch
+    // carries a recorded count, the store's committed row total is known
+    // without trusting the data files. A mismatch means a manifested
+    // directory's content diverged from what its commit recorded (lost
+    // files, hand edits) — stop BEFORE appending on top of it. Cheap:
+    // count(*) over parquet reads row-group metadata, no column data.
+    graft.sources.StoreManifest.readEntries(mfs, mp).foreach { entries =>
+      if (entries.nonEmpty && entries.values.forall(_.isDefined)) {
+        val want = entries.values.flatten.sum
+        val got = readStore(spark, storePath).count()
+        if (got != want) throw new IllegalStateException(
+          s"store integrity check failed for $storePath: the manifest " +
+            s"records $want committed posting rows but the manifested " +
+            s"directories hold $got — a committed batch's content has " +
+            "diverged; inspect the store before streaming on top of it")
+      }
+    }
     val landed = stateFromStore(spark, storePath)
     if (landed.lastBatchId > state.lastBatchId ||
         landed.maxSeenId > state.maxSeenId) {
@@ -588,6 +620,13 @@ object AnnStreaming {
     * production. */
   private[graft] var consolidateCrashpoint: String => Unit = _ => ()
 
+  /** Test seam — invoked inside [[absorbStoreBatch]]'s landing between its
+    * entry-time manifest read and the staging write
+    * (`"read-manifest:<batchId>"`); specs interleave a manifest bootstrap
+    * here to drive the bootstrap-vs-landing race deterministically. No-op
+    * in production. */
+  private[graft] var landCrashpoint: String => Unit = _ => ()
+
   final case class ConsolidationStats(batchDirsBefore: Int,
       batchDirsAfter: Int, filesBefore: Long, filesAfter: Long,
       rows: Long, skipped: Boolean)
@@ -668,7 +707,15 @@ object AnnStreaming {
     * re-read and re-apply its delta (and vice versa), so the final
     * manifest always carries both ids — the round-13 orphaned-fold race
     * is structurally gone (StreamingManifestSpec drives the interleaving
-    * through the commit seam). */
+    * through the commit seam).
+    *
+    * The manifest is the ONLY read contract for a manifested store: the
+    * fold directory is renamed into place before the swap and retained
+    * sources linger after it, both un-manifested, so a raw
+    * `spark.read.parquet(storePath)` partition-discovery read (which sees
+    * every `ingest_batch=` directory) can double-count during maintenance.
+    * Readers go through [[readStore]], which enumerates exactly the
+    * manifested paths. */
   private def consolidateManifested(spark: SparkSession, storePath: String,
       targetBytes: Long, retainSources: Boolean = false): ConsolidationStats = {
     val (fs, p) = fsOf(spark, storePath)

@@ -57,9 +57,18 @@ class StoreManifestSpec extends SparkSpec {
     out.close()
     assert(StoreManifest.readEntries(fs, store).get == Map(5L -> Some(50L)),
       "a header/body count mismatch must read as torn")
-    // a new commit arbitrates past the torn files and becomes current
-    StoreManifest.commit(fs, store, e => e + (6L -> None))
+    // a new commit arbitrates the torn slots (these writers are dead — age
+    // the files past the staleness window) and becomes current; it must
+    // re-use the healed slots, never claim a version above an unproven one
+    for (v <- Seq("_manifest_v1", "_manifest_v2"))
+      fs.setTimes(new Path(store, v), System.currentTimeMillis - 60000L, -1)
+    StoreManifest.commit(fs, store, e => e + (6L -> None),
+      tornStaleMs = 1000L)
     assert(StoreManifest.read(fs, store).get == Set(5L, 6L))
+    val onDisk = fs.listStatus(store).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v")).sorted.toSeq
+    assert(onDisk == Seq("_manifest_v0", "_manifest_v1"),
+      s"the commit must land in the first healed slot: $onDisk")
   }
 
   test("pre-round-14 bare-id manifests parse (counts unknown) and upgrade in place") {
@@ -117,6 +126,49 @@ class StoreManifestSpec extends SparkSpec {
     assert(err.get() == null, s"hammering reader failed: ${err.get()}")
     assert(maxSeen.get() >= 4L, "the reader never observed a commit")
     assert(StoreManifest.read(fs, store).get == (0L until 64L).toSet)
+  }
+
+  test("a torn version above the basis blocks the commit until readable — the slow writer's delta survives") {
+    // the round-14 lost-delta hole: writer A creates _manifest_v1 and is
+    // still writing; writer B lists (sees v1), reads v0 (v1 torn), and —
+    // in the broken shape — claims v2 with content based on v0, silently
+    // dropping A's delta the moment A's write completes. The fix: B's
+    // claimed version is strictly basis+1, so it WAITS for v1 to become
+    // readable and then builds on it.
+    val store = freshStore("tornwait")
+    StoreManifest.commit(fs, store, _ => Map(1L -> Some(1L)))
+    val v1 = new Path(store, "_manifest_v1")
+    fs.create(v1, false).close() // A won the create; content not yet written
+    val writerA = new Thread(() => {
+      Thread.sleep(150)
+      val o = fs.create(v1, true) // A's write completes
+      o.write("#graft-manifest entries=2\n1:1\n9:9\n".getBytes("UTF-8"))
+      o.close()
+    })
+    writerA.start()
+    val committed = try StoreManifest.commit(fs, store,
+        e => e + (2L -> Some(2L)), tornStaleMs = 20000L)
+      finally writerA.join(10000)
+    assert(committed == Map(1L -> Some(1L), 9L -> Some(9L), 2L -> Some(2L)),
+      s"B must build on A's completed v1, never on the stale v0: $committed")
+    assert(StoreManifest.readEntries(fs, store).get == committed,
+      "A's delta (id 9) must survive B's commit")
+  }
+
+  test("a stale torn version is a dead writer: healed, its slot re-arbitrated") {
+    val store = freshStore("tornheal")
+    StoreManifest.commit(fs, store, _ => Map(1L -> Some(1L)))
+    val v1 = new Path(store, "_manifest_v1")
+    fs.create(v1, false).close() // crashed writer: created, never wrote
+    fs.setTimes(v1, System.currentTimeMillis - 60000L, -1)
+    val committed = StoreManifest.commit(fs, store,
+      e => e + (2L -> Some(2L)), tornStaleMs = 1000L)
+    assert(committed == Map(1L -> Some(1L), 2L -> Some(2L)))
+    val onDisk = fs.listStatus(store).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v")).sorted.toSeq
+    assert(onDisk == Seq("_manifest_v0", "_manifest_v1"),
+      s"the healed slot must be re-used, not skipped past: $onDisk")
+    assert(StoreManifest.readEntries(fs, store).get == committed)
   }
 
   test("bootstrap: a missing store path becomes an empty manifested store, not a listing error") {

@@ -515,6 +515,48 @@ class StreamingManifestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream start refuses a store whose content diverged from its recorded counts") {
+    // the counts' second dividend (after the fold sum audit): at stream
+    // start the committed row total is known from metadata alone, so a
+    // manifested directory whose content no longer matches its commit
+    // (lost files, hand edits) stops the stream BEFORE it appends on top.
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val (in, store) = freshPaths("integ")
+    val (mfs, mp) = (new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(store))
+    graft.sources.StoreManifest.bootstrap(mfs, mp) // manifested from birth
+    val st = new AnnStreaming.StoreAppendState
+    AnnStreaming.absorbStoreBatch(st,
+      embRaw.filter(col("vec_id") < 100), 0L, store, cents)
+    AnnStreaming.absorbStoreBatch(st,
+      embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200),
+      1L, store, cents)
+    // intact store: the integrity gate passes and the stream starts
+    AnnStreaming.runIvfStoreAppendStream(spark, in, embRaw.schema, store,
+      new AnnStreaming.StoreAppendState, cents).stop()
+    // corrupt one recorded count: the restart must refuse loudly
+    graft.sources.StoreManifest.commit(mfs, mp, e => e.updated(1L, Some(999L)))
+    val e = intercept[IllegalStateException] {
+      AnnStreaming.runIvfStoreAppendStream(spark, in, embRaw.schema, store,
+        new AnnStreaming.StoreAppendState, cents)
+    }
+    assert(e.getMessage.contains("integrity"), e.getMessage)
+    // restore the true count: the gate passes, the stream starts, and the
+    // store keeps absorbing (batchId continues the store's own numbering —
+    // a fresh un-checkpointed stream would restart at 0 and classify as a
+    // replay, by contract)
+    graft.sources.StoreManifest.commit(mfs, mp, e => e.updated(1L, Some(100L)))
+    AnnStreaming.runIvfStoreAppendStream(spark, in, embRaw.schema, store,
+      new AnnStreaming.StoreAppendState, cents).stop()
+    AnnStreaming.absorbStoreBatch(st,
+      embRaw.filter(col("vec_id") >= 200 && col("vec_id") < 250),
+      2L, store, cents)
+    assert(AnnStreaming.readStore(spark, store).count() == 250L)
+  }
+
   test("stateFromStore asymmetry: lastBatchId from directories (a torn landing drives its own replay), maxSeenId from the manifest") {
     // round-13 verdict item 7: deriving lastBatchId from the MANIFEST
     // would classify a torn landing's replay as fresh — the classify path
@@ -554,6 +596,55 @@ class StreamingManifestSpec extends SparkSpec {
     assert(AnnStreaming.manifest(spark, store).get == Set(0L, 1L, 2L))
     assert(AnnStreaming.readStore(spark, store).count() == 300L)
     assert(rebuilt.maxSeenId == 299L)
+  }
+
+  test("bootstrap under a live landing: a batch that read 'no manifest' self-commits after its rename") {
+    // the round-14 bootstrap race: a legacy store is bootstrapped into a
+    // manifest (consolidateStore on a pre-upgrade store) while a landing is
+    // mid-flight. The landing read "no manifest" at entry; the bootstrap's
+    // listing ran before the landing's rename — so neither side would have
+    // committed the id, and the batch's rows became permanently invisible.
+    // Closed from both sides: the landing RE-READS the manifest after its
+    // rename and self-commits, and bootstrap's additive list→commit loop
+    // repeats until a fresh listing is covered.
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val store = freshPaths("bootrace")._2
+    val st = new AnnStreaming.StoreAppendState
+    // a LEGACY store: absorbStoreBatch alone never creates a manifest
+    AnnStreaming.absorbStoreBatch(st,
+      embRaw.filter(col("vec_id") < 100), 0L, store, cents)
+    assert(AnnStreaming.manifest(spark, store).isEmpty,
+      "precondition: the store must still be legacy (no manifest)")
+    // interleave: batch 1's landing reads "no manifest", and BEFORE its
+    // staging write the bootstrap runs — its listing sees only batch 0
+    @volatile var bootstrapped = Set.empty[Long]
+    AnnStreaming.landCrashpoint = s =>
+      if (s == "read-manifest:1") {
+        val (mfs, mp) = (new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(spark.sessionState.newHadoopConf()),
+          new org.apache.hadoop.fs.Path(store))
+        bootstrapped = graft.sources.StoreManifest.bootstrap(mfs, mp)
+      }
+    try AnnStreaming.absorbStoreBatch(st,
+        embRaw.filter(col("vec_id") >= 100 && col("vec_id") < 200),
+        1L, store, cents)
+      finally AnnStreaming.landCrashpoint = _ => ()
+    assert(bootstrapped == Set(0L),
+      s"the seam must have bootstrapped from the pre-rename listing: " +
+        s"$bootstrapped")
+    assert(AnnStreaming.manifest(spark, store).get == Set(0L, 1L),
+      "the landing that read 'no manifest' must self-commit its id")
+    assert(AnnStreaming.manifestEntries(spark, store).get(1L) == Some(100L),
+      "the self-commit must carry the landing's row count")
+    assert(AnnStreaming.readStore(spark, store).count() == 200L,
+      "the raced batch's rows must be visible — not a permanently torn dir")
+    // and the landing after the race is a plain manifested landing
+    AnnStreaming.absorbStoreBatch(st,
+      embRaw.filter(col("vec_id") >= 200 && col("vec_id") < 250),
+      2L, store, cents)
+    assert(AnnStreaming.readStore(spark, store).count() == 250L)
   }
 
   test("manifested fold crash shapes all recover to zero loss and identical serving") {
