@@ -68,6 +68,23 @@ object PageRank {
     val ed = Ckpt.bounded(eIn.join(deg.hint("shuffle_hash"), "src")
       .select(col("src"), col("dst"), col("d")))
     val ids = Ckpt.bounded(ed.select(col("src").as("vid")).distinct())
+    // ONE cheap job over the checkpointed vertex set decides the per-round
+    // join strategy. The rank table is one row per VERTEX — orders of
+    // magnitude slimmer than the edge table — so up to millions of
+    // vertices it broadcasts (~16 bytes a row): the per-round join then
+    // needs NO exchange on either side and ONE shared build map per
+    // executor, where the shuffled hash join built a per-TASK map 32×
+    // over and re-read the edge exchange every round — at the 100× probe
+    // (1.5 M vertices, 120 M edges) the 32 concurrent build maps plus the
+    // partial-agg tables were exactly what pushed the 8 GB protocol heap
+    // over the edge. Past the broadcast bound (vertex count ~billions at
+    // 100 TB) the shuffled hash join takes over: build bounded by
+    // |V|/partitions, stream the skewed edge side, per-task memory
+    // independent of the hottest vertex's degree.
+    val nV = ids.count()
+    val BroadcastVertexLimit = 4000000L
+    def rankSide(r: DataFrame): DataFrame =
+      if (nV <= BroadcastVertexLimit) broadcast(r) else r.hint("shuffle_hash")
     var r = ids.select(col("vid").as("id"), lit(1000000L).as("rank"))
     // superseded per-round checkpoints are RELEASED as soon as the next
     // round's snapshot exists — otherwise every run pins (iterations + 2)
@@ -76,7 +93,7 @@ object PageRank {
     // bounded-footprint rule as the streaming state snapshots)
     var prevCkpt: DataFrame = null
     for (_ <- 1 to iterations) {
-      val contrib = ed.join(r.hint("shuffle_hash"), col("src") === col("id"))
+      val contrib = ed.join(rankSide(r), col("src") === col("id"))
         // div, not / — Spark's / on longs silently returns double
         .select(col("dst"), expr("rank div d").as("contrib"))
         .groupBy("dst")

@@ -534,17 +534,27 @@ object AnnStreaming {
     * staging became the live consolidated landing. */
   private val CommitMarkerPrefix = "_commit_"
 
-  /** Consolidation lease prefix: `_consolidating_<token>` at the store
-    * root, created (overwrite = false) when a consolidation enters its
-    * protocol and mtime-heartbeated at each step. While the heartbeat is
-    * FRESH, [[recoverConsolidation]] — and therefore a stream restart —
-    * refuses to run rather than roll back the live run's parks
-    * mid-protocol (round-13 verdict item 3: the constraint was documented
-    * but unenforced). A run that finishes or fails in-process removes its
+  /** Consolidation lease prefix: `_consolidating_*` files at the store
+    * root fence recovery and concurrent consolidators. While any such
+    * file's heartbeat (mtime, re-stamped at each protocol step) is FRESH,
+    * [[recoverConsolidation]] — and therefore a stream restart — refuses
+    * to run rather than roll back the live run's parks mid-protocol
+    * (round-13 verdict item 3: the constraint was documented but
+    * unenforced). A run that finishes or fails in-process removes its
     * lease; a run whose JVM dies leaves it, and recovery proceeds once the
     * heartbeat is older than the staleness window. Underscore-prefixed
     * with no `=`, so Spark file listings never surface it. */
   private val LeasePrefix = "_consolidating_"
+
+  /** THE lease a consolidation stakes. One fixed name, created with
+    * `overwrite = false`, so the create is the atomic single-consolidator
+    * arbitration point — per-run lease names would make the
+    * check-then-create in [[acquireLease]] a race (two runs slipping
+    * through [[failIfLiveLease]] together would both "acquire", then both
+    * fold, colliding on the same fold id). Any OTHER `_consolidating_*`
+    * name still fences via the prefix check, so pre-upgrade leases and
+    * hand-planted fences keep working. */
+  private val LeaseLockName = s"${LeasePrefix}lock"
 
   /** How stale a consolidation lease's heartbeat must be before recovery
     * treats the run as dead. The long protocol phases (the staging write,
@@ -576,7 +586,11 @@ object AnnStreaming {
 
   /** Enter the consolidation protocol: refuse while another run's lease is
     * fresh (single-consolidator, now enforced rather than documented),
-    * clear stale leases of dead runs, stake this run's own. */
+    * clear stale leases of dead runs, stake the lock. The create of the
+    * FIXED lock name with `overwrite = false` is the atomic arbitration —
+    * a second consolidator slipping past [[failIfLiveLease]]'s check
+    * before this run's create loses the create itself and refuses, so two
+    * runs can never both hold the protocol. */
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, token: String,
       staleMs: Long): org.apache.hadoop.fs.Path = {
@@ -584,8 +598,16 @@ object AnnStreaming {
     val now = System.currentTimeMillis
     leases(fs, p).filter(s => now - s.getModificationTime >= staleMs)
       .foreach(s => fs.delete(s.getPath, false))
-    val lease = new org.apache.hadoop.fs.Path(p, s"$LeasePrefix$token")
-    fs.create(lease, false).close()
+    val lease = new org.apache.hadoop.fs.Path(p, LeaseLockName)
+    consolidateCrashpoint("lease-precreate")
+    try fs.create(lease, false).close() // atomic: one consolidator wins
+    catch {
+      case e: java.io.IOException =>
+        if (!fs.exists(lease)) throw e
+        throw new IllegalStateException(
+          s"a consolidation of $p appears LIVE (lost the $LeaseLockName " +
+            "create race) — one consolidator at a time")
+    }
     lease
   }
 

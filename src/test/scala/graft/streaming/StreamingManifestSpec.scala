@@ -453,6 +453,46 @@ class StreamingManifestSpec extends SparkSpec {
     }
   }
 
+  test("lease lock: losing the lock create inside the check->create gap refuses — never two folds") {
+    // the single-consolidator gate was check-then-act (failIfLiveLease,
+    // then create a PER-RUN lease name that never collides): two
+    // consolidators racing through the gap would both "acquire" and both
+    // fold onto the same fold id. The lock is now ONE fixed name created
+    // with overwrite=false — the atomic arbitration. Drive the gap
+    // deterministically: a competing lock appears between the check and
+    // this run's create.
+    val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = VectorOps
+      .persistedTrainedCentroids(spark, dir, nlist, trainIters)
+    val store = freshPaths("lock")._2
+    val st = new AnnStreaming.StoreAppendState
+    val (mfs, mp) = (new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(store))
+    graft.sources.StoreManifest.bootstrap(mfs, mp)
+    for (i <- 0 to 2)
+      AnnStreaming.absorbStoreBatch(st,
+        embRaw.filter(col("vec_id") >= i * 100 && col("vec_id") < (i + 1) * 100),
+        i.toLong, store, cents)
+    val entriesBefore = AnnStreaming.manifestEntries(spark, store).get
+    val lock = new org.apache.hadoop.fs.Path(store, "_consolidating_lock")
+    AnnStreaming.consolidateCrashpoint = s =>
+      if (s == "lease-precreate" && !mfs.exists(lock))
+        mfs.create(lock, false).close() // the competing run wins the create
+    val e = try intercept[IllegalStateException] {
+        AnnStreaming.consolidateStore(spark, store)
+      } finally AnnStreaming.consolidateCrashpoint = _ => ()
+    assert(e.getMessage.contains("LIVE"), e.getMessage)
+    assert(AnnStreaming.manifestEntries(spark, store).get == entriesBefore,
+      "the losing consolidator must leave the store untouched")
+    assert(AnnStreaming.readStore(spark, store).count() == 300L)
+    // the competing run "finishes" (lock released): consolidation proceeds
+    mfs.delete(lock, false)
+    assert(!AnnStreaming.consolidateStore(spark, store).skipped)
+    assert(AnnStreaming.manifest(spark, store).get == Set(-2L, 2L))
+    assert(AnnStreaming.readStore(spark, store).count() == 300L)
+  }
+
   test("per-batch row counts: recorded at landing, folded with a sum audit, surviving recovery") {
     val embRaw = Tables.embeddings(spark, dir).localCheckpoint()
     val cents = VectorOps
