@@ -923,9 +923,9 @@ object VectorOps {
   private[graft] def serveFromStorePath(s: SparkSession, storePath: String,
       queries: DataFrame, cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // manifest-aware when the store carries one (committed batches only —
-    // the isin filter on the ingest_batch partition column prunes at
-    // planning, so the DPP-pruned serving plan below is unchanged);
-    // byte-identical plain read otherwise
+    // readStore enumerates the manifest's explicit ingest_batch directory
+    // paths, so the pruning IS the path list and the DPP-pruned serving
+    // plan below is unchanged); byte-identical plain read otherwise
     val store = graft.streaming.AnnStreaming.readStore(s, storePath)
     val probeTop = OrderedOps.topKPerGroup(centScored(queries, cents),
         Seq("vec_id"), Seq(col("c_cos").desc, col("c_id")), nprobe)
