@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` payload column plus typed metadata, and per-item decode /
   * feature-extraction runs batch-wise over partitions.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
-  * [[decodeStub]] produces a deterministic fake (content-hash-seeded bytes and
-  * dimensions). Everything around it is the real Spark plumbing — schema,
-  * partition-preserving batch iteration, fixed-dimension feature output —
-  * exactly what a libjpeg/ffmpeg-backed implementation would slot into.
+  * The decode step is REAL for raster images: [[decodeImage]] sniffs the
+  * payload's magic bytes and decodes PNG/JPEG/GIF/BMP via JDK `ImageIO`
+  * (javax.imageio — public platform API, zero new dependencies), returning
+  * true dimensions, the container's frame count, and a grid-luminance
+  * feature vector. Payloads that are not decodable images (this repo's
+  * test fixtures carry text-cast blobs) fall back to [[decodeStub]], a
+  * deterministic content-hash fake, so every pipeline stays reproducible
+  * end-to-end with or without real media. Audio/video codecs beyond what
+  * ImageIO ships (MP4/H.264, WAV beyond javax.sound) remain out of scope
+  * for this container.
   */
 object Multimodal {
 
@@ -37,8 +42,83 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** ??? in spirit: the codec call. Deterministic fake keyed by payload
-    * content so tests are stable and re-runs are reproducible. */
+  /** True when the payload's leading bytes carry one of the raster-image
+    * magics ImageIO ships readers for. Cheap rejection filter so the text
+    * blobs the fixtures carry never pay a codec probe. */
+  private[multimodal] def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // PNG
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) || // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||          // GIF
+      (p(0) == 'B' && p(1) == 'M'))                                          // BMP
+
+  /** REAL image decode via JDK ImageIO: dimensions and frame count from the
+    * container, feature = mean luminance over a row-major cell grid
+    * (ceil(sqrt(dim)) per side, values in [0,1]) — a deterministic,
+    * codec-grade per-pixel pass. Returns None when the payload is not a
+    * decodable image so callers can fall back to the portable stand-in.
+    *
+    * ImageIO's disk cache is disabled once per JVM: a per-row decode must
+    * not write a temp file per image on an executor. */
+  private[multimodal] def decodeImage(payload: Array[Byte],
+                                      featureDim: Int): Option[(Int, Int, Int, Array[Float])] = {
+    if (!looksLikeImage(payload)) return None
+    ImageIoInit.ensure()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+        // GIF containers report their true frame count; single-image
+        // formats report 1. allowSearch=true is fine on a byte-array stream.
+        val nFrames = math.max(1, reader.getNumImages(true))
+        val img = reader.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grid = math.ceil(math.sqrt(featureDim.toDouble)).toInt.max(1)
+        val feat = new Array[Float](featureDim)
+        var cell = 0
+        while (cell < featureDim) {
+          val (cy, cx) = (cell / grid, cell % grid)
+          val (x0, x1) = (cx * w / grid, ((cx + 1) * w / grid).max(cx * w / grid + 1).min(w))
+          val (y0, y1) = (cy * h / grid, ((cy + 1) * h / grid).max(cy * h / grid + 1).min(h))
+          var sum = 0.0; var n = 0
+          var y = y0.min(h - 1)
+          while (y < y1) {
+            var x = x0.min(w - 1)
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              // ITU-R BT.601 luma from the sRGB channels
+              sum += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)) / 255.0
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          feat(cell) = if (n == 0) 0.0f else (sum / n).toFloat
+          cell += 1
+        }
+        Some((w, h, nFrames, feat))
+      } finally reader.dispose()
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => None // torn/hostile payload → stand-in
+    } finally iis.close()
+  }
+
+  /** Once-per-JVM ImageIO setup (executor-side safe; idempotent). */
+  private object ImageIoInit {
+    @volatile private var done = false
+    def ensure(): Unit = if (!done) synchronized {
+      if (!done) { javax.imageio.ImageIO.setUseCache(false); done = true }
+    }
+  }
+
+  /** Deterministic content-hash stand-in for payloads that are NOT decodable
+    * images (the fixtures' text blobs, torn files, unsupported codecs) —
+    * keyed by payload content so tests are stable and re-runs reproducible.
+    * Also the portable twin the DuckDB oracle rows replay (MultimodalOps). */
   private[multimodal] def decodeStub(payload: Array[Byte],
                                      featureDim: Int): (Int, Int, Int, Array[Float]) = {
     // FNV-1a over the payload — stands in for actual pixel decoding
@@ -65,18 +145,21 @@ object Multimodal {
 
   /** Batch decode + featurize: processes rows in partition-sized batches —
     * the shape a vectorized codec UDF needs. `featureDim` fixes the output
-    * embedding width. The input is WIDENED when it arrives narrower than
-    * the session's cores (graft.operators.WidenScan): a codec is the most
-    * compute-heavy per-row work in the engine, exactly the consumer the
-    * widening repartition exists for — a single-file media drop must never
-    * decode on one core. */
+    * embedding width. Real images (PNG/JPEG/GIF/BMP by magic bytes) decode
+    * through ImageIO ([[decodeImage]]); everything else falls back to the
+    * deterministic stand-in ([[decodeStub]]). The input is WIDENED when it
+    * arrives narrower than the session's cores (graft.operators.WidenScan):
+    * a codec is the most compute-heavy per-row work in the engine, exactly
+    * the consumer the widening repartition exists for — a single-file media
+    * drop must never decode on one core. */
   def decodeAndFeaturize(media: Dataset[MediaItem],
                          featureDim: Int = 16): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     graft.operators.WidenScan(media).mapPartitions { it =>
       it.map { m =>
-        val (w, hgt, f, feat) = decodeStub(m.payload, featureDim)
+        val (w, hgt, f, feat) = decodeImage(m.payload, featureDim)
+          .getOrElse(decodeStub(m.payload, featureDim))
         Decoded(m.media_id, m.media_type, w, hgt, f, feat)
       }
     }

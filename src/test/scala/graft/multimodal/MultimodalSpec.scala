@@ -42,4 +42,67 @@ class MultimodalSpec extends SparkSpec {
       else assert(math.abs(s - 256.0 / math.max(w, h)) < 1e-12)
     }
   }
+
+  // ---- REAL decode (JDK ImageIO) ------------------------------------------
+
+  /** Render a w×h image, left half black / right half white, to `fmt` bytes. */
+  private def renderHalfToneBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real PNG decodes to true dimensions and grid-luminance feature") {
+    val bytes = renderHalfToneBytes(40, 24, "png")
+    val Some((w, h, nf, feat)) = Multimodal.decodeImage(bytes, 16)
+    assert((w, h, nf) == (40, 24, 1))
+    assert(feat.length == 16)
+    // 4x4 grid over a left-black/right-white image: columns 0-1 black (~0),
+    // columns 2-3 white (~1). PNG is lossless so the bound is tight.
+    for (cell <- 0 until 16) {
+      val expected = if (cell % 4 < 2) 0.0f else 1.0f
+      assert(math.abs(feat(cell) - expected) < 1e-3, s"cell $cell: ${feat(cell)}")
+    }
+  }
+
+  test("real JPEG and BMP decode to true dimensions; JPEG luminance approximate") {
+    val Some((jw, jh, _, jfeat)) = Multimodal.decodeImage(renderHalfToneBytes(64, 48, "jpg"), 4)
+    assert((jw, jh) == (64, 48))
+    // JPEG is lossy: halves still clearly dark vs light
+    assert(jfeat(0) < 0.2f && jfeat(1) > 0.8f)
+    val Some((bw, bh, _, _)) = Multimodal.decodeImage(renderHalfToneBytes(10, 10, "bmp"), 4)
+    assert((bw, bh) == (10, 10))
+  }
+
+  test("real GIF reports container frame count") {
+    val Some((w, h, nf, _)) = Multimodal.decodeImage(renderHalfToneBytes(16, 16, "gif"), 4)
+    assert((w, h, nf) == (16, 16, 1))
+  }
+
+  test("non-image payloads fall back to the deterministic stand-in") {
+    val text = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(text, 16).isEmpty)
+    // truncated magic (PNG header then garbage) must not throw, just decline
+    val torn = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    assert(Multimodal.decodeImage(torn, 16).isEmpty)
+  }
+
+  test("Spark decode path routes real images to ImageIO, text to the stand-in") {
+    import spark.implicits._
+    val png = renderHalfToneBytes(32, 20, "png")
+    val txt = "plain text payload".getBytes("UTF-8")
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", png, "a"),
+      Multimodal.MediaItem(2L, "image", txt, "b")).toDS()
+    val out = Multimodal.decodeAndFeaturize(items, featureDim = 16)
+      .collect().map(d => d.media_id -> d).toMap
+    assert((out(1L).width, out(1L).height, out(1L).n_frames) == (32, 20, 1))
+    val (sw, sh, sf, sfeat) = Multimodal.decodeStub(txt, 16)
+    assert((out(2L).width, out(2L).height, out(2L).n_frames) == (sw, sh, sf))
+    assert(out(2L).feature.toSeq == sfeat.toSeq)
+  }
 }
