@@ -33,4 +33,32 @@ class QuickPlotsSpec extends AnyFunSuite {
     val step = t.sliding(2).map { case Seq(a, b) => b - a }.toSeq
     assert(step.forall(s => math.abs(s - step.head) < 1e-9))
   }
+
+  test("PNG raster: decodable, right dimensions, marker pixels in series color") {
+    val bytes = QuickPlots.lineChartPng(pts, "Capacity vs Cycle", "Cycle",
+      "Discharge Capacity (Ah)")
+    // PNG magic
+    assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 640 && img.getHeight == 420)
+    // every marker center must be painted in the series color (same geometry
+    // as the SVG twin via chartGeom)
+    val series = java.awt.Color.decode("#2a78d6").getRGB
+    val g = QuickPlots.chartGeom(pts)
+    for ((mx, my) <- g.markerPts)
+      assert(img.getRGB(math.round(mx).toInt, math.round(my).toInt) == series,
+        s"marker at ($mx,$my) not series-colored")
+    // surface fills the top-right corner (outside the plot area)
+    assert(img.getRGB(639, 1) == java.awt.Color.decode("#fcfcfb").getRGB)
+  }
+
+  test("PNG and SVG twins share identical geometry") {
+    val g = QuickPlots.chartGeom(pts)
+    val svg = QuickPlots.lineChartSvg(pts, "t", "x", "y")
+    // the SVG's circle coordinates are exactly the shared geometry, 2dp
+    def f(d: Double) = BigDecimal(d).setScale(2,
+      BigDecimal.RoundingMode.HALF_EVEN).toString
+    for ((mx, my) <- g.markerPts)
+      assert(svg.contains(s"""cx="${f(mx)}" cy="${f(my)}""""))
+  }
 }
