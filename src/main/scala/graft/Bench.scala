@@ -174,6 +174,47 @@ object Bench {
         } else r
       }
     }
+    // prior-aware outlier re-rep (round-14 verdict): four min-of-1 join rows
+    // cost an isolated-pin adjudication each, purely from in-sweep residue
+    // (REGRESS_r14 join_rows_in_sweep_residue: j19 read 6.4× its isolated
+    // time IN the sweep). When SPARK_GRAFT_BENCH_PRIOR names the prior
+    // round's committed bench JSON, any row whose min exceeds 1.5× its
+    // committed prior (and by >1 s absolute — cheap-row flutter is not an
+    // outlier) gets ONE extra rep after the whole sweep has passed, when
+    // neighboring-row pressure is gone. Rows STILL over after the re-rep
+    // land in `outliers_vs_prior` in the output JSON — the adjudication
+    // list is machine-made; rep_times carries both readings.
+    val prior: Map[String, Double] = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+      .flatMap { p =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), "UTF-8")
+          """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+            """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not read prior bench $p: $e")
+          None
+        }
+      }.getOrElse(Map.empty)
+    def overPrior(r: Res): Option[Double] =
+      prior.get(r.name).filter(p => r.ok && r.min > p * 1.5 && r.min - p > 1.0)
+    if (prior.nonEmpty) {
+      results = results.map { r =>
+        overPrior(r) match {
+          case Some(p) =>
+            val t = timeOne(r.name, qmap(r.name))
+            System.err.println(
+              f"[bench] ${r.name}%-24s ${t._1}%8.2f s  (outlier re-rep; prior $p%.2f)")
+            addRep(r, t)
+          case None => r
+        }
+      }
+    }
+    val outliers = results.flatMap(r => overPrior(r).map(p =>
+        f""""${r.name}":{"prior":$p%.3f,"min":${r.min}%.3f}"""))
+      .mkString("{", ",", "}")
     def jmap(f: Res => String): String =
       results.map(r => s"\"${r.name}\":${f(r)}").mkString("{", ",", "}")
     val qs = jmap(_.min.toString)
@@ -200,7 +241,7 @@ object Bench {
     val total = results.map(_.min).sum
     // failed queries are listed explicitly so a fast-failing regression can
     // never masquerade as a speedup; the total is only comparable when empty
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gc,"reps":$repCounts,"rep_times":$repTimes,"incremental":$inc,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gc,"reps":$repCounts,"rep_times":$repTimes,"incremental":$inc,"failed":$failed,"outliers_vs_prior":$outliers,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a log TAIL — BENCH_r03 lost the first ~23 per-query
     // timings to truncation. The file copy makes round-over-round comparison
