@@ -40,6 +40,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * At 100 TB this is exactly a Delta/Iceberg optimistic-commit loop over
   * the table's next snapshot file.
   *
+  * DELTAS MUST BE IDEMPOTENT: re-applying a delta onto entries that already
+  * reflect it must be a no-op (`_ + (id -> count)`,
+  * `_ -- sources + (foldId -> count)` both are). The CAS loop relies on
+  * this — a post-close verification failure retries the whole commit, and
+  * in one rare interleaving (a legitimate successor commits inside the
+  * verify window) the retry re-applies a delta that already landed.
+  *
+  * OBJECT-STORE POSTURE: the arbitration point is `create(overwrite=false)`
+  * failing for the loser. That holds on HDFS, local/POSIX, viewfs, Ozone —
+  * filesystems with atomic create-exclusive. It does NOT hold on S3A
+  * without conditional writes (create does HEAD-then-PUT; two racers both
+  * succeed, last PUT silently wins) or other bare object stores, where a
+  * real deployment needs a conditional-put or an external lock — exactly
+  * why Delta ships LogStore implementations per store and Iceberg uses a
+  * catalog as the commit authority. [[commit]] therefore REFUSES schemes
+  * not known to arbitrate create, loudly, rather than racing silently;
+  * a deployment that has made its store safe (e.g. S3 conditional writes
+  * via an If-None-Match-honoring connector) can assert so with
+  * `graft.manifest.assume.atomic.create=true` in the Hadoop conf.
+  *
   * Version retirement retains the immediately-previous version (a reader
   * that listed version N−1 an instant before version N committed can still
   * open it); only versions two or more behind are deleted, and [[read]]
@@ -62,6 +82,14 @@ object StoreManifest {
     * landing's commit here to drive the round-13 race deterministically.
     * No-op in production. */
   private[graft] var commitCrashpoint: String => Unit = _ => ()
+
+  /** Test seam — invoked after a commit attempt's content write+close,
+    * before its post-close verification (`"post-close:v<N>"`): the window
+    * where a torn-slot heal can have redirected the path away from this
+    * writer's (now unlinked) inode. Specs delete/re-claim the slot here to
+    * drive the POSIX lost-inode case deterministically. No-op in
+    * production. */
+  private[graft] var postCloseCrashpoint: String => Unit = _ => ()
 
   private def versions(fs: FileSystem, store: Path): Seq[(Long, Path)] =
     if (!fs.exists(store)) Seq.empty
@@ -152,10 +180,42 @@ object StoreManifest {
   /** How old a torn version file's mtime must be before [[commit]] declares
     * its writer dead and heals it. The content write is one small
     * write+close — milliseconds — so a file torn for this long is a crashed
-    * writer; a merely-paused writer whose torn file gets healed finds its
-    * close() failing and its commit call throwing (loud), never a silent
-    * loss. */
+    * writer. A merely-paused writer whose torn file gets healed is caught
+    * filesystem-dependently: on HDFS its lease is revoked and close()
+    * throws (loud); on POSIX the delete unlinks the inode and write+close
+    * SUCCEED — which is why commit's post-close verification re-reads the
+    * path and treats missing-or-different content as a lost CAS. Either
+    * way, never a silent loss. */
   val DefaultTornStaleMs: Long = 30000L
+
+  /** Filesystem schemes whose `create(overwrite = false)` is a real
+    * arbitration point (atomic create-exclusive). Everything else —
+    * S3A/GCS/etc. HEAD-then-PUT semantics — must not run the CAS protocol:
+    * two racing writers would BOTH see their create succeed and the last
+    * PUT would silently clobber the first. */
+  private val AtomicCreateSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "hftp", "o3fs", "ofs")
+
+  /** Conf key a deployment sets to assert its store arbitrates
+    * create-exclusive even though the scheme is not on the known list
+    * (e.g. an S3 connector configured for conditional/If-None-Match
+    * writes). */
+  val AssumeAtomicCreateKey = "graft.manifest.assume.atomic.create"
+
+  private[graft] def requireAtomicCreate(fs: FileSystem, store: Path): Unit = {
+    val scheme = Option(store.toUri.getScheme)
+      .orElse(Option(fs.getUri).map(_.getScheme))
+      .getOrElse("file").toLowerCase
+    if (!AtomicCreateSchemes.contains(scheme) &&
+        !fs.getConf.getBoolean(AssumeAtomicCreateKey, false))
+      throw new UnsupportedOperationException(
+        s"manifest commit on $store: scheme '$scheme' is not known to " +
+          "arbitrate create(overwrite=false) atomically, so the CAS commit " +
+          "protocol would race silently (two writers both 'win' and the " +
+          "last PUT clobbers the first). Use an HDFS-semantics filesystem, " +
+          s"or set $AssumeAtomicCreateKey=true after making the store " +
+          "conditional-write safe.")
+  }
 
   /** Commit `delta` applied to the CURRENT entries, under compare-and-swap
     * arbitration: read → apply → create `_manifest_v<basis+1>` with
@@ -182,6 +242,7 @@ object StoreManifest {
   def commit(fs: FileSystem, store: Path,
       delta: Entries => Entries,
       tornStaleMs: Long = DefaultTornStaleMs): Entries = {
+    requireAtomicCreate(fs, store)
     if (!fs.exists(store)) fs.mkdirs(store)
     var casLosses = 0
     val tornDeadline = System.currentTimeMillis + 4 * tornStaleMs
@@ -223,11 +284,45 @@ object StoreManifest {
             val text = (s"$Header${entries.size}" +: body)
               .mkString("", "\n", "\n")
             try o.write(text.getBytes("UTF-8")) finally o.close()
-            // retire versions two or more behind; the immediately-previous
-            // version survives one more commit so an in-flight reader that
-            // listed it can still open it
-            vs.foreach { case (v, p) => if (v < basis) fs.delete(p, false) }
-            return entries
+            postCloseCrashpoint(s"post-close:v$next")
+            // POST-CLOSE VERIFY (round-15, closes two arbitration gaps the
+            // round-14 advice found in the CAS landing):
+            // (1) POSIX torn-heal inode loss — on local filesystems a
+            //     healer that declared THIS writer's in-progress file
+            //     torn-stale deletes the path mid-write; write+close then
+            //     succeed against the unlinked inode and the delta would
+            //     vanish silently. Re-reading the PATH and requiring it to
+            //     carry exactly the content just written catches it: the
+            //     path is gone, or carries the healer-era winner's content.
+            // (2) ABA slot reuse — a writer paused between readCurrent and
+            //     create while ≥3 commits land finds its basis+1 slot
+            //     retired (deleted) and re-creates it, landing a stale
+            //     manifest BELOW the real current. Its own content reads
+            //     back fine, so (1) doesn't catch it; a higher version
+            //     existing in the re-listing proves the slot was recycled.
+            // Either failure → treat as a lost CAS and retry. A retry can
+            // be spurious (a legitimate successor committed on top inside
+            // the verify window), which is safe because deltas are
+            // IDEMPOTENT by contract — add an id, swap fold sources —
+            // re-applying onto a state that already carries them is a
+            // no-op. The extra read+list per commit is per-BATCH cost.
+            val verified =
+              (try parseVersion(fs, vp).contains(entries)
+               catch { case _: java.io.FileNotFoundException => false }) &&
+              versions(fs, store).forall(_._1 <= next)
+            if (verified) {
+              // retire versions two or more behind; the immediately-previous
+              // version survives one more commit so an in-flight reader that
+              // listed it can still open it
+              vs.foreach { case (v, p) => if (v < basis) fs.delete(p, false) }
+              return entries
+            } else {
+              casLosses += 1
+              if (casLosses > 50) throw new IllegalStateException(
+                s"manifest commit on $store failed post-close verification " +
+                  s"$casLosses times — slot churn this code has no " +
+                  "business surviving")
+            }
           case None =>
             casLosses += 1
             if (casLosses > 50) throw new IllegalStateException(

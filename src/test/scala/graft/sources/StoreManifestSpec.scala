@@ -171,6 +171,87 @@ class StoreManifestSpec extends SparkSpec {
     assert(StoreManifest.readEntries(fs, store).get == committed)
   }
 
+  test("POSIX torn-heal inode loss: a healed-and-reclaimed slot fails post-close verification, the writer's delta survives via retry") {
+    // round-14 advice gap 1: on POSIX a live-but-paused writer whose torn
+    // file is deleted keeps writing into the unlinked inode — write+close
+    // succeed, and without post-close verification its delta would vanish
+    // silently. Emulated at the post-close seam: the slot W just wrote is
+    // deleted (the heal) and re-claimed by a competing landing; W's verify
+    // must see foreign content at its path, treat it as a lost CAS, and
+    // re-apply its delta on top of the competitor's commit.
+    val store = freshStore("inode")
+    StoreManifest.commit(fs, store, _ => Map(1L -> Some(1L)))
+    @volatile var fired = false
+    StoreManifest.postCloseCrashpoint = _ =>
+      if (!fired) {
+        fired = true
+        fs.delete(new Path(store, "_manifest_v1"), false) // the heal
+        StoreManifest.commit(fs, store, e => e + (9L -> Some(9L))) // re-claim
+      }
+    val committed = try StoreManifest.commit(fs, store,
+        e => e + (2L -> Some(2L)))
+      finally StoreManifest.postCloseCrashpoint = _ => ()
+    assert(fired, "the post-close seam never fired")
+    assert(committed == Map(1L -> Some(1L), 9L -> Some(9L), 2L -> Some(2L)),
+      s"W must detect the foreign content and re-apply on top: $committed")
+    assert(StoreManifest.readEntries(fs, store).get == committed,
+      "both the re-claimer's and W's deltas must survive")
+  }
+
+  test("ABA slot reuse: a writer paused across >=3 commits finds its slot retired, re-creates it, and must NOT report stale success") {
+    // round-14 advice gap 2: W reads basis=0, pauses; three commits land
+    // (v1..v3, retiring v0 and v1); W's create of the recycled v1 slot
+    // SUCCEEDS, landing a stale manifest below the real current. The
+    // post-close re-listing sees higher versions and forces the retry.
+    val store = freshStore("aba")
+    StoreManifest.commit(fs, store, _ => Map(1L -> Some(1L)))
+    @volatile var fired = false
+    StoreManifest.commitCrashpoint = _ =>
+      if (!fired) {
+        fired = true
+        for (id <- Seq(10L, 11L, 12L))
+          StoreManifest.commit(fs, store, e => e + (id -> Some(id)))
+        // W's basis+1 slot (v1) is now retired — its create will succeed
+        assert(!fs.exists(new Path(store, "_manifest_v1")))
+      }
+    val committed = try StoreManifest.commit(fs, store,
+        e => e + (2L -> Some(2L)))
+      finally StoreManifest.commitCrashpoint = _ => ()
+    assert(fired, "the pre-create seam never fired")
+    val want = Map(1L -> Some(1L), 2L -> Some(2L), 10L -> Some(10L),
+      11L -> Some(11L), 12L -> Some(12L))
+    assert(committed == want,
+      s"W must detect the recycled slot and rebase onto the real current: $committed")
+    assert(StoreManifest.readEntries(fs, store).get == want,
+      "the current manifest must carry all four deltas, stale v1 never current")
+  }
+
+  test("non-arbitrating schemes are refused loudly; the assume-atomic conf overrides") {
+    val localFs = fs
+    val s3ish = new org.apache.hadoop.fs.FilterFileSystem(localFs) {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+    }
+    s3ish.setConf(spark.sessionState.newHadoopConf())
+    val store = freshStore("guard") // path has no scheme -> fs.getUri decides
+    val e = intercept[UnsupportedOperationException] {
+      StoreManifest.commit(s3ish, store, _ => Map(1L -> None))
+    }
+    assert(e.getMessage.contains("s3a") &&
+      e.getMessage.contains(StoreManifest.AssumeAtomicCreateKey))
+    // a deployment that has made its store conditional-write safe asserts so
+    // (FilterFileSystem delegates getConf to the wrapped fs, so the wrapped
+    // instance must carry the override — a fresh non-cached local fs)
+    val conf = spark.sessionState.newHadoopConf()
+    conf.setBoolean(StoreManifest.AssumeAtomicCreateKey, true)
+    val safeLocal = org.apache.hadoop.fs.FileSystem.newInstance(
+      java.net.URI.create("file:///"), conf)
+    val s3safe = new org.apache.hadoop.fs.FilterFileSystem(safeLocal) {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+    }
+    assert(StoreManifest.commit(s3safe, store, _ => Map(1L -> None))
+      == Map(1L -> None))
+  }
+
   test("bootstrap: a missing store path becomes an empty manifested store, not a listing error") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_manifest_unit_boot").toString
