@@ -264,6 +264,26 @@ object AnnStreaming {
     * unchanged: `cluster` stays a partition column one level down (DPP
     * still prunes un-probed lists), and `ingest_batch` pruning is the
     * path enumeration itself. */
+  /** Scan exactly the given manifested batch directories — a SNAPSHOT-pinned
+    * read: the caller chose the visible set, this plans no manifest read of
+    * its own. Throws AnalysisException when a listed directory has been
+    * vacuumed since the snapshot (callers re-snapshot and retry). */
+  private def scanBatches(spark: SparkSession, storePath: String,
+      ids: Set[Long]): DataFrame = {
+    import graft.queries.VectorOps.postingStoreSchema
+    if (ids.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        postingStoreSchema)
+    else spark.read
+      .schema(postingStoreSchema.add("ingest_batch",
+        org.apache.spark.sql.types.LongType))
+      .option("basePath", storePath)
+      .parquet(ids.toSeq.sorted
+        .map(id => s"$storePath/ingest_batch=$id"): _*)
+      .select(postingStoreSchema.fieldNames.map(col): _*)
+  }
+
   def readStore(spark: SparkSession, storePath: String): DataFrame = {
     import graft.queries.VectorOps.postingStoreSchema
     var attempts = 0
@@ -275,13 +295,7 @@ object AnnStreaming {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               postingStoreSchema)
           try {
-            val df = spark.read
-              .schema(postingStoreSchema.add("ingest_batch",
-                org.apache.spark.sql.types.LongType))
-              .option("basePath", storePath)
-              .parquet(ids.toSeq.sorted
-                .map(id => s"$storePath/ingest_batch=$id"): _*)
-              .select(postingStoreSchema.fieldNames.map(col): _*)
+            val df = scanBatches(spark, storePath, ids)
             // the file index is built; an unchanged manifest proves no
             // fold vacuumed a listed directory mid-listing
             if (manifest(spark, storePath).contains(ids)) return df
@@ -451,15 +465,36 @@ object AnnStreaming {
     // directory's content diverged from what its commit recorded (lost
     // files, hand edits) — stop BEFORE appending on top of it. Cheap:
     // count(*) over parquet reads row-group metadata, no column data.
-    graft.sources.StoreManifest.readEntries(mfs, mp).foreach { entries =>
-      if (entries.nonEmpty && entries.values.forall(_.isDefined)) {
-        val want = entries.values.flatten.sum
-        val got = readStore(spark, storePath).count()
-        if (got != want) throw new IllegalStateException(
-          s"store integrity check failed for $storePath: the manifest " +
-            s"records $want committed posting rows but the manifested " +
-            s"directories hold $got — a committed batch's content has " +
-            "diverged; inspect the store before streaming on top of it")
+    // ONE manifest snapshot per attempt (round-14 advice): want and got
+    // both derive from the same readEntries observation — the old shape
+    // re-read the manifest inside readStore, so a commit landing between
+    // the two reads failed the gate spuriously. A concurrent fold can
+    // still vacuum a snapshotted directory mid-count; one re-snapshot
+    // retry absorbs that, a second miss is a real divergence.
+    var integrityAttempt = 0
+    var integrityDone = false
+    while (!integrityDone) {
+      graft.sources.StoreManifest.readEntries(mfs, mp) match {
+        case Some(entries)
+            if entries.nonEmpty && entries.values.forall(_.isDefined) =>
+          val want = entries.values.flatten.sum
+          val got =
+            try scanBatches(spark, storePath, entries.keySet).count()
+            catch { // a snapshotted dir vacuumed under the count: re-snapshot
+              case _: org.apache.spark.sql.AnalysisException => -1L
+              case e: org.apache.spark.SparkException
+                  if e.getMessage.contains("FILE_NOT_EXIST") => -1L
+            }
+          if (got == want) integrityDone = true
+          else {
+            integrityAttempt += 1
+            if (integrityAttempt > 1) throw new IllegalStateException(
+              s"store integrity check failed for $storePath: the manifest " +
+                s"records $want committed posting rows but the manifested " +
+                s"directories hold $got — a committed batch's content has " +
+                "diverged; inspect the store before streaming on top of it")
+          }
+        case _ => integrityDone = true // un-counted or legacy store: no gate
       }
     }
     val landed = stateFromStore(spark, storePath)
