@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc spark confs for probes (e.g. the pagerank broadcast A/B seam):
+  // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.graft.pagerank.broadcastVertexLimit=0"
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -20,19 +20,23 @@ import org.apache.spark.sql.functions._
   * Per-round `localCheckpoint` (as in [[ConnectedComponents]]) truncates
   * lineage for long runs; at 3 rounds the plain plan is cheaper.
   *
-  * Contract: every vertex must appear as a `src` (undirected/symmetrized
-  * edges satisfy this; for directed graphs add dangling-mass handling
-  * before calling). The rank vector is rebuilt each round from the FULL
-  * vertex set (left join of degrees against summed contributions): a vertex
-  * with out-edges but no in-edges keeps the teleport mass instead of
-  * vanishing from `r` — which would silently drop its outbound
-  * contributions in every later round. For symmetrized edges the left join
-  * never fires its default, so this costs one broadcast-sized join per
-  * round and changes nothing on undirected graphs.
+  * The vertex set is src ∪ dst, so DIRECTED graphs work unmodified:
+  * dangling vertices (no out-edges — a dst that never appears as src) are
+  * detected once (an iteration-invariant anti-join) and their rank mass is
+  * redistributed uniformly each round — one scalar aggregate per round
+  * (`Σ rank over dangling vertices div |V|`, integer) added inside the
+  * damping term, the standard dangling-mass treatment. Symmetrized edge
+  * sets have no dangling vertices, detect that in the same up-front count,
+  * and skip the per-round aggregate entirely. The rank vector is rebuilt
+  * each round from the FULL vertex set (left join against summed
+  * contributions): a vertex with out-edges but no in-edges keeps the
+  * teleport mass instead of vanishing from `r` — which would silently drop
+  * its outbound contributions in every later round.
   */
 object PageRank {
 
-  /** @param edges two columns `src`, `dst`; every vertex present as src.
+  /** @param edges two columns `src`, `dst` (directed; symmetrize for
+    *              undirected semantics).
     * @return (id, rank) with rank in micro-units (1.0 ≡ 1,000,000). */
   def ranks(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1)
@@ -67,7 +71,9 @@ object PageRank {
     // per-task memory is independent of the hottest vertex's degree.
     val ed = Ckpt.bounded(eIn.join(deg.hint("shuffle_hash"), "src")
       .select(col("src"), col("dst"), col("d")))
-    val ids = Ckpt.bounded(ed.select(col("src").as("vid")).distinct())
+    // vertex set = src ∪ dst: dst-only vertices (dangling) must hold rank
+    val ids = Ckpt.bounded(eIn.select(col("src").as("vid"))
+      .union(eIn.select(col("dst").as("vid"))).distinct())
     // ONE cheap job over the checkpointed vertex set decides the per-round
     // join strategy. The rank table is one row per VERTEX — orders of
     // magnitude slimmer than the edge table — so up to millions of
@@ -81,10 +87,28 @@ object PageRank {
     // 100 TB) the shuffled hash join takes over: build bounded by
     // |V|/partitions, stream the skewed edge side, per-task memory
     // independent of the hottest vertex's degree.
+    //
+    // Heap budget for the limit: a superseded round's broadcast is only
+    // reclaimed after the ContextCleaner processes its weak reference,
+    // which needs a driver GC first — so near the limit, plan for 2-3 rank
+    // broadcast GENERATIONS resident at once (~100 MB materialized each at
+    // 4 M vertices), not one. The default fits that envelope inside the
+    // 8 GB protocol heap; deployments tune it per executor memory via
+    // spark.graft.pagerank.broadcastVertexLimit (0 forces shuffle-hash —
+    // also the A/B seam the perf probes use).
     val nV = ids.count()
-    val BroadcastVertexLimit = 4000000L
+    val BroadcastVertexLimit = edges.sparkSession.conf
+      .get("spark.graft.pagerank.broadcastVertexLimit", "4000000").toLong
     def rankSide(r: DataFrame): DataFrame =
       if (nV <= BroadcastVertexLimit) broadcast(r) else r.hint("shuffle_hash")
+    // dangling detection is ITERATION-INVARIANT: vertices never appearing
+    // as src. One anti-join + count up front; a symmetrized graph finds
+    // zero and pays nothing per round.
+    val dang = Ckpt.bounded(ids.join(
+      deg.select(col("src").as("vid")).hint("shuffle_hash"),
+      Seq("vid"), "left_anti"))
+    val nDang = dang.count()
+    val dangSide = if (nDang <= BroadcastVertexLimit) broadcast(dang) else dang
     var r = ids.select(col("vid").as("id"), lit(1000000L).as("rank"))
     // superseded per-round checkpoints are RELEASED as soon as the next
     // round's snapshot exists — otherwise every run pins (iterations + 2)
@@ -93,6 +117,16 @@ object PageRank {
     // bounded-footprint rule as the streaming state snapshots)
     var prevCkpt: DataFrame = null
     for (_ <- 1 to iterations) {
+      // dangling mass: rank parked on out-edge-less vertices re-enters the
+      // damping term as a uniform per-vertex share. One SCALAR aggregate
+      // per round (a semi-join against the bounded dangling set, summed) —
+      // deterministic (full integer sum, order-free) and skipped outright
+      // on graphs with no dangling vertices.
+      val dangShare: Long =
+        if (nDang == 0L) 0L
+        else r.join(dangSide.select(col("vid").as("id")), Seq("id"),
+            "left_semi")
+          .agg(coalesce(sum("rank"), lit(0L))).first().getLong(0) / nV
       val contrib = ed.join(rankSide(r), col("src") === col("id"))
         // div, not / — Spark's / on longs silently returns double
         .select(col("dst"), expr("rank div d").as("contrib"))
@@ -105,7 +139,9 @@ object PageRank {
       r = ids.select(col("vid").as("id"))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
-          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+          (lit(150000L) +
+            expr(s"(85 * (coalesce(s, 0L) + ${dangShare}L)) div 100"))
+            .as("rank"))
       r = Ckpt.bounded(r)
       if (prevCkpt != null) prevCkpt.unpersist()
       prevCkpt = r
@@ -114,6 +150,7 @@ object PageRank {
     // are dead once the loop ends
     ed.unpersist()
     ids.unpersist()
+    dang.unpersist()
     r
   }
 }

@@ -46,15 +46,16 @@ class PageRankSpec extends SparkSpec {
       val deadline = System.nanoTime() + 30e9.toLong
       def ckpts = plans.synchronized {
         plans.filter(p => p._1.toLowerCase.contains("checkpoint")) }
-      while (ckpts.size < 5 && System.nanoTime() < deadline)
+      while (ckpts.size < 6 && System.nanoTime() < deadline)
         Thread.sleep(50)
       val cp = ckpts
-      assert(cp.size == 5,
-        s"expected ed + ids + 3 round checkpoints, saw ${cp.size}: " +
+      assert(cp.size == 6,
+        s"expected ed + ids + dang + 3 round checkpoints, saw ${cp.size}: " +
           cp.map(_._1).mkString(","))
-      // only the two hoisted tables may touch source lineage
+      // only the three hoisted iteration-invariant tables (ed, ids, dang —
+      // dang re-derives deg once) may touch source lineage
       val sourced = cp.filter(_._2.contains("LocalTableScan"))
-      assert(sourced.size <= 2,
+      assert(sourced.size <= 3,
         s"round plans must read checkpointed RDDs only:\n" +
           sourced.map(_._2).mkString("\n----\n"))
       // each round: one agg exchange (+ at most a join exchange pair never
@@ -66,6 +67,42 @@ class PageRankSpec extends SparkSpec {
         assert(ex <= 2, s"round plan grew $ex exchanges:\n$p")
       }
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("directed chain with dangling sink matches the hand-computed fixed point") {
+    import spark.implicits._
+    // A->B->C, C dangling; vertex set {A,B,C} comes from src UNION dst.
+    // Hand-computed integer fixed point, 2 iterations (micro-units,
+    // share = dangling_sum div 3 folded into the damping term):
+    //   iter1: share=333333; A=433333, B=C=1283333
+    //   iter2: share=1283333 div 3=427777;
+    //          A=150000+85*427777 div 100=513610
+    //          B=150000+85*(433333+427777) div 100=881943
+    //          C=150000+85*(1283333+427777) div 100=1604443
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = PageRank.ranks(edges, 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 513610L, 1L -> 881943L, 2L -> 1604443L), r.toString)
+  }
+
+  test("dangling redistribution conserves rank order and keeps symmetric graphs untouched") {
+    import spark.implicits._
+    // a symmetrized graph has no dangling vertices: the generalization must
+    // not change its fixed point (4-cycle invariance re-checked through the
+    // directed-capable path)
+    val fwd = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val sym = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    assert(PageRank.ranks(sym, 3).collect().forall(_.getLong(1) == 1000000L))
+    // directed star INTO a sink: the sink accumulates, sources tie at the
+    // teleport-plus-share floor, and the sink's parked mass flows back to
+    // everyone (sources rank above bare teleport 150000)
+    val sink = (1L to 4L).map(i => (i, 0L)).toDF("src", "dst")
+    val rr = PageRank.ranks(sink, 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rr.size == 5)
+    assert((1L to 4L).map(rr).distinct.size == 1, s"sources must tie: $rr")
+    assert(rr(0L) > rr(1L), s"sink must dominate: $rr")
+    assert(rr(1L) > 150000L, s"dangling mass must flow back to sources: $rr")
   }
 
   test("star: the hub outranks the spokes; spokes stay symmetric") {
