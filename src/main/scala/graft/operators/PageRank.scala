@@ -71,9 +71,19 @@ object PageRank {
     // per-task memory is independent of the hottest vertex's degree.
     val ed = Ckpt.bounded(eIn.join(deg.hint("shuffle_hash"), "src")
       .select(col("src"), col("dst"), col("d")))
-    // vertex set = src ∪ dst: dst-only vertices (dangling) must hold rank
-    val ids = Ckpt.bounded(eIn.select(col("src").as("vid"))
-      .union(eIn.select(col("dst").as("vid"))).distinct())
+    // vertex set = src ∪ dst (dst-only vertices — dangling — must hold
+    // rank), with the has-out-edges flag computed in the SAME pass: one
+    // union + max-agg over the CHECKPOINTED ed (map-side combine collapses
+    // the 2|E| rows to ~|V| per partition before the shuffle). Deriving
+    // this from the raw edge input instead re-runs the caller's whole edge
+    // lineage (for g1: pair-join + distinct + union) — measured at 100×:
+    // +81 s on the broadcast leg (229 s vs the r14 pin's 147.9) before
+    // this read was repointed at ed.
+    val idsF = Ckpt.bounded(
+      ed.select(col("src").as("vid"), lit(1).as("out"))
+        .union(ed.select(col("dst").as("vid"), lit(0).as("out")))
+        .groupBy("vid").agg(max(col("out")).as("has_out")))
+    val ids = idsF.select("vid")
     // ONE cheap job over the checkpointed vertex set decides the per-round
     // join strategy. The rank table is one row per VERTEX — orders of
     // magnitude slimmer than the edge table — so up to millions of
@@ -101,12 +111,11 @@ object PageRank {
       .get("spark.graft.pagerank.broadcastVertexLimit", "4000000").toLong
     def rankSide(r: DataFrame): DataFrame =
       if (nV <= BroadcastVertexLimit) broadcast(r) else r.hint("shuffle_hash")
-    // dangling detection is ITERATION-INVARIANT: vertices never appearing
-    // as src. One anti-join + count up front; a symmetrized graph finds
-    // zero and pays nothing per round.
-    val dang = Ckpt.bounded(ids.join(
-      deg.select(col("src").as("vid")).hint("shuffle_hash"),
-      Seq("vid"), "left_anti"))
+    // dangling vertices (has_out = 0) are ITERATION-INVARIANT — a filter
+    // over the checkpointed flagged vertex set, no further shuffle. A
+    // symmetrized graph finds zero in this count and pays nothing per
+    // round.
+    val dang = idsF.filter(col("has_out") === 0).select("vid")
     val nDang = dang.count()
     val dangSide = if (nDang <= BroadcastVertexLimit) broadcast(dang) else dang
     var r = ids.select(col("vid").as("id"), lit(1000000L).as("rank"))
@@ -149,8 +158,7 @@ object PageRank {
     // the returned r is its own checkpoint; the iteration-invariant tables
     // are dead once the loop ends
     ed.unpersist()
-    ids.unpersist()
-    dang.unpersist()
+    idsF.unpersist()
     r
   }
 }
