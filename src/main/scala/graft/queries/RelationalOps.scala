@@ -1261,6 +1261,172 @@ object RelationalOps {
         SELECT l_suppkey AS s_suppkey, count(*) AS numwait
         FROM f JOIN po USING (l_orderkey)
         WHERE n_supp > 1 AND n_fault_supp = 1
-        GROUP BY l_suppkey ORDER BY numwait DESC, s_suppkey LIMIT 10"""))
+        GROUP BY l_suppkey ORDER BY numwait DESC, s_suppkey LIMIT 10""")),
+
+    // J20: TPC-H Q4 shape — priority checking: orders in a date window with
+    // at least one late line, counted per priority. The plan lesson is the
+    // EXISTS-as-semi-join with a CORRELATED NON-EQUI predicate riding the
+    // equi key (l_orderkey = o_orderkey AND l_shipdate > o_orderdate —
+    // this testdata has no commit/receipt dates, so ship-after-order is
+    // the lateness stand-in). The date filter prunes the probe side BEFORE
+    // the join; the semi join never multiplies fact rows, so the agg input
+    // is order-sized.
+    QueryDef("j20_priority_check",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        o.join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // J21: TPC-H Q5 shape — region-local supplier volume: the CYCLIC join
+    // (customer→orders→lineitem→supplier, closed by c_nationkey =
+    // s_nationkey) that credits revenue only when the supplier sits in the
+    // customer's own nation. The cycle closure is a cheap post-join filter
+    // on two already-present dim keys — never a second fact join; nation
+    // and region broadcast; the one-year date filter prunes orders before
+    // the fact-fact join.
+    QueryDef("j21_local_supplier_volume",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(micros(sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(28,12)"))).as("revenue_micros"))
+        .orderBy(col("revenue_micros").desc, col("n_name")),
+      Some(s"""SELECT n_name,
+        ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+          AS revenue_micros
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY revenue_micros DESC, n_name""")),
+
+    // J22: TPC-H Q11 shape — HAVING over a GLOBAL ratio: parts whose
+    // revenue exceeds 1.2× the average part's revenue (the fixtures'
+    // per-part value spread tops out near 2× average at every SF, so this
+    // selects a stable ~15% head). The plan lesson:
+    // the threshold is a one-row scalar derived from the SAME aggregate —
+    // aggregate once per part, re-aggregate the tiny per-part table for
+    // the (total, n) scalar, broadcast it back as a cross join (one row —
+    // no shuffle, no second fact scan). The comparison is integer-exact
+    // (5·n·value > 6·total in micro-units) so both engines agree on
+    // borderline rows, and SCALE-FREE — Q11's fixed fraction empties (or
+    // floods) as the part key space grows with SF; a multiple-of-average
+    // selects the same head shape at every scale.
+    QueryDef("j22_important_parts",
+      (s, dir) => {
+        val pv = Tables.lineitem(s, dir)
+          .groupBy("l_partkey")
+          .agg(micros(sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+            .cast("decimal(28,12)"))).as("value_micros"))
+        val total = pv.agg(sum("value_micros").as("total_micros"),
+          count(lit(1)).as("n_parts"))
+        pv.join(broadcast(total))
+          // decimal, not long: value·n at 100× data exceeds BIGINT range
+          .filter(col("value_micros").cast("decimal(38,0)") * col("n_parts") * 5 >
+            col("total_micros").cast("decimal(38,0)") * 6)
+          .select(col("l_partkey"), col("value_micros"))
+          .orderBy(col("value_micros").desc, col("l_partkey"))
+      },
+      Some(s"""WITH pv AS (SELECT l_partkey,
+          ${microsSql("""sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12)))""")}
+            AS value_micros
+          FROM lineitem GROUP BY l_partkey),
+        t AS (SELECT sum(value_micros) AS total_micros, count(*) AS n_parts
+          FROM pv)
+        SELECT l_partkey, value_micros FROM pv, t
+        WHERE CAST(value_micros AS DECIMAL(38,0)) * n_parts * 5
+          > CAST(total_micros AS DECIMAL(38,0)) * 6
+        ORDER BY value_micros DESC, l_partkey""")),
+
+    // J23: TPC-H Q12 shape — two-way conditional aggregation: late lines
+    // per line status (shipmode stand-in; lateness = shipped after order
+    // date, as in j20), split into high/low priority counts in ONE pass —
+    // the CASE-inside-SUM decorrelation that replaces two filtered scans
+    // with conditional aggregates over a single join.
+    QueryDef("j23_priority_split",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate",
+            "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > o_orderdate
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // J24: TPC-H Q16 shape — anti-joined distinct-count: how many distinct
+    // suppliers serve each brand, EXCLUDING a supplier denylist (here:
+    // negative account balance — this testdata has no comment field to
+    // grep for complaints). The anti join runs against the SLIM distinct
+    // (brand, suppkey) pair table, not the fact table, and the denylist
+    // broadcasts; count(DISTINCT) then rides pair-sized rows.
+    QueryDef("j24_supplier_breadth",
+      (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+              .filter(col("p_brand") =!= "Brand#1")),
+            col("l_partkey") === col("p_partkey"))
+          .select("p_brand", "l_suppkey").distinct()
+        val denied = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        pairs.join(broadcast(denied),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand"""))
   )
 }

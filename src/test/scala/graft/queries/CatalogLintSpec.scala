@@ -75,6 +75,9 @@ object CatalogLintSpec {
     "e4_quality_p75" -> Set("theta-bnlj"),
     "e8_mix_rebalance" -> Set("theta-bnlj"),
     "j13_dormant_customers" -> Set("theta-bnlj"),
+    // j22 (Q11 shape): the broadcast side is the ONE-ROW (total, n_parts)
+    // re-aggregate of the per-part table — the global-ratio HAVING gate
+    "j22_important_parts" -> Set("theta-bnlj"),
     // (e2_edit_blocked's theta-bnlj entry was removed in round 13: the row
     // now reads the once-per-fixture persisted pair artifact — verdict
     // item 5 — so the short×short fallback join sits behind the artifact
