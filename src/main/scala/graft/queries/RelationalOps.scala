@@ -1345,10 +1345,17 @@ object RelationalOps {
     // selects the same head shape at every scale.
     QueryDef("j22_important_parts",
       (s, dir) => {
-        val pv = Tables.lineitem(s, dir)
+        // the per-part table is CHECKPOINTED: it feeds both the one-row
+        // scalar re-aggregate and the join probe, and without the pin the
+        // fact gets scanned+aggregated twice (AQE's runtime stage reuse did
+        // not fire on this shape — ProfileJ22 at 100×: 16.2 s two-scan vs
+        // 12.0 s checkpointed). The materialized intermediate is PART-sized,
+        // never fact-sized — the cheap side of the round-11 adjudication
+        // rule for repeated derived subtrees.
+        val pv = graft.operators.Ckpt.bounded(Tables.lineitem(s, dir)
           .groupBy("l_partkey")
           .agg(micros(sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-            .cast("decimal(28,12)"))).as("value_micros"))
+            .cast("decimal(28,12)"))).as("value_micros")))
         val total = pv.agg(sum("value_micros").as("total_micros"),
           count(lit(1)).as("n_parts"))
         pv.join(broadcast(total))
