@@ -198,6 +198,12 @@ object Bench {
           None
         }
       }.getOrElse(Map.empty)
+    // A parse miss (format drift, nested "queries") silently disables the
+    // outlier pass — make that failure mode visible in the session log.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_PRIOR") && prior.isEmpty)
+      System.err.println(
+        "[bench] WARNING: SPARK_GRAFT_BENCH_PRIOR set but no prior timings " +
+        "parsed — outlier re-rep pass is DISABLED this run")
     def overPrior(r: Res): Option[Double] =
       prior.get(r.name).filter(p => r.ok && r.min > p * 1.5 && r.min - p > 1.0)
     if (prior.nonEmpty) {

@@ -52,6 +52,12 @@ object Multimodal {
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||          // GIF
       (p(0) == 'B' && p(1) == 'M'))                                          // BMP
 
+  /** Hard ceiling on declared pixel count before a full decode is attempted:
+    * 64 MPix ≈ 256 MB of ARGB — large enough for any sane still image, small
+    * enough that one row can never OOM an executor. Checked against the
+    * HEADER dimensions (no pixel allocation) in [[decodeImage]]. */
+  private[multimodal] val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** REAL image decode via JDK ImageIO: dimensions and frame count from the
     * container, feature = mean luminance over a row-major cell grid
     * (ceil(sqrt(dim)) per side, values in [0,1]) — a deterministic,
@@ -72,6 +78,12 @@ object Multimodal {
       val reader = readers.next()
       try {
         reader.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+        // Decompression-bomb guard: the declared dimensions come from a cheap
+        // header read, BEFORE reader.read(0) allocates width*height*4 bytes.
+        // A hostile payload (tiny bytes, huge declared dims) would otherwise
+        // OOM the executor with an Error the handler below can't catch.
+        val declaredPixels = reader.getWidth(0).toLong * reader.getHeight(0).toLong
+        if (declaredPixels <= 0L || declaredPixels > MaxDecodePixels) return None
         // GIF containers report their true frame count; single-image
         // formats report 1. allowSearch=true is fine on a byte-array stream.
         val nFrames = math.max(1, reader.getNumImages(true))

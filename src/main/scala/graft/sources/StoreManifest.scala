@@ -238,7 +238,14 @@ object StoreManifest {
     * WAITS for the torn version to become readable — it then becomes the
     * basis — and past `tornStaleMs` declares its writer dead, deletes the
     * torn file, and takes the slot back through the same create
-    * arbitration. */
+    * arbitration.
+    *
+    * @param delta the caller's INTENT, applied to whatever entries are
+    *        current at commit time. MUST be idempotent
+    *        (`delta(delta(x)) == delta(x)`): both the CAS-loss retry and a
+    *        spurious post-close-verify retry re-apply it onto a state that
+    *        may already carry its effect. Enforced with a fixpoint check on
+    *        every commit — express target state per id, never an increment. */
   def commit(fs: FileSystem, store: Path,
       delta: Entries => Entries,
       tornStaleMs: Long = DefaultTornStaleMs): Entries = {
@@ -268,6 +275,18 @@ object StoreManifest {
               s"${4 * tornStaleMs} ms — inspect and remove them manually")
       } else {
         val entries = delta(cur)
+        // Enforce the idempotency contract the post-close verify's safety
+        // rests on (see below): a spurious retry re-applies `delta` onto a
+        // state that already carries its effect, so `delta` must be a
+        // fixpoint on its own output. An increment-style delta
+        // (`_ + (id -> cur(id).map(_ + n))`) fails this check on its FIRST
+        // commit — deterministically, not only under the rare verify race.
+        require(delta(entries) == entries,
+          s"manifest commit on $store: delta is not idempotent " +
+            "(delta(delta(cur)) != delta(cur)) — the CAS retry and " +
+            "post-close-verify paths re-apply deltas, so a non-idempotent " +
+            "delta would double-apply silently. Express the commit as a " +
+            "target state per id (add/replace/remove), not an increment.")
         commitCrashpoint(s"pre-create:v$next")
         val vp = new Path(store, s"$Prefix$next")
         val out = try Some(fs.create(vp, false)) // THE arbitration point

@@ -478,21 +478,38 @@ object AnnStreaming {
         case Some(entries)
             if entries.nonEmpty && entries.values.forall(_.isDefined) =>
           val want = entries.values.flatten.sum
+          // a snapshotted dir vacuumed under the count surfaces as an
+          // AnalysisException (planning) or a SparkException with a
+          // FileNotFoundException somewhere in its cause chain (execution —
+          // matched structurally, not by message text, which is
+          // Spark-version-fragile)
+          def isVacuumRace(e: Throwable): Boolean = e match {
+            case null => false
+            case _: java.io.FileNotFoundException => true
+            case t => isVacuumRace(t.getCause)
+          }
           val got =
             try scanBatches(spark, storePath, entries.keySet).count()
-            catch { // a snapshotted dir vacuumed under the count: re-snapshot
+            catch {
               case _: org.apache.spark.sql.AnalysisException => -1L
-              case e: org.apache.spark.SparkException
-                  if e.getMessage.contains("FILE_NOT_EXIST") => -1L
+              case e: org.apache.spark.SparkException if isVacuumRace(e) => -1L
             }
           if (got == want) integrityDone = true
           else {
             integrityAttempt += 1
             if (integrityAttempt > 1) throw new IllegalStateException(
-              s"store integrity check failed for $storePath: the manifest " +
-                s"records $want committed posting rows but the manifested " +
-                s"directories hold $got — a committed batch's content has " +
-                "diverged; inspect the store before streaming on top of it")
+              if (got == -1L)
+                // retry exhaustion, NOT divergence: both count attempts died
+                // under a concurrent vacuum — don't claim the counts differ
+                s"store integrity check could not complete for $storePath: " +
+                  "the manifested-directory scan kept failing under " +
+                  "concurrent vacuums (2 attempts); quiesce maintenance on " +
+                  "the store and retry before streaming on top of it"
+              else
+                s"store integrity check failed for $storePath: the manifest " +
+                  s"records $want committed posting rows but the manifested " +
+                  s"directories hold $got — a committed batch's content has " +
+                  "diverged; inspect the store before streaming on top of it")
           }
         case _ => integrityDone = true // un-counted or legacy store: no gate
       }

@@ -91,6 +91,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(torn, 16).isEmpty)
   }
 
+  test("decompression bomb (tiny bytes, huge declared dims) is declined before allocation") {
+    // take a real 8x8 PNG and patch its IHDR to declare 65500x65500
+    // (≈4.3 GPix ≈ 17 GB of ARGB if read), re-signing the chunk CRC so the
+    // header parses cleanly — the cap, not a parse error, must decline it
+    val bomb = renderHalfToneBytes(8, 8, "png")
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 65500) // IHDR width  (sig 8B + len 4B + type 4B)
+    putInt(20, 65500) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13) // chunk type + IHDR data
+    putInt(29, crc.getValue.toInt)
+    assert(Multimodal.decodeImage(bomb, 16).isEmpty)
+    // sanity: the same patch routine applied with the TRUE dims still decodes
+    val ok = renderHalfToneBytes(8, 8, "png")
+    assert(Multimodal.decodeImage(ok, 4).nonEmpty)
+  }
+
   test("Spark decode path routes real images to ImageIO, text to the stand-in") {
     import spark.implicits._
     val png = renderHalfToneBytes(32, 20, "png")

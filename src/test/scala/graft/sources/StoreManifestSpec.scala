@@ -44,6 +44,20 @@ class StoreManifestSpec extends SparkSpec {
       "the committed manifest must carry BOTH writers' deltas")
   }
 
+  test("a non-idempotent (increment-style) delta is refused on its first commit") {
+    val store = freshStore("idem")
+    StoreManifest.commit(fs, store, _ => Map(1L -> Some(10L)))
+    // increment-style intent: re-applying it under a CAS/verify retry would
+    // double-count — the fixpoint check must catch it deterministically
+    val e = intercept[IllegalArgumentException] {
+      StoreManifest.commit(fs, store,
+        cur => cur + (1L -> cur.get(1L).flatten.map(_ + 5L)))
+    }
+    assert(e.getMessage.contains("idempotent"))
+    // the refused delta must not have landed
+    assert(StoreManifest.readEntries(fs, store).get == Map(1L -> Some(10L)))
+  }
+
   test("a torn version is skipped: readers fall back, the next commit walks past it") {
     val store = freshStore("torn")
     StoreManifest.commit(fs, store, _ => Map(5L -> Some(50L)))
