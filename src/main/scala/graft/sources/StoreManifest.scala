@@ -188,13 +188,43 @@ object StoreManifest {
     * way, never a silent loss. */
   val DefaultTornStaleMs: Long = 30000L
 
-  /** Filesystem schemes whose `create(overwrite = false)` is a real
-    * arbitration point (atomic create-exclusive). Everything else —
-    * S3A/GCS/etc. HEAD-then-PUT semantics — must not run the CAS protocol:
-    * two racing writers would BOTH see their create succeed and the last
-    * PUT would silently clobber the first. */
+  /** Filesystem schemes where create-exclusive is a real arbitration point.
+    * HDFS-family schemes arbitrate `create(overwrite = false)` server-side
+    * (namenode). The LOCAL scheme is listed because [[createExclusive]]
+    * routes it through kernel-level O_EXCL — Hadoop's own
+    * RawLocalFileSystem implements no-overwrite as an exists() check
+    * followed by a plain O_CREAT open, which is NOT atomic (measured 47%
+    * double-win under an 8-thread same-path race, ProfileCreateRace).
+    * Everything else — S3A/GCS/etc. HEAD-then-PUT semantics — must not run
+    * the CAS protocol: two racing writers would BOTH see their create
+    * succeed and the last PUT would silently clobber the first. */
   private val AtomicCreateSchemes =
     Set("file", "hdfs", "viewfs", "webhdfs", "hftp", "o3fs", "ofs")
+
+  private def schemeOf(fs: FileSystem, p: Path): String =
+    Option(p.toUri.getScheme)
+      .orElse(Option(fs.getUri).map(_.getScheme))
+      .getOrElse("file").toLowerCase
+
+  /** Open `p` create-exclusive: THE arbitration primitive the CAS commit
+    * and the consolidation lease rest on. On HDFS-semantics filesystems
+    * `create(overwrite = false)` is atomic at the namenode; on the local
+    * filesystem Hadoop's version is check-then-act (see
+    * [[AtomicCreateSchemes]]), so local paths open through java.nio
+    * CREATE_NEW — O_EXCL at the kernel, atomic across processes. Losing
+    * the race surfaces as a [[java.nio.file.FileAlreadyExistsException]]
+    * (an IOException) with the path present, exactly the shape the CAS
+    * loser-detection already handles. */
+  private[graft] def createExclusive(fs: FileSystem,
+      p: Path): java.io.OutputStream =
+    if (schemeOf(fs, p) == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      if (local.getParent != null)
+        java.nio.file.Files.createDirectories(local.getParent)
+      java.nio.file.Files.newOutputStream(local,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else fs.create(p, false)
 
   /** Conf key a deployment sets to assert its store arbitrates
     * create-exclusive even though the scheme is not on the known list
@@ -289,7 +319,7 @@ object StoreManifest {
             "target state per id (add/replace/remove), not an increment.")
         commitCrashpoint(s"pre-create:v$next")
         val vp = new Path(store, s"$Prefix$next")
-        val out = try Some(fs.create(vp, false)) // THE arbitration point
+        val out = try Some(createExclusive(fs, vp)) // THE arbitration point
           catch {
             case e: IOException =>
               if (!fs.exists(vp)) throw e // a real IO failure, not a loser

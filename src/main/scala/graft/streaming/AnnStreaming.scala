@@ -652,7 +652,10 @@ object AnnStreaming {
       .foreach(s => fs.delete(s.getPath, false))
     val lease = new org.apache.hadoop.fs.Path(p, LeaseLockName)
     consolidateCrashpoint("lease-precreate")
-    try fs.create(lease, false).close() // atomic: one consolidator wins
+    // atomic: one consolidator wins (createExclusive, NOT fs.create(_, false)
+    // — Hadoop's local no-overwrite create is check-then-act, see
+    // StoreManifest.AtomicCreateSchemes)
+    try graft.sources.StoreManifest.createExclusive(fs, lease).close()
     catch {
       case e: java.io.IOException =>
         if (!fs.exists(lease)) throw e
