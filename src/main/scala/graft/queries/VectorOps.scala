@@ -640,6 +640,64 @@ object VectorOps {
     cents
   }
 
+  /** Train `k` sub-centroids INSIDE each parent cluster of `rows` — the
+    * quantizer-refresh half of an IVF hot-list split
+    * ([[graft.streaming.AnnStreaming.splitHotLists]]). `rows` is a bounded
+    * per-cluster SAMPLE `(vec_id, cluster, v, nrm)` of the hot lists only.
+    * Seeds are each cluster's `k` lowest-vec_id sample rows (deterministic);
+    * refinement is the same exact-DECIMAL-mean Lloyd step as
+    * [[trainedCentroids]], with assignment confined WITHIN the parent
+    * cluster (a row only ever competes among its own cluster's
+    * sub-centroids). A seed that loses every member drops out (inner
+    * joins), so a cluster can legitimately yield fewer than `k` subs.
+    * Returns `(parent, sub, cv, cn)` with `sub` in 0..k-1. */
+  private[graft] def trainSubCentroids(rows: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the window is bounded: `rows` is a per-hot-cluster sample, not a corpus
+    val seeded = rows.withColumn("rn",
+      row_number().over(Window.partitionBy("cluster").orderBy("vec_id")))
+    var cents = broadcast(seeded.filter(col("rn") <= k)
+      .select(col("cluster").as("parent"), (col("rn") - 1).cast("long").as("sub"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel))
+    for (_ <- 1 to iters) {
+      val assign = rows.join(cents, col("cluster") === col("parent"))
+        .withColumn("c_cos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+        .groupBy("vec_id", "cluster")
+        .agg(max_by(col("sub"), struct(col("c_cos"), -col("sub"))).as("sub"))
+      val cent = rows.join(assign, Seq("vec_id", "cluster"))
+        .select(col("cluster"), col("sub"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "sub", "pos")
+        .agg((sum(col("x").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("c"))
+      cents = broadcast(cent.groupBy("cluster", "sub")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cluster").as("parent"), col("sub"),
+          transform(col("pc"), p => p.getField("c")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+        .localCheckpoint(true, graft.operators.Ckpt.SerLevel))
+    }
+    cents
+  }
+
+  /** Re-assign posting rows to the nearest of THEIR OWN parent cluster's
+    * sub-centroids — the relabel half of the hot-list split. `subCents` is
+    * the (tiny, broadcast) `(parent, c_id, cv, cn)` table of freshly-minted
+    * global sub-centroid ids; only rows whose `cluster` appears as a parent
+    * survive (callers pass hot rows only). One exchange, same max_by shape
+    * as [[assignWithVectors]]; ties break to the LOWEST new id. */
+  private[graft] def assignWithinParent(rows: DataFrame,
+      subCents: DataFrame): DataFrame =
+    rows.join(broadcast(subCents), rows("cluster") === subCents("parent"))
+      .withColumn("c_cos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+          .as("cluster"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+
   /** A trained quantizer behind a per-(fixture, params, code) parquet
     * artifact: `build` runs ONCE per fixture (the deployment posture —
     * codebooks are trained at index-build time and persisted, never per

@@ -735,7 +735,9 @@ object AnnStreaming {
     * left by pre-upgrade runs. */
   def consolidateStore(spark: SparkSession, storePath: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      retainSources: Boolean = false): ConsolidationStats = {
+      retainSources: Boolean = false,
+      transform: DataFrame => DataFrame = identity,
+      refold: Boolean = false): ConsolidationStats = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p))
@@ -759,7 +761,8 @@ object AnnStreaming {
             s"(${stale.mkString(", ")}); run recoverConsolidation first")
       enableManifest(spark, storePath)
     }
-    consolidateManifested(spark, storePath, targetBytes, retainSources)
+    consolidateManifested(spark, storePath, targetBytes, retainSources,
+      transform, refold)
   }
 
   /** [[consolidateStore]] for a MANIFESTED store — the fold becomes
@@ -794,7 +797,9 @@ object AnnStreaming {
     * Readers go through [[readStore]], which enumerates exactly the
     * manifested paths. */
   private def consolidateManifested(spark: SparkSession, storePath: String,
-      targetBytes: Long, retainSources: Boolean = false): ConsolidationStats = {
+      targetBytes: Long, retainSources: Boolean = false,
+      transform: DataFrame => DataFrame = identity,
+      refold: Boolean = false): ConsolidationStats = {
     val (fs, p) = fsOf(spark, storePath)
     def filesUnder(paths: Seq[org.apache.hadoop.fs.Path]): Long =
       paths.map { d =>
@@ -820,8 +825,10 @@ object AnnStreaming {
     val sourceIds = (ids - newest).toSeq.sorted
     // skip when there is nothing to fold, or when the only foldable source
     // is already a prior fold (re-folding it alone buys nothing); a single
-    // REAL batch still folds — it gets re-sized to targetBytes
-    if (sourceIds.isEmpty || (sourceIds.size == 1 &&
+    // REAL batch still folds — it gets re-sized to targetBytes. A REFOLD
+    // (row-transforming maintenance, e.g. the hot-list split's relabel)
+    // must rewrite even a lone prior fold: the rewrite IS the point.
+    if (sourceIds.isEmpty || (!refold && sourceIds.size == 1 &&
         sourceIds.head <= ConsolidatedBatchId))
       return ConsolidationStats(ids.size, ids.size, filesBefore,
         filesBefore, -1, skipped = true)
@@ -838,7 +845,12 @@ object AnnStreaming {
         .parquet(sources.map(_.toString): _*)
       val srcBytes = sources.map(fs.getContentSummary(_).getLength).sum
       val want = math.max(1L, (srcBytes + targetBytes - 1) / targetBytes).toInt
-      src.select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+      // `transform` must be ROW-PRESERVING (relabels, re-encodes — never
+      // filters or explodes): the row-count verify below and the manifest's
+      // per-source count audit both enforce it, so a row-dropping transform
+      // fails loudly with the sources untouched
+      transform(src.select(col("vec_id"), col("v"), col("nrm"), col("cluster")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
         .coalesce(want)
         .write.partitionBy("cluster").parquet(staging.toString)
       heartbeat(fs, lease)
@@ -920,6 +932,125 @@ object AnnStreaming {
       ConsolidationStats(ids.size, after.size, filesBefore,
         filesUnder(after), rows, skipped = false)
     } finally fs.delete(lease, false)
+  }
+
+  /** Per-inverted-list occupancy audit — the drift signal an append-only
+    * IVF store needs (round-15 verdict item 5): the stream assigns against
+    * a FROZEN quantizer, so under embedding-distribution drift new rows
+    * concentrate into a few lists, probe cost concentrates with them, and
+    * nothing in the append path ever pushes back. One cheap aggregate over
+    * the manifested store: `(cluster, rows, mean_rows, ratio, is_hot)`
+    * where `is_hot = ratio > hotFactor` — the input [[splitHotLists]] acts
+    * on, and an operator's consolidation-time health check. The
+    * one-row-aggregate crossJoin is the sanctioned threshold-gate combine. */
+  def listSkewAudit(spark: SparkSession, storePath: String,
+      hotFactor: Double = 4.0): DataFrame = {
+    val counts = readStore(spark, storePath)
+      .groupBy("cluster").agg(count(lit(1)).as("rows"))
+    val mean = counts.agg(
+      (sum(col("rows")) / count(lit(1))).as("mean_rows"))
+    counts.crossJoin(broadcast(mean))
+      .withColumn("ratio", col("rows") / col("mean_rows"))
+      .withColumn("is_hot", col("ratio") > hotFactor)
+      .select("cluster", "rows", "mean_rows", "ratio", "is_hot")
+  }
+
+  final case class SplitStats(hotClusters: Seq[Long], subCentroids: Long,
+      fold: ConsolidationStats)
+
+  /** Split the HOT inverted lists of a drifted append store against a
+    * refreshed quantizer — bounded maintenance, never a full rebuild
+    * (round-15 verdict item 5: without this, list skew under distribution
+    * drift grows unboundedly and probe cost concentrates).
+    *
+    * Protocol, in crash-safe order:
+    *  1. AUDIT ([[listSkewAudit]]): lists with `ratio > hotFactor` (and at
+    *     least `2 × splitWays` rows) are hot. None hot → no-op: the caller
+    *     gets its quantizer back untouched and the store is never locked —
+    *     the undrifted path costs one aggregate.
+    *  2. TRAIN: a deterministic hash-sample of each hot list (≈`sampleCap`
+    *     rows/list — no global sort, scales to any list size) trains
+    *     `splitWays` sub-centroids per hot list
+    *     ([[VectorOps.trainSubCentroids]] — the exact-DECIMAL Lloyd step of
+    *     the batch trainer, confined within each parent). Sub-centroids get
+    *     fresh ids above the quantizer's current max.
+    *  3. PERSIST the refreshed quantizer via `persistRefreshed` — BEFORE
+    *     any store mutation, because the refresh is ADDITIVE: every old
+    *     centroid (including the split ones) stays. That makes every
+    *     intermediate state serve correctly: rows still labeled with the
+    *     old cluster id remain probe-able through the retained old
+    *     centroid, rows relabeled to a sub id are probe-able through it,
+    *     and a crash anywhere between steps loses maintenance progress,
+    *     never reachability. (It also means a concurrently-running append
+    *     stream — still assigning against its frozen old quantizer — keeps
+    *     producing reachable rows; they are stragglers the next split pass
+    *     relabels.)
+    *  4. RELABEL: one transforming fold through the consolidation protocol
+    *     (same lease, staging, count-verify, token, single CAS manifest
+    *     swap, recovery) — hot rows re-assign to the nearest of their own
+    *     list's sub-centroids ([[VectorOps.assignWithinParent]]), cold rows
+    *     pass through. The newest landing stays un-folded (crash-replay
+    *     contract), so its hot rows are stragglers — reachable via the old
+    *     centroid, relabeled next pass.
+    *
+    * Returns the refreshed quantizer `(c_id, cv, cn)` and the split stats
+    * (None when nothing was hot). */
+  def splitHotLists(spark: SparkSession, storePath: String,
+      cents: DataFrame, persistRefreshed: DataFrame => Unit = _ => (),
+      hotFactor: Double = 4.0, splitWays: Int = 2, lloydIters: Int = 2,
+      sampleCap: Long = 4096L,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : (DataFrame, Option[SplitStats]) = {
+    import spark.implicits._
+    val hot = listSkewAudit(spark, storePath, hotFactor)
+      .filter(col("is_hot") && col("rows") >= 2L * splitWays)
+      .select("cluster", "rows")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    if (hot.isEmpty) return (cents, None)
+    val hotIds = hot.map(_._1)
+    // ≈sampleCap rows per hot list, by deterministic id hash — no sort, no
+    // per-list limit scan; the stride table is nlist-bounded (broadcast)
+    val stride = hot.map { case (c, n) => (c, math.max(1L, n / sampleCap)) }
+      .toDF("cluster", "stride")
+    val sample = readStore(spark, storePath)
+      .filter(col("cluster").isin(hotIds: _*))
+      .join(broadcast(stride), "cluster")
+      .filter(pmod(xxhash64(col("vec_id")), col("stride")) === 0)
+      .select("vec_id", "cluster", "v", "nrm")
+    val subsRel = VectorOps.trainSubCentroids(sample, splitWays, lloydIters)
+    // fresh global ids, deterministically ordered; quantizer-scale collect
+    val maxId = cents.agg(max(col("c_id"))).head().getLong(0)
+    val subRows = subsRel.orderBy("parent", "sub").collect()
+    val subCents = spark.createDataFrame(
+      spark.sparkContext.parallelize(subRows.zipWithIndex.map {
+        case (r, i) => org.apache.spark.sql.Row(
+          r.getLong(0), maxId + 1 + i, r.getSeq[Double](2), r.getDouble(3))
+      }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("parent",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cn",
+          org.apache.spark.sql.types.DoubleType))))
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    val refreshed = cents.select(col("c_id"), col("cv"), col("cn"))
+      .unionByName(subCents.select(col("c_id"), col("cv"), col("cn")))
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    // the quantizer lands FIRST (additive — see scaladoc step 3): after
+    // this line every possible store state serves every row
+    persistRefreshed(refreshed)
+    def relabel(src: DataFrame): DataFrame = {
+      val hotRows = src.filter(col("cluster").isin(hotIds: _*))
+      val cold = src.filter(!col("cluster").isin(hotIds: _*))
+      VectorOps.assignWithinParent(hotRows, subCents).unionByName(cold)
+    }
+    val stats = consolidateStore(spark, storePath, targetBytes,
+      transform = relabel, refold = true)
+    (refreshed, Some(SplitStats(hotIds, subRows.length.toLong, stats)))
   }
 
   /** True when `dir` holds a consolidation run's commit token whose id is
