@@ -17,8 +17,13 @@ import org.apache.spark.sql.SparkSession
   * blow-ups recorded in BENCH10 are the corpus, not the plan.
   *
   * Timing protocol matches [[Bench]]: min of 2 runs per query per corpus,
-  * result fully consumed via count-style action on the query's DataFrame.
-  */
+  * result fully consumed via a noop sink, and (round-16) the same
+  * prior-aware outlier re-rep — when `SPARK_GRAFT_BENCH_PRIOR` names the
+  * prior round's BENCH_NAT json, any leg whose min exceeds 1.5× its
+  * committed prior (and by >1 s) gets ONE extra rep after the whole sweep,
+  * and legs STILL over land in `outliers_vs_prior` — so all four bench
+  * surfaces self-adjudicate in-sweep residue instead of costing manual
+  * isolated pins. */
 object BenchNat {
   // documents-only members of the dedup family (the incremental variants
   // maintain persisted stores keyed to the driver fixture and are excluded)
@@ -44,32 +49,96 @@ object BenchNat {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(name: String, dir: String): Either[String, Double] =
-      try {
-        val runs = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          // noop sink, same consumption protocol as Bench: a bare count()
-          // lets Spark prune final projection/orderBy work, which would
-          // understate per-query cost vs the BENCH10 artifacts
-          SparkEntry.queries(name)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        Right(runs.min)
-      } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
-
-    val rows = family.map { q =>
-      (q, time(q, small), time(q, big))
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      // noop sink, same consumption protocol as Bench: a bare count()
+      // lets Spark prune final projection/orderBy work, which would
+      // understate per-query cost vs the BENCH10 artifacts
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
+    def time(name: String, dir: String): Either[String, Vector[Double]] =
+      try Right((1 to 2).map(_ => timeOnce(name, dir)).toVector)
+      catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+
+    // prior legs from the previous round's committed BENCH_NAT json:
+    // name -> (small_s, big_s)
+    val prior: Map[String, (Double, Double)] =
+      sys.env.get("SPARK_GRAFT_BENCH_PRIOR").flatMap { p =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), "UTF-8")
+          Some(""""([^"]+)":\{"small_s":([0-9.eE+-]+),"big_s":([0-9.eE+-]+)""".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+            .toMap)
+        } catch { case e: Throwable =>
+          System.err.println(s"[benchnat] could not read prior bench $p: $e")
+          None
+        }
+      }.getOrElse(Map.empty)
+    if (sys.env.contains("SPARK_GRAFT_BENCH_PRIOR") && prior.isEmpty)
+      System.err.println(
+        "[benchnat] WARNING: SPARK_GRAFT_BENCH_PRIOR set but no prior " +
+        "timings parsed — outlier re-rep pass is DISABLED this run")
+    def over(min: Double, p: Double): Boolean = min > p * 1.5 && min - p > 1.0
+
+    var rows = family.map(q => (q, time(q, small), time(q, big)))
+    // post-sweep outlier re-rep (one extra timing on a leg whose min beats
+    // its prior by the Bench rule, after neighboring-row pressure is gone);
+    // a failed extra rep flips the leg to failed rather than contributing a
+    // phantom fast time
+    def rerep(q: String, dir: String, runs: Vector[Double], p: Double)
+        : Either[String, Vector[Double]] =
+      if (!over(runs.min, p)) Right(runs)
+      else try {
+        val t = timeOnce(q, dir)
+        System.err.println(f"[benchnat] $q%-20s $t%8.2f s  (outlier re-rep; prior $p%.2f)")
+        Right(runs :+ t)
+      } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+    if (prior.nonEmpty) {
+      rows = rows.map { case (q, s, b) =>
+        val p = prior.get(q)
+        val s2 = (s, p) match {
+          case (Right(runs), Some((ps, _))) => rerep(q, small, runs, ps)
+          case _ => s
+        }
+        val b2 = (b, p) match {
+          case (Right(runs), Some((_, pb))) => rerep(q, big, runs, pb)
+          case _ => b
+        }
+        (q, s2, b2)
+      }
+    }
+    val outliers = rows.flatMap { case (q, s, b) =>
+      val so = for { runs <- s.toOption; (ps, _) <- prior.get(q)
+        if over(runs.min, ps) } yield
+        f""""$q.small":{"prior":$ps%.3f,"min":${runs.min}%.3f}"""
+      val bo = for { runs <- b.toOption; (_, pb) <- prior.get(q)
+        if over(runs.min, pb) } yield
+        f""""$q.big":{"prior":$pb%.3f,"min":${runs.min}%.3f}"""
+      so.toSeq ++ bo.toSeq
+    }.mkString("{", ",", "}")
     def num(d: Double) = f"$d%.3f"
     val parts = rows.map { case (q, s, b) =>
-      val ratio = for { sv <- s; bv <- b } yield bv / sv
-      val sj = s.fold(e => "\"" + e + "\"", num)
-      val bj = b.fold(e => "\"" + e + "\"", num)
-      val rj = ratio.fold(_ => "null", num)
-      s""""$q":{"small_s":$sj,"big_s":$bj,"x10_ratio":$rj}"""
+      val ratio = for { sv <- s; bv <- b } yield bv.min / sv.min
+      def leg(e: Either[String, Vector[Double]]) =
+        e.fold(err => "\"" + err + "\"", runs => num(runs.min))
+      def reps(e: Either[String, Vector[Double]]) =
+        e.fold(_ => "[]", _.map(num).mkString("[", ",", "]"))
+      s""""$q":{"small_s":${leg(s)},"big_s":${leg(b)},""" +
+        s""""x10_ratio":${ratio.fold(_ => "null", num)},""" +
+        s""""small_reps":${reps(s)},"big_reps":${reps(b)}}"""
     }
-    println(s"""{"metric":"natural_10x","unit":"sec","small":"$small","big":"$big","queries":{${parts.mkString(",")}}}""")
+    val line = s"""{"metric":"natural_10x","unit":"sec","small":"$small","big":"$big","queries":{${parts.mkString(",")}},"outliers_vs_prior":$outliers}"""
+    println(line)
+    // lossless capture regardless of how much stdout the driver keeps
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_nat_out.json"), (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[benchnat] could not write bench_nat_out.json: $e")
+    }
     spark.stop()
   }
 }

@@ -492,49 +492,52 @@ object VectorOps {
     // asserted in VectorSpec.
     QueryDef("e3_pq_adc",
       (s, dir) => pqAdcTopK(s, dir, refineIters = 1),
-      Some("""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-        sub AS (SELECT vec_id, (i - 1) // 8 AS j, i, v FROM x),
-        d AS (SELECT a.vec_id AS vid, b.vec_id AS c, a.j,
-            CAST(sum(CAST(round((a.v - b.v) * (a.v - b.v) * 1000000)
-              AS BIGINT)) AS BIGINT) AS d
-          FROM sub a JOIN sub b ON a.i = b.i AND b.vec_id < 16
-          GROUP BY 1, 2, 3),
-        enc AS (SELECT vid, j, c AS code FROM (
-            SELECT vid, j, c, row_number() OVER (
-              PARTITION BY vid, j ORDER BY d, c) AS rn FROM d) t
-          WHERE rn = 1),
-        cw1 AS (SELECT e.j, e.code, s.i,
-            CAST(sum(CAST(s.v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS c
-          FROM sub s JOIN enc e ON s.vec_id = e.vid AND s.j = e.j
-          GROUP BY 1, 2, 3),
-        d1 AS (SELECT s.vec_id AS vid, c.code AS c, s.j,
-            CAST(sum(CAST(round((s.v - c.c) * (s.v - c.c) * 1000000)
-              AS BIGINT)) AS BIGINT) AS d
-          FROM sub s JOIN cw1 c ON s.j = c.j AND s.i = c.i
-          GROUP BY 1, 2, 3),
-        enc1 AS (SELECT vid, j, c AS code FROM (
-            SELECT vid, j, c, row_number() OVER (
-              PARTITION BY vid, j ORDER BY d, c) AS rn FROM d1) t1
-          WHERE rn = 1),
-        adc AS (SELECT q.vid AS q_id, e.vid AS n_id,
-            CAST(sum(q.d) AS BIGINT) AS adc_micros
-          FROM enc1 e JOIN d1 q ON q.j = e.j AND q.c = e.code
-          WHERE q.vid < 10 AND e.vid <> q.vid
-          GROUP BY 1, 2),
-        short AS (SELECT q_id, n_id, adc_micros FROM (
-            SELECT *, row_number() OVER (PARTITION BY q_id
-              ORDER BY adc_micros, n_id) AS rn FROM adc) t WHERE rn <= 20),
-        exact AS (SELECT s.q_id, s.n_id, s.adc_micros,
-            CAST(sum(CAST(round((a.v - b.v) * (a.v - b.v) * 1000000)
-              AS BIGINT)) AS BIGINT) AS l2_micros
-          FROM short s JOIN x a ON a.vec_id = s.q_id
-          JOIN x b ON b.vec_id = s.n_id AND b.i = a.i
-          GROUP BY 1, 2, 3)
-        SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-            ORDER BY l2_micros, n_id) AS BIGINT) AS rank,
-          n_id, adc_micros, l2_micros
-        FROM exact QUALIFY rank <= 5 ORDER BY q_id, rank""")),
+      Some(pqOracleSql)),
+
+    // ANN QUALITY under the driver's hash gate (round-15 verdict item 8):
+    // recall@k of each approximate method against ITS exact ground truth —
+    // lsh/ivf vs brute-force cosine top-3 over the same 50 queries, pq vs
+    // exact micro-quantized-L2 top-5 over its 10 queries (pq ranks by L2;
+    // cosine truth would be the wrong yardstick). Both sides are
+    // deterministic, so the score itself — not just the plumbing — is
+    // rows+schema+hash checked; the oracle recomputes every method AND its
+    // truth from scratch in SQL. The Spark-side joins are over ≤150-row
+    // result sets; the one-row crossJoins are the sanctioned
+    // scalar-combine shape.
+    QueryDef("e3_recall_report",
+      (s, dir) => {
+        // both ground truths are ≤150-row results consumed by two recall
+        // branches each run: checkpoint them so the brute-force scan runs
+        // once and sits behind a leaf (the e2_edit_blocked_audit posture),
+        // not re-planned per consumer
+        val bf3 = bruteForceTopK(s, dir, nQueries = 50, k = 3)
+          .select("q_id", "n_id")
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+        val all = emb(s, dir)
+        val q10 = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val l2scored = broadcast(q10).join(all, col("q_id") =!= col("vec_id"))
+          .withColumn("l2", l2Micros(col("qv"), col("v")))
+        val bfL2 = OrderedOps.topKPerGroup(l2scored, Seq("q_id"),
+            Seq(col("l2").asc, col("vec_id")), 5)
+          .select(col("q_id"), col("vec_id").as("n_id"))
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+        def recallOf(method: String, ann: DataFrame,
+            truth: DataFrame): DataFrame =
+          ann.select("q_id", "n_id").join(truth, Seq("q_id", "n_id"))
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(truth.agg(count(lit(1)).as("total")))
+            .select(lit(method).as("method"), col("hits"), col("total"),
+              round(col("hits").cast("double") / col("total"), 6)
+                .as("recall"))
+        recallOf("ivf_ann",
+            ivfAnnTopK(s, dir, nQueries = 50, k = 3, trainIters = 2), bf3)
+          .unionByName(recallOf("lsh_ann",
+            lshAnnTopK(s, dir, nQueries = 50, k = 3), bf3))
+          .unionByName(recallOf("pq_adc", pqAdcTopK(s, dir, 1), bfL2))
+          .orderBy("method")
+      },
+      Some(recallOracleSql)),
 
     // SemDeDup-style semantic dedup (cluster-then-pair): assign every vector
     // to its nearest coarse centroid, then look for near-duplicate pairs ONLY
@@ -1035,6 +1038,97 @@ object VectorOps {
     * with plane p contributing bit p%6 of table p//6, and candidates form
     * only on an exact (table, bucket) match — the same pipeline, so the
     * driver hash-compares it like any deterministic query. */
+  /** DuckDB replay of the PQ-ADC pipeline (seed codebook → 1 Lloyd
+    * refinement → encode → ADC shortlist → exact-L2 re-rank) — shared by
+    * e3_pq_adc and the recall report. */
+  private[queries] lazy val pqOracleSql: String =
+    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+        sub AS (SELECT vec_id, (i - 1) // 8 AS j, i, v FROM x),
+        d AS (SELECT a.vec_id AS vid, b.vec_id AS c, a.j,
+            CAST(sum(CAST(round((a.v - b.v) * (a.v - b.v) * 1000000)
+              AS BIGINT)) AS BIGINT) AS d
+          FROM sub a JOIN sub b ON a.i = b.i AND b.vec_id < 16
+          GROUP BY 1, 2, 3),
+        enc AS (SELECT vid, j, c AS code FROM (
+            SELECT vid, j, c, row_number() OVER (
+              PARTITION BY vid, j ORDER BY d, c) AS rn FROM d) t
+          WHERE rn = 1),
+        cw1 AS (SELECT e.j, e.code, s.i,
+            CAST(sum(CAST(s.v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS c
+          FROM sub s JOIN enc e ON s.vec_id = e.vid AND s.j = e.j
+          GROUP BY 1, 2, 3),
+        d1 AS (SELECT s.vec_id AS vid, c.code AS c, s.j,
+            CAST(sum(CAST(round((s.v - c.c) * (s.v - c.c) * 1000000)
+              AS BIGINT)) AS BIGINT) AS d
+          FROM sub s JOIN cw1 c ON s.j = c.j AND s.i = c.i
+          GROUP BY 1, 2, 3),
+        enc1 AS (SELECT vid, j, c AS code FROM (
+            SELECT vid, j, c, row_number() OVER (
+              PARTITION BY vid, j ORDER BY d, c) AS rn FROM d1) t1
+          WHERE rn = 1),
+        adc AS (SELECT q.vid AS q_id, e.vid AS n_id,
+            CAST(sum(q.d) AS BIGINT) AS adc_micros
+          FROM enc1 e JOIN d1 q ON q.j = e.j AND q.c = e.code
+          WHERE q.vid < 10 AND e.vid <> q.vid
+          GROUP BY 1, 2),
+        short AS (SELECT q_id, n_id, adc_micros FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY adc_micros, n_id) AS rn FROM adc) t WHERE rn <= 20),
+        exact AS (SELECT s.q_id, s.n_id, s.adc_micros,
+            CAST(sum(CAST(round((a.v - b.v) * (a.v - b.v) * 1000000)
+              AS BIGINT)) AS BIGINT) AS l2_micros
+          FROM short s JOIN x a ON a.vec_id = s.q_id
+          JOIN x b ON b.vec_id = s.n_id AND b.i = a.i
+          GROUP BY 1, 2, 3)
+        SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY l2_micros, n_id) AS BIGINT) AS rank,
+          n_id, adc_micros, l2_micros
+        FROM exact QUALIFY rank <= 5 ORDER BY q_id, rank"""
+
+  /** Recall@k of every ANN method against its exact ground truth, all
+    * recomputed from scratch: brute-force cosine top-3 (50 queries) for
+    * lsh/ivf, exact micro-L2 top-5 (10 queries) for pq. Each method's full
+    * oracle embeds as a WITH-subquery (DuckDB scopes the inner x/norms
+    * over the outer ones). */
+  private[queries] lazy val recallOracleSql: String =
+    s"""$baseCte,
+        dots50 AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            sum(a.v * b.v) AS dot
+          FROM x a JOIN x b ON a.i = b.i
+          WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        bf3 AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY dot / (na.nrm * nb.nrm) DESC, n_id) AS rn
+            FROM dots50 JOIN norms na ON q_id = na.vec_id
+            JOIN norms nb ON n_id = nb.vec_id) z
+          WHERE rn <= 3),
+        l2p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            CAST(sum(CAST(round((a.v - b.v) * (a.v - b.v) * 1000000)
+              AS BIGINT)) AS BIGINT) AS l2
+          FROM x a JOIN x b ON a.i = b.i
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        bfl2 AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY l2, n_id) AS rn FROM l2p) z2
+          WHERE rn <= 5),
+        ivf AS (SELECT q_id, n_id FROM ($ivfOracleSql) ivf_full),
+        lsh AS (SELECT q_id, n_id FROM ($lshAnnOracleSql) lsh_full),
+        pq AS (SELECT q_id, n_id FROM ($pqOracleSql) pq_full),
+        report AS (
+          SELECT 'ivf_ann' AS method,
+            (SELECT count(*) FROM ivf JOIN bf3 USING (q_id, n_id)) AS hits,
+            (SELECT count(*) FROM bf3) AS total
+          UNION ALL SELECT 'lsh_ann',
+            (SELECT count(*) FROM lsh JOIN bf3 USING (q_id, n_id)),
+            (SELECT count(*) FROM bf3)
+          UNION ALL SELECT 'pq_adc',
+            (SELECT count(*) FROM pq JOIN bfl2 USING (q_id, n_id)),
+            (SELECT count(*) FROM bfl2))
+        SELECT method, hits, total,
+          round(CAST(hits AS DOUBLE) / total, 6) AS recall
+        FROM report ORDER BY method"""
+
   private[queries] lazy val lshAnnOracleSql: String = {
     def fmtD(d: Double): String = {
       val s = java.lang.Double.toString(d) // shortest round-trip repr

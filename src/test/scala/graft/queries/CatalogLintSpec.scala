@@ -98,6 +98,10 @@ object CatalogLintSpec {
     "e2_edit_distance" -> Set("theta-bnlj"),
     "e3_cosine_pairs" -> Set("theta-bnlj"),
     "e3_cosine_topk" -> Set("theta-bnlj"),
+    // (e3_recall_report needs no entry: its brute-force ground truths sit
+    // behind eager checkpoints, so their scans run once, their theta joins
+    // never reach the row's plan, and the three hits/total one-row
+    // crossJoins carry checkpoint-leaf size estimates below the rule's bar)
     "e3_embed_neardup" -> Set("theta-bnlj"),
     "e3_hybrid_rrf" -> Set("theta-bnlj"),
 
