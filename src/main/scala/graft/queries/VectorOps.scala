@@ -552,12 +552,30 @@ object VectorOps {
       (s, dir) => {
         val all = emb(s, dir)
         val assign = nearestCentroid(all, centroidSet(all, 16))
+        // checkpoint the assigned table: it feeds BOTH self-join sides, and
+        // the chunk salt below de-aligns their exchanges, so without a leaf
+        // the assignment aggregate would execute once per side
         val withC = all.join(assign, "vec_id")
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+        // chunk-salt the within-cluster self-join: on `cluster` alone the
+        // shuffle has ≤ nlist(=16) non-empty partitions, so the pair
+        // explosion (sum_c C(n_c,2) — ~625M dots at the 100× fixture) runs
+        // at most 16-wide on a 32-core box and a big cluster is one
+        // straggler task; AQE can't help because the INPUT partitions are
+        // tiny (the blow-up happens inside the join). Splitting the dup
+        // side into S deterministic id-hash chunks and replicating the
+        // keeper side S ways raises the key space to nlist×S with the
+        // same output pair set — measured at 100×: 64.6 s → (see
+        // REGRESS_r16) with S=8. At cluster scale the same seam keeps
+        // per-task pair counts bounded no matter how a hot cluster grows.
+        val S = 8
         val a = withC.select(col("cluster"), col("vec_id").as("keeper_id"),
-          col("v").as("av"), col("nrm").as("an"))
+            col("v").as("av"), col("nrm").as("an"))
+          .withColumn("chunk", explode(array((0 until S).map(lit): _*)))
         val b = withC.select(col("cluster"), col("vec_id").as("dup_id"),
-          col("v").as("bv"), col("nrm").as("bn"))
-        a.join(b, Seq("cluster"))
+            col("v").as("bv"), col("nrm").as("bn"))
+          .withColumn("chunk", pmod(xxhash64(col("dup_id")), lit(S)))
+        a.join(b, Seq("cluster", "chunk"))
           .filter(col("keeper_id") < col("dup_id"))
           .withColumn("cos", cosine(col("av"), col("bv"), col("an"), col("bn")))
           .filter(col("cos") >= 0.4)
