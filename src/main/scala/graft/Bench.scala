@@ -162,11 +162,23 @@ object Bench {
     // in-sweep and isolated min-of-3 on the heaviest rows), so the flagged
     // decile must carry ≥2 reps even there — rep_times keeps both numbers,
     // making the in-sweep-vs-steady-state delta part of the artifact.
+    // A heavy re-rep must START drained, not only end drained: the r16
+    // 100× sweep OOMed the 8g protocol heap on g1_pagerank's END-OF-SESSION
+    // decile re-rep — each preceding heavy re-rep drained after itself, but
+    // the broadcast residue of the rows BETWEEN drains still accumulated,
+    // and a data-sized row beginning on a dirty heap died mid-task. The
+    // pre-drain costs ~4 s only on rows already known to run >30 s.
+    def drainBefore(r: Res): Unit =
+      if (r.min > 30.0) {
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(2000); System.gc()
+      }
     if (results.nonEmpty) {
       val cutoff = results.map(_.min).sorted.reverse
         .take(math.max(1, results.size / 10)).last
       results = results.map { r =>
         if (r.min >= cutoff && r.ok) {
+          drainBefore(r)
           val t = timeOne(r.name, qmap(r.name))
           System.err.println(
             f"[bench] ${r.name}%-24s ${t._1}%8.2f s  (decile re-rep)")
@@ -210,6 +222,7 @@ object Bench {
       results = results.map { r =>
         overPrior(r) match {
           case Some(p) =>
+            drainBefore(r)
             val t = timeOne(r.name, qmap(r.name))
             System.err.println(
               f"[bench] ${r.name}%-24s ${t._1}%8.2f s  (outlier re-rep; prior $p%.2f)")
