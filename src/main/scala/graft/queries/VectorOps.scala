@@ -539,6 +539,31 @@ object VectorOps {
       },
       Some(recallOracleSql)),
 
+    // The IVF store's per-list occupancy audit as a driver-checked row
+    // (round-16: the drift signal behind AnnStreaming.splitHotLists, here
+    // over the batch-built posting store so DuckDB can replay it from the
+    // assignment CTEs). One aggregate over the partition column — the scan
+    // reads no data columns; the one-row mean crossJoin is the sanctioned
+    // scalar combine. At 100 TB this is the consolidation-time health
+    // check that decides whether a hot list splits.
+    QueryDef("e3_list_audit",
+      (s, dir) => graft.streaming.AnnStreaming
+        .listSkewAudit(s, postingStorePath(s, dir, 16, 2), hotFactor = 4.0)
+        .select(col("cluster"), col("rows"),
+          round(col("mean_rows"), 6).as("mean_rows"),
+          round(col("ratio"), 6).as("ratio"), col("is_hot"))
+        .orderBy("cluster"),
+      Some(s"""$baseCte,
+        $assignCte,
+        ${lloydCtes(2)},
+        counts AS (SELECT cluster, count(*) AS rows FROM assign2 GROUP BY 1),
+        m AS (SELECT CAST(sum(rows) AS DOUBLE) / count(*) AS mean_rows
+          FROM counts)
+        SELECT cluster, rows, round(mean_rows, 6) AS mean_rows,
+          round(rows / mean_rows, 6) AS ratio,
+          rows / mean_rows > 4.0 AS is_hot
+        FROM counts, m ORDER BY cluster""")),
+
     // SemDeDup-style semantic dedup (cluster-then-pair): assign every vector
     // to its nearest coarse centroid, then look for near-duplicate pairs ONLY
     // within a cluster — the shape that makes embedding dedup tractable at
