@@ -64,14 +64,19 @@ object BenchNat {
 
     // prior legs from the previous round's committed BENCH_NAT json:
     // name -> (small_s, big_s)
-    val prior: Map[String, (Double, Double)] =
+    // legs parsed independently: a half-failed prior row
+    // ('"small_s":12.3,"big_s":"OOMError"') still arms the re-rep for the
+    // leg that did record a number
+    val prior: Map[String, (Option[Double], Option[Double])] =
       sys.env.get("SPARK_GRAFT_BENCH_PRIOR").flatMap { p =>
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(p)), "UTF-8")
-          Some(""""([^"]+)":\{"small_s":([0-9.eE+-]+),"big_s":([0-9.eE+-]+)""".r
+          def num(s: String): Option[Double] =
+            try Some(s.toDouble) catch { case _: NumberFormatException => None }
+          Some(""""([^"]+)":\{"small_s":([0-9.eE+-]+|"[^"]*"),"big_s":([0-9.eE+-]+|"[^"]*")""".r
             .findAllMatchIn(txt)
-            .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+            .map(m => m.group(1) -> (num(m.group(2)), num(m.group(3))))
             .toMap)
         } catch { case e: Throwable =>
           System.err.println(s"[benchnat] could not read prior bench $p: $e")
@@ -87,35 +92,44 @@ object BenchNat {
     var rows = family.map(q => (q, time(q, small), time(q, big)))
     // post-sweep outlier re-rep (one extra timing on a leg whose min beats
     // its prior by the Bench rule, after neighboring-row pressure is gone);
-    // a failed extra rep flips the leg to failed rather than contributing a
-    // phantom fast time
-    def rerep(q: String, dir: String, runs: Vector[Double], p: Double)
-        : Either[String, Vector[Double]] =
+    // a failed extra rep KEEPS the two valid sweep timings (the failure is
+    // usually residue from neighboring rows — the very thing being
+    // adjudicated) and is reported in rerep_failed rather than flipping a
+    // measured leg to an error
+    val rerepFailed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rerep(q: String, leg: String, dir: String, runs: Vector[Double],
+        p: Double): Either[String, Vector[Double]] =
       if (!over(runs.min, p)) Right(runs)
       else try {
         val t = timeOnce(q, dir)
         System.err.println(f"[benchnat] $q%-20s $t%8.2f s  (outlier re-rep; prior $p%.2f)")
         Right(runs :+ t)
-      } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[benchnat] $q $leg re-rep failed (${e.getClass.getSimpleName}); " +
+          "keeping the sweep timings")
+        rerepFailed += s""""$q.$leg":"${e.getClass.getSimpleName}""""
+        Right(runs)
+      }
     if (prior.nonEmpty) {
       rows = rows.map { case (q, s, b) =>
         val p = prior.get(q)
         val s2 = (s, p) match {
-          case (Right(runs), Some((ps, _))) => rerep(q, small, runs, ps)
+          case (Right(runs), Some((Some(ps), _))) => rerep(q, "small", small, runs, ps)
           case _ => s
         }
         val b2 = (b, p) match {
-          case (Right(runs), Some((_, pb))) => rerep(q, big, runs, pb)
+          case (Right(runs), Some((_, Some(pb)))) => rerep(q, "big", big, runs, pb)
           case _ => b
         }
         (q, s2, b2)
       }
     }
     val outliers = rows.flatMap { case (q, s, b) =>
-      val so = for { runs <- s.toOption; (ps, _) <- prior.get(q)
+      val so = for { runs <- s.toOption; (pso, _) <- prior.get(q); ps <- pso
         if over(runs.min, ps) } yield
         f""""$q.small":{"prior":$ps%.3f,"min":${runs.min}%.3f}"""
-      val bo = for { runs <- b.toOption; (_, pb) <- prior.get(q)
+      val bo = for { runs <- b.toOption; (_, pbo) <- prior.get(q); pb <- pbo
         if over(runs.min, pb) } yield
         f""""$q.big":{"prior":$pb%.3f,"min":${runs.min}%.3f}"""
       so.toSeq ++ bo.toSeq
@@ -131,7 +145,7 @@ object BenchNat {
         s""""x10_ratio":${ratio.fold(_ => "null", num)},""" +
         s""""small_reps":${reps(s)},"big_reps":${reps(b)}}"""
     }
-    val line = s"""{"metric":"natural_10x","unit":"sec","small":"$small","big":"$big","queries":{${parts.mkString(",")}},"outliers_vs_prior":$outliers}"""
+    val line = s"""{"metric":"natural_10x","unit":"sec","small":"$small","big":"$big","queries":{${parts.mkString(",")}},"outliers_vs_prior":$outliers,"rerep_failed":${rerepFailed.mkString("{", ",", "}")}}"""
     println(line)
     // lossless capture regardless of how much stdout the driver keeps
     try java.nio.file.Files.write(

@@ -69,19 +69,36 @@ object StreamingIngest {
         col("Q_chg_Ah"), col("CE"), col("q_norm"), col("E_dis_Wh"),
         col("IR_C2_ohm"), col("dQdV_peak_V"), col("dQdV_shift_mV"))
 
+  /** Late-arrival accounting sink (round-16 verdict item 8): every file
+    * the cell-level idempotency guard DROPS is recorded here — one row
+    * `(path, cell_id, raw_lines, batch_id)` per dropped file — so a late
+    * re-export of an already-committed cell is visible operational data,
+    * never a silent swallow. `raw_lines` is the file's raw line count (a
+    * distributed text count, cheap next to a parse; the file is being
+    * dropped, so parsed-row precision isn't owed): enough to alarm on
+    * "the late file was BIGGER than what we committed" — the
+    * re-export-with-more-cycles case that needs a manual re-ingest. */
+  def lateSkips(spark: SparkSession, outDir: String): DataFrame = {
+    val p = s"$outDir/late_skips.parquet"
+    if (new java.io.File(p).isDirectory) spark.read.parquet(p)
+    else spark.emptyDataFrame
+  }
+
   /** Start the ingestion stream over `rawDir` (new `*.csv` files appearing
     * over time) → collated per-cycle features appended under `outDir`.
     * Callers drive with `processAllAvailable()`; the sink is
-    * `outDir/features_collated.parquet`. */
+    * `outDir/features_collated.parquet`, with dropped late arrivals
+    * accounted in `outDir/late_skips.parquet` (see [[lateSkips]]). */
   def run(spark: SparkSession, rawDir: String, outDir: String,
           ratedAh: Double = 3.0, dV: Double = 0.05): StreamingQuery = {
     val sink = s"$outDir/features_collated.parquet"
+    val lateSink = s"$outDir/late_skips.parquet"
     spark.readStream.format("text")
       .option("pathGlobFilter", "*.csv")
       .load(rawDir)
       .select(col("_metadata.file_path").as("path"))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // distinct file paths in this micro-batch — bounded by arriving
         // FILES, not rows; sorted so multi-file batches process in a
         // deterministic order
@@ -89,19 +106,34 @@ object StreamingIngest {
           .collect().map(_.getString(0)).sorted
         if (paths.nonEmpty) {
           // cell-level idempotency guard (see class doc): a retried or
-          // re-delivered file whose cell already committed is skipped
+          // re-delivered file whose cell already committed is skipped —
+          // and ACCOUNTED (late_skips sink), never silently swallowed
           val done: Set[String] =
             if (new java.io.File(sink).isDirectory)
               spark.read.parquet(sink).select("cell_id").distinct()
                 .collect().map(_.getString(0)).toSet
             else Set.empty
-          val fresh = paths.filterNot(p => done(cellIdOf(p)))
+          val (late, fresh) = paths.partition(p => done(cellIdOf(p)))
           // ONE append per micro-batch: partial progress cannot be
           // repeated by a retry, because nothing is visible in the sink
           // until the single write job commits
           fresh.map(p => featuresForFile(spark, p, ratedAh, dV))
             .reduceOption(_.unionByName(_))
             .foreach(_.write.mode("append").parquet(sink))
+          // dropped-row accounting AFTER the feature commit: a retry of
+          // this batch re-records the same (path, cell_id, raw_lines) —
+          // duplicate accounting rows are possible and harmless (the log
+          // is an alarm input, not a ledger); lost accounting of a
+          // committed batch is not, hence this ordering
+          if (late.nonEmpty) {
+            import spark.implicits._
+            late.map { p =>
+              (p, cellIdOf(p), spark.read.textFile(p).count(), batchId)
+            }.toSeq
+              .toDF("path", "cell_id", "raw_lines", "batch_id")
+              .coalesce(1)
+              .write.mode("append").parquet(lateSink)
+          }
         }
         ()
       }

@@ -506,22 +506,33 @@ object VectorOps {
     // scalar-combine shape.
     QueryDef("e3_recall_report",
       (s, dir) => {
-        // both ground truths are ≤150-row results consumed by two recall
-        // branches each run: checkpoint them so the brute-force scan runs
-        // once and sits behind a leaf (the e2_edit_blocked_audit posture),
-        // not re-planned per consumer
-        val bf3 = bruteForceTopK(s, dir, nQueries = 50, k = 3)
-          .select("q_id", "n_id")
-          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
-        val all = emb(s, dir)
-        val q10 = all.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val l2scored = broadcast(q10).join(all, col("q_id") =!= col("vec_id"))
-          .withColumn("l2", l2Micros(col("qv"), col("v")))
-        val bfL2 = OrderedOps.topKPerGroup(l2scored, Seq("q_id"),
-            Seq(col("l2").asc, col("vec_id")), 5)
-          .select(col("q_id"), col("vec_id").as("n_id"))
-          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+        // both ground truths are PERSISTED artifacts (the e2_edit_blocked
+        // nightly pattern, round-16 verdict item 4): brute force runs ONCE
+        // per (fixture, params, code) and every later run reads the
+        // ≤150-row parquet back — at 100× the truth recomputation was
+        // ~100 s of the row's ~123 s, every sweep. Longs round-trip
+        // parquet exactly, so the recall numbers (and the DuckDB oracle,
+        // which recomputes truth from scratch in SQL) are unchanged. The
+        // key folds fixtureToken (regenerated fixture → rebuild) and
+        // codeToken (edited trainer/scorer → rebuild).
+        def truthArtifact(tag: String)(build: => DataFrame): DataFrame =
+          broadcast(Tables.persistedArtifact(s, "graft_anntruth",
+            s"$dir|${Tables.fixtureToken(dir, "embeddings")}|$tag|v1" +
+              s"|${Tables.codeToken(getClass)}")(build))
+        val bf3 = truthArtifact("bf3-50-3")(
+          bruteForceTopK(s, dir, nQueries = 50, k = 3)
+            .select("q_id", "n_id"))
+        val bfL2 = truthArtifact("bfl2-10-5") {
+          val all = emb(s, dir)
+          val q10 = all.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          val l2scored = broadcast(q10)
+            .join(all, col("q_id") =!= col("vec_id"))
+            .withColumn("l2", l2Micros(col("qv"), col("v")))
+          OrderedOps.topKPerGroup(l2scored, Seq("q_id"),
+              Seq(col("l2").asc, col("vec_id")), 5)
+            .select(col("q_id"), col("vec_id").as("n_id"))
+        }
         def recallOf(method: String, ann: DataFrame,
             truth: DataFrame): DataFrame =
           ann.select("q_id", "n_id").join(truth, Seq("q_id", "n_id"))
@@ -563,6 +574,55 @@ object VectorOps {
           round(rows / mean_rows, 6) AS ratio,
           rows / mean_rows > 4.0 AS is_hot
         FROM counts, m ORDER BY cluster""")),
+
+    // The COLD side of the same drift signal (round-17: the audit behind
+    // AnnStreaming.mergeColdLists). Differs from e3_list_audit in the one
+    // way that matters: it joins the QUANTIZER's centroid ids against the
+    // store's counts (full outer), so a centroid whose list holds ZERO
+    // rows — invisible to a groupBy over the store — surfaces as is_dead,
+    // and a store label the quantizer no longer carries surfaces as
+    // is_orphan. At 100 TB this is the maintenance-time decision input
+    // for merging drained lists and retiring dead centroids (probe budget
+    // spent on an empty list is pure waste, forever).
+    QueryDef("e3_cold_audit",
+      (s, dir) => graft.streaming.AnnStreaming
+        .coldListAudit(s, postingStorePath(s, dir, 16, 2),
+          persistedTrainedCentroids(s, dir, 16, 2), coldFactor = 0.5)
+        .select(col("cluster"), col("rows"),
+          round(col("mean_rows"), 6).as("mean_rows"),
+          round(col("ratio"), 6).as("ratio"),
+          col("is_cold"), col("is_dead"), col("is_orphan"))
+        .orderBy("cluster"),
+      Some(s"""$baseCte,
+        $assignCte,
+        ${lloydCtes(2)},
+        known AS (SELECT DISTINCT cluster FROM cent2),
+        counts AS (SELECT cluster, count(*) AS rows FROM assign2 GROUP BY 1),
+        fj AS (SELECT coalesce(k.cluster, c.cluster) AS cluster,
+            coalesce(c.rows, 0) AS rows,
+            k.cluster IS NOT NULL AS known
+          FROM known k FULL OUTER JOIN counts c ON k.cluster = c.cluster),
+        m AS (SELECT CAST(sum(rows) AS DOUBLE) / count(*) AS mean_rows
+          FROM fj)
+        SELECT cluster, rows, round(mean_rows, 6) AS mean_rows,
+          round(rows / mean_rows, 6) AS ratio,
+          known AND rows > 0 AND rows / mean_rows < 0.5 AS is_cold,
+          known AND rows = 0 AS is_dead,
+          NOT known AS is_orphan
+        FROM fj, m ORDER BY cluster""")),
+
+    // PQ codebook staleness as a driver row (round-16 verdict item 3, the
+    // sub-space analog of e3_cold_audit): per sub-space, the mean encoding
+    // distortion of the SERVING codebook and the mean signed ADC-vs-exact
+    // error over the e3_pq_adc query set. Under drift these rise in the
+    // drifted sub-spaces while the codebook stands still — the number that
+    // decides a codebook retrain the way e3_list_audit/e3_cold_audit
+    // decide a list split/merge (PqDriftSpec pins the movement on a
+    // drifted fixture). Exact micro-long arithmetic with DECIMAL-carrier
+    // means → fully hash-checked against the DuckDB replay.
+    QueryDef("e3_pq_distortion",
+      (s, dir) => pqDistortionReport(s, dir, refineIters = 1),
+      Some(pqDistortionOracleSql)),
 
     // SemDeDup-style semantic dedup (cluster-then-pair): assign every vector
     // to its nearest coarse centroid, then look for near-duplicate pairs ONLY
@@ -856,33 +916,42 @@ object VectorOps {
     * (broadcast at any corpus size); each refinement is one assignment
     * shuffle of 8 code rows/vector plus a tiny mean — at 100 TB training
     * runs on a sample, identical shape. */
-  def pqAdcTopK(s: SparkSession, dir: String,
-                refineIters: Int = 1): DataFrame = {
-    val all = Tables.embeddings(s, dir)
-      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
-    // codegen'd fused kernel; bit-identical to the HOF spelling
-    // (L2MicrosSpec pins the parity)
-    def l2m(a: Column, b: Column): Column = l2Micros(a, b)
-    val sub = all
-      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
-        col("v"))
-      .select(col("vec_id"), col("j"),
-        slice(col("v"), col("j") * lit(8) + lit(1), lit(8)).as("sv"))
-    // seed codebook: the lowest-16-id vectors' sub-blocks
-    def seedCb = broadcast(sub.filter(col("vec_id") < 16)
+  /** Split each 64-dim vector into its 8 PQ sub-blocks
+    * `(vec_id, j, sv)` — the input every PQ stage shares. */
+  private[graft] def pqSub(all: DataFrame): DataFrame = all
+    .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
+      col("v"))
+    .select(col("vec_id"), col("j"),
+      slice(col("v"), col("j") * lit(8) + lit(1), lit(8)).as("sv"))
+
+  /** Seed codebook: the lowest-16-id vectors' sub-blocks. */
+  private[graft] def pqSeedCb(sub: DataFrame): DataFrame =
+    broadcast(sub.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c"), col("j"), col("sv").as("cv")))
-    // quantized sub-distance of every vector to every codeword (n×8×16
-    // rows, map-side through the broadcast join)
-    def distancesTo(cb: DataFrame) = sub.join(cb, Seq("j"))
+
+  /** Quantized sub-distance of every vector to every codeword (n×8×16
+    * rows, map-side through the broadcast join). The l2Micros kernel is
+    * codegen'd; bit-identical to the HOF spelling (L2MicrosSpec). */
+  private[graft] def pqDistances(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(cb, Seq("j"))
       .select(col("vec_id").as("vid"), col("c"), col("j"),
-        l2m(col("sv"), col("cv")).as("d"))
-    // encode: argmin codeword, ties → lowest c, via the packed-long trick
-    def encode(d: DataFrame) = d.groupBy("vid", "j")
+        l2Micros(col("sv"), col("cv")).as("d"))
+
+  /** Encode: argmin codeword, ties → lowest c, via the packed-long trick. */
+  private[graft] def pqEncode(d: DataFrame): DataFrame =
+    d.groupBy("vid", "j")
       .agg(pmod(min(col("d") * 16 + col("c")), lit(16L)).as("code"))
+
+  /** The trained (and persisted — see [[persistedQuantizer]]) PQ codebook
+    * for `dir`: `refineIters` Lloyd refinements of the seed, per
+    * sub-space. Shared by [[pqAdcTopK]] and [[pqDistortionReport]] so the
+    * audit measures exactly the codebook serving runs with. */
+  private[graft] def pqCodebook(s: SparkSession, dir: String,
+      sub: DataFrame, refineIters: Int): DataFrame = {
     def trainCb(iters: Int): DataFrame = {
-      var cb = seedCb
+      var cb = pqSeedCb(sub)
       for (_ <- 1 to iters) {
-        val enc = encode(distancesTo(cb))
+        val enc = pqEncode(pqDistances(sub, cb))
         cb = broadcast(sub
           .join(enc.withColumnRenamed("vid", "vec_id"), Seq("vec_id", "j"))
           .select(col("j"), col("code"),
@@ -898,12 +967,20 @@ object VectorOps {
       }
       cb
     }
-    val cb =
-      if (refineIters == 0) seedCb
-      else persistedQuantizer(s, dir, s"pq-codebook|$refineIters")(
-        trainCb(refineIters))
-    val d = distancesTo(cb)
-    val enc = encode(d)
+    if (refineIters == 0) pqSeedCb(sub)
+    else persistedQuantizer(s, dir, s"pq-codebook|$refineIters")(
+      trainCb(refineIters))
+  }
+
+  def pqAdcTopK(s: SparkSession, dir: String,
+                refineIters: Int = 1): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+    def l2m(a: Column, b: Column): Column = l2Micros(a, b)
+    val sub = pqSub(all)
+    val cb = pqCodebook(s, dir, sub, refineIters)
+    val d = pqDistances(sub, cb)
+    val enc = pqEncode(d)
     // ADC lookup: the query-side distance table broadcasts; one integer
     // sum of 8 looked-up terms per (query, doc)
     val qd = d.filter(col("vid") < 10)
@@ -926,6 +1003,112 @@ object VectorOps {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vid").as("n_id"), col("adc_micros"), col("l2_micros"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Per-sub-space distortion of a PQ codebook over an arbitrary
+    * sub-block table — the codebook-staleness signal (round-16 verdict
+    * item 3): `(j, mean_distortion_micros)` where the distortion of a
+    * vector in sub-space `j` is its quantized L2 to the NEAREST codeword
+    * (exactly what encoding will cost it). Under distribution drift this
+    * number rises in the drifted sub-spaces while the codebook stands
+    * still — the PQ analog of the IVF list-skew audit, and the input to
+    * the retrain-or-not maintenance decision. Means use the exact-DECIMAL
+    * carrier so Spark and the DuckDB oracle agree bit-for-bit. One
+    * broadcast join + two partial aggregates; no shuffle grows with the
+    * corpus beyond the n×8-row encode. */
+  private[graft] def pqDistortionOf(sub: DataFrame,
+      cb: DataFrame): DataFrame =
+    pqDistances(sub, cb)
+      .groupBy("vid", "j").agg(min(col("d")).as("qd"))
+      .groupBy("j")
+      .agg((sum(col("qd").cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("mean_distortion_micros"))
+
+  /** The retrain-or-not decision input, shaped like
+    * [[graft.streaming.AnnStreaming.listSkewAudit]] (per-key ratio +
+    * boolean gate at `staleFactor`), but against the codebook's OWN
+    * TRAINING-TIME baseline rather than the current population's central
+    * tendency: staleness means "this sub-space quantizes worse than it
+    * did when the codebook was trained", and a cross-sub-space median
+    * cannot say that — after a retrain on a bimodal (drifted) corpus the
+    * drifted sub-spaces' distortion is INHERENTLY higher than the
+    * others', so a median-relative gate keeps flagging healthy codebooks
+    * (measured while building PqDriftSpec: the median gate never
+    * converged after retrain). `baseline` is [[pqDistortionOf]] measured
+    * at training time over the training corpus — persist it next to the
+    * codebook artifact ([[pqBaselineDistortion]] does exactly that) so
+    * the audit costs one n×8×16 broadcast-join scan plus an 8-row join.
+    * The consolidation-time health check for a PQ index: any `is_stale`
+    * row → retrain ([[pqCodebook]] — the artifact key folds the fixture
+    * token, so a retrain on refreshed data replaces the artifact and the
+    * baseline refreshes with it). PqDriftSpec drives the full loop on a
+    * drifted fixture: clean → drift flags exactly the shifted sub-spaces
+    * → retrain → clean. */
+  def pqDriftAudit(sub: DataFrame, cb: DataFrame, baseline: DataFrame,
+      staleFactor: Double = 4.0): DataFrame = {
+    val base = baseline.select(col("j"),
+      col("mean_distortion_micros").as("baseline_distortion_micros"))
+    pqDistortionOf(sub, cb).join(broadcast(base), Seq("j"))
+      .withColumn("ratio",
+        col("mean_distortion_micros") / col("baseline_distortion_micros"))
+      .withColumn("is_stale", col("ratio") > staleFactor)
+      .select(col("j"), col("mean_distortion_micros"),
+        col("baseline_distortion_micros"), col("ratio"), col("is_stale"))
+  }
+
+  /** The training-time distortion baseline for `dir`'s persisted codebook,
+    * itself persisted under the SAME key structure — measured once, read
+    * back on every audit. 8 rows. */
+  def pqBaselineDistortion(s: SparkSession, dir: String,
+      refineIters: Int = 1): DataFrame = {
+    lazy val sub = pqSub(Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v")))
+    broadcast(Tables.persistedArtifact(s, "graft_pqbase",
+      s"$dir|${Tables.fixtureToken(dir, "embeddings")}" +
+        s"|pq-baseline|$refineIters|v1|${Tables.codeToken(getClass)}")(
+      pqDistortionOf(sub, pqCodebook(s, dir, sub, refineIters))))
+  }
+
+  /** The PQ drift audit as a driver row: per sub-space, (a) the mean
+    * encoding distortion of the SERVING codebook ([[pqDistortionOf]] over
+    * the same persisted codebook e3_pq_adc serves with), and (b) the mean
+    * signed ADC-vs-exact error over the e3_pq_adc query set — how far the
+    * lookup-table distance drifts from the true sub-L2 it stands in for.
+    * ADC error decomposes exactly by sub-space (the ADC sum is a sum of
+    * per-sub-space table lookups), so a stale sub-space's contribution is
+    * visible in isolation. All arithmetic is micro-quantized longs with
+    * exact-DECIMAL means → fully oracle-replayable. */
+  def pqDistortionReport(s: SparkSession, dir: String,
+      refineIters: Int = 1): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+    val sub = pqSub(all)
+    val cb = pqCodebook(s, dir, sub, refineIters)
+    val d = pqDistances(sub, cb)
+    val dist = pqDistortionOf(sub, cb)
+    // per-(query, doc, sub-space) ADC term vs exact sub-L2: docs carry
+    // their code, the query side's 10×8×16 distance table and 10×8
+    // sub-blocks broadcast — the expansion is map-side, no big-big join
+    val enc = pqEncode(d)
+    val qd = d.filter(col("vid") < 10)
+      .select(col("vid").as("q_id"), col("c").as("code"), col("j"),
+        col("d").as("adc"))
+    val qsub = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("j"), col("sv").as("qsv"))
+    val err = sub
+      .join(enc.withColumnRenamed("vid", "vec_id"), Seq("vec_id", "j"))
+      .join(broadcast(qd), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qsub), Seq("q_id", "j"))
+      .withColumn("err", col("adc") - l2Micros(col("qsv"), col("sv")))
+      .groupBy("j")
+      .agg((sum(col("err").cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("mean_adc_err_micros"))
+    dist.join(err, Seq("j"))
+      .select(col("j").cast("long").as("subspace"),
+        round(col("mean_distortion_micros"), 6).as("mean_distortion_micros"),
+        round(col("mean_adc_err_micros"), 6).as("mean_adc_err_micros"))
+      .orderBy("subspace")
   }
 
   def ivfAnnTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
@@ -1084,8 +1267,11 @@ object VectorOps {
   /** DuckDB replay of the PQ-ADC pipeline (seed codebook → 1 Lloyd
     * refinement → encode → ADC shortlist → exact-L2 re-rank) — shared by
     * e3_pq_adc and the recall report. */
-  private[queries] lazy val pqOracleSql: String =
-    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+  /** The PQ training prefix (sub-blocks → seed distances → 1 Lloyd
+    * refinement → refined distances d1 + encodings enc1) shared by
+    * [[pqOracleSql]] and the distortion-audit oracle. */
+  private lazy val pqTrainCtes: String =
+    """x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
             unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
         sub AS (SELECT vec_id, (i - 1) // 8 AS j, i, v FROM x),
         d AS (SELECT a.vec_id AS vid, b.vec_id AS c, a.j,
@@ -1109,7 +1295,10 @@ object VectorOps {
         enc1 AS (SELECT vid, j, c AS code FROM (
             SELECT vid, j, c, row_number() OVER (
               PARTITION BY vid, j ORDER BY d, c) AS rn FROM d1) t1
-          WHERE rn = 1),
+          WHERE rn = 1)"""
+
+  private[queries] lazy val pqOracleSql: String =
+    s"""WITH $pqTrainCtes,
         adc AS (SELECT q.vid AS q_id, e.vid AS n_id,
             CAST(sum(q.d) AS BIGINT) AS adc_micros
           FROM enc1 e JOIN d1 q ON q.j = e.j AND q.c = e.code
@@ -1128,6 +1317,35 @@ object VectorOps {
             ORDER BY l2_micros, n_id) AS BIGINT) AS rank,
           n_id, adc_micros, l2_micros
         FROM exact QUALIFY rank <= 5 ORDER BY q_id, rank"""
+
+  /** Oracle twin of [[pqDistortionReport]]: replay the 1-refinement PQ
+    * training, then per sub-space the exact-DECIMAL mean encoding
+    * distortion and the mean signed ADC-vs-exact error over the 10-query
+    * pair set. */
+  private[queries] lazy val pqDistortionOracleSql: String =
+    s"""WITH $pqTrainCtes,
+        qdist AS (SELECT vid, j, min(d) AS qd FROM d1 GROUP BY 1, 2),
+        dist AS (SELECT j, CAST(sum(CAST(qd AS DECIMAL(27,10)))
+            AS DOUBLE) / count(*) AS mean_distortion_micros
+          FROM qdist GROUP BY 1),
+        l2sub AS (SELECT a.vec_id AS q_id, b.vec_id AS vid, a.j,
+            CAST(sum(CAST(round((a.v - b.v) * (a.v - b.v) * 1000000)
+              AS BIGINT)) AS BIGINT) AS ex
+          FROM sub a JOIN sub b ON a.i = b.i
+          WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2, 3),
+        errj AS (SELECT e.j,
+            CAST(sum(CAST(q.d - l.ex AS DECIMAL(27,10)))
+              AS DOUBLE) / count(*) AS mean_adc_err_micros
+          FROM enc1 e
+          JOIN d1 q ON q.j = e.j AND q.c = e.code
+            AND q.vid < 10 AND q.vid <> e.vid
+          JOIN l2sub l ON l.q_id = q.vid AND l.vid = e.vid AND l.j = e.j
+          GROUP BY 1)
+        SELECT d.j AS subspace,
+          round(d.mean_distortion_micros, 6) AS mean_distortion_micros,
+          round(e.mean_adc_err_micros, 6) AS mean_adc_err_micros
+        FROM dist d JOIN errj e ON d.j = e.j ORDER BY subspace"""
 
   /** Recall@k of every ANN method against its exact ground truth, all
     * recomputed from scratch: brute-force cosine top-3 (50 queries) for

@@ -214,17 +214,83 @@ object StoreManifest {
     * CREATE_NEW — O_EXCL at the kernel, atomic across processes. Losing
     * the race surfaces as a [[java.nio.file.FileAlreadyExistsException]]
     * (an IOException) with the path present, exactly the shape the CAS
-    * loser-detection already handles. */
+    * loser-detection already handles.
+    *
+    * DELIBERATE BYPASS of the passed `fs` for scheme `file`: the java.nio
+    * open skips any wrapping FileSystem — in particular
+    * ChecksumFileSystem, so version files written this way get NO `.crc`
+    * sidecar. That asymmetry is intentional and safe here because the
+    * READ path never relies on sidecars either: [[readCurrent]] /
+    * `parseVersion` detect torn content via the manifest's own
+    * entry-count header (a version whose entry lines don't match the
+    * declared count is torn), regardless of checksum presence. A mixed
+    * store (some versions with sidecars from `fs.create`, some without)
+    * is therefore a cosmetic artifact, not a correctness one. Any other
+    * instrumented local wrapper is likewise consciously excluded — the
+    * arbitration MUST be the kernel's O_EXCL, and no Hadoop local wrapper
+    * provides that. */
   private[graft] def createExclusive(fs: FileSystem,
       p: Path): java.io.OutputStream =
-    if (schemeOf(fs, p) == "file") {
-      val local = java.nio.file.Paths.get(p.toUri.getPath)
-      if (local.getParent != null)
-        java.nio.file.Files.createDirectories(local.getParent)
-      java.nio.file.Files.newOutputStream(local,
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-    } else fs.create(p, false)
+    conditionalPuts.get(schemeOf(fs, p)) match {
+      case Some(put) => new ConditionalPutStream(put, p)
+      case None if schemeOf(fs, p) == "file" =>
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        if (local.getParent != null)
+          java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.newOutputStream(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      case None => fs.create(p, false)
+    }
+
+  /** SPI for object stores that arbitrate WHOLE-OBJECT conditional writes
+    * (S3 `If-None-Match: *` PUT, GCS `ifGenerationMatch=0`, Azure
+    * `If-None-Match: *`): the one primitive the CAS commit needs that
+    * plain S3A-style connectors don't surface. Contract:
+    *  - ATOMIC: exactly one of N racing `putIfAbsent` calls on a path
+    *    returns true; every loser returns false with the winner's object
+    *    untouched.
+    *  - WHOLE-OBJECT: readers never observe a partial object — it appears
+    *    complete or not at all. (Stronger than the local O_EXCL path,
+    *    whose readers CAN see a mid-write file; the torn-version handling
+    *    in [[readCurrent]]/[[commit]] exists for that and is simply never
+    *    exercised through a conditional-put store.)
+    * Register per scheme via [[registerConditionalPut]]; [[commit]] then
+    * runs the unmodified CAS protocol with arbitration moved from
+    * create-time to close-time (the buffered stream PUTs on close and
+    * loses as [[java.nio.file.FileAlreadyExistsException]], which the
+    * post-close verify classifies as a lost CAS).
+    * ManifestMultiJvmSpec's adapter leg hammers the full three-JVM +
+    * SIGKILL race through a link(2)-based local implementation of this
+    * trait. */
+  trait ConditionalPut {
+    def putIfAbsent(path: java.net.URI, content: Array[Byte]): Boolean
+  }
+
+  private val conditionalPuts =
+    scala.collection.concurrent.TrieMap.empty[String, ConditionalPut]
+
+  /** Install a [[ConditionalPut]] adapter for `scheme` (e.g. "s3a"),
+    * making it an arbitration-capable scheme for [[requireAtomicCreate]]
+    * and routing [[createExclusive]] through it. JVM-wide. */
+  def registerConditionalPut(scheme: String, put: ConditionalPut): Unit =
+    conditionalPuts.put(scheme.toLowerCase, put)
+
+  /** Buffer-then-conditional-PUT stream: whole-object semantics demand
+    * the content exist before the object can appear, so the write buffers
+    * and the CLOSE is the arbitration point. Losing throws
+    * FileAlreadyExistsException (an IOException) from close — create-time
+    * losers and close-time losers land in the same CAS-loss handling. */
+  private final class ConditionalPutStream(put: ConditionalPut, p: Path)
+      extends java.io.ByteArrayOutputStream {
+    private var done = false
+    override def close(): Unit = {
+      if (done) return
+      done = true
+      if (!put.putIfAbsent(p.toUri, toByteArray()))
+        throw new java.nio.file.FileAlreadyExistsException(p.toString)
+    }
+  }
 
   /** Conf key a deployment sets to assert its store arbitrates
     * create-exclusive even though the scheme is not on the known list
@@ -237,14 +303,18 @@ object StoreManifest {
       .orElse(Option(fs.getUri).map(_.getScheme))
       .getOrElse("file").toLowerCase
     if (!AtomicCreateSchemes.contains(scheme) &&
+        !conditionalPuts.contains(scheme) &&
         !fs.getConf.getBoolean(AssumeAtomicCreateKey, false))
       throw new UnsupportedOperationException(
         s"manifest commit on $store: scheme '$scheme' is not known to " +
           "arbitrate create(overwrite=false) atomically, so the CAS commit " +
           "protocol would race silently (two writers both 'win' and the " +
           "last PUT clobbers the first). Use an HDFS-semantics filesystem, " +
-          s"or set $AssumeAtomicCreateKey=true after making the store " +
-          "conditional-write safe.")
+          "register a conditional-write adapter for the scheme " +
+          "(StoreManifest.registerConditionalPut — an If-None-Match PUT " +
+          "implementation), or set " +
+          s"$AssumeAtomicCreateKey=true after making the store " +
+          "conditional-write safe some other way.")
   }
 
   /** Commit `delta` applied to the CURRENT entries, under compare-and-swap
@@ -332,7 +402,16 @@ object StoreManifest {
             }
             val text = (s"$Header${entries.size}" +: body)
               .mkString("", "\n", "\n")
-            try o.write(text.getBytes("UTF-8")) finally o.close()
+            try o.write(text.getBytes("UTF-8")) finally {
+              // a conditional-put adapter arbitrates at CLOSE (whole-object
+              // If-None-Match): losing surfaces here as
+              // FileAlreadyExistsException. Swallow it — the post-close
+              // verify below reads the winner's content and classifies
+              // this attempt as a lost CAS, the same path a create-time
+              // loser takes. Any other close failure propagates.
+              try o.close()
+              catch { case _: java.nio.file.FileAlreadyExistsException => () }
+            }
             postCloseCrashpoint(s"post-close:v$next")
             // POST-CLOSE VERIFY (round-15, closes two arbitration gaps the
             // round-14 advice found in the CAS landing):

@@ -281,8 +281,28 @@ object AnnStreaming {
       .option("basePath", storePath)
       .parquet(ids.toSeq.sorted
         .map(id => s"$storePath/ingest_batch=$id"): _*)
-      .select(postingStoreSchema.fieldNames.map(col): _*)
+      .select(postingStoreSchema.fieldNames.toIndexedSeq.map(col): _*)
   }
+
+  /** True when `e` is the signature of a concurrent vacuum winning a race
+    * against a read — a FileNotFoundException anywhere in the cause chain
+    * (matched structurally, not by Spark's version-fragile message text),
+    * RAW or wrapped: Spark 4 surfaces a mid-planning vanished directory as
+    * a bare FileNotFoundException from the DataFrameReader call itself
+    * (StoreMultiJvmSpec's cross-process reader caught exactly that —
+    * the single-process seam specs only ever produced the wrapped shapes).
+    * Bounded cause walk: deserialized executor exceptions can carry cyclic
+    * cause chains, so cap the depth; the message check is the fallback for
+    * a severed chain (message-only rethrow of a FileNotFoundException). */
+  private[streaming] def isVacuumRace(e: Throwable, depth: Int = 0): Boolean =
+    e match {
+      case null => false
+      case _ if depth > 16 => false
+      case _: java.io.FileNotFoundException => true
+      case t if t.getMessage != null &&
+          t.getMessage.contains("FileNotFoundException") => true
+      case t => isVacuumRace(t.getCause, depth + 1)
+    }
 
   def readStore(spark: SparkSession, storePath: String): DataFrame = {
     import graft.queries.VectorOps.postingStoreSchema
@@ -301,9 +321,15 @@ object AnnStreaming {
             if (manifest(spark, storePath).contains(ids)) return df
             attempts += 1
           } catch {
+            // a manifested dir vanished before the path check = the
+            // vacuum won outright; re-plan against the newer manifest.
+            // Both shapes: AnalysisException (path-missing at plan
+            // validation) and a raw/wrapped FileNotFoundException (the
+            // listing itself lost the race — see isVacuumRace)
             case e: org.apache.spark.sql.AnalysisException =>
-              // a manifested dir vanished before the path check = the
-              // vacuum won outright; re-plan against the newer manifest
+              attempts += 1
+              if (attempts > 10) throw e
+            case e: Exception if isVacuumRace(e) =>
               attempts += 1
               if (attempts > 10) throw e
           }
@@ -471,49 +497,7 @@ object AnnStreaming {
     // the two reads failed the gate spuriously. A concurrent fold can
     // still vacuum a snapshotted directory mid-count; one re-snapshot
     // retry absorbs that, a second miss is a real divergence.
-    var integrityAttempt = 0
-    var integrityDone = false
-    while (!integrityDone) {
-      graft.sources.StoreManifest.readEntries(mfs, mp) match {
-        case Some(entries)
-            if entries.nonEmpty && entries.values.forall(_.isDefined) =>
-          val want = entries.values.flatten.sum
-          // a snapshotted dir vacuumed under the count surfaces as an
-          // AnalysisException (planning) or a SparkException with a
-          // FileNotFoundException somewhere in its cause chain (execution —
-          // matched structurally, not by message text, which is
-          // Spark-version-fragile)
-          def isVacuumRace(e: Throwable): Boolean = e match {
-            case null => false
-            case _: java.io.FileNotFoundException => true
-            case t => isVacuumRace(t.getCause)
-          }
-          val got =
-            try scanBatches(spark, storePath, entries.keySet).count()
-            catch {
-              case _: org.apache.spark.sql.AnalysisException => -1L
-              case e: org.apache.spark.SparkException if isVacuumRace(e) => -1L
-            }
-          if (got == want) integrityDone = true
-          else {
-            integrityAttempt += 1
-            if (integrityAttempt > 1) throw new IllegalStateException(
-              if (got == -1L)
-                // retry exhaustion, NOT divergence: both count attempts died
-                // under a concurrent vacuum — don't claim the counts differ
-                s"store integrity check could not complete for $storePath: " +
-                  "the manifested-directory scan kept failing under " +
-                  "concurrent vacuums (2 attempts); quiesce maintenance on " +
-                  "the store and retry before streaming on top of it"
-              else
-                s"store integrity check failed for $storePath: the manifest " +
-                  s"records $want committed posting rows but the manifested " +
-                  s"directories hold $got — a committed batch's content has " +
-                  "diverged; inspect the store before streaming on top of it")
-          }
-        case _ => integrityDone = true // un-counted or legacy store: no gate
-      }
-    }
+    verifyStoreIntegrity(spark, storePath)
     val landed = stateFromStore(spark, storePath)
     if (landed.lastBatchId > state.lastBatchId ||
         landed.maxSeenId > state.maxSeenId) {
@@ -548,6 +532,66 @@ object AnnStreaming {
     * filter). The batch build's `_SUCCESS` marker is intentionally left
     * at the store root, where persistedArtifactPath-style completeness
     * checks look for it. */
+  /** Manifest-vs-data integrity check for a counted store: when every
+    * manifested batch carries a recorded count, the committed row total is
+    * known without trusting the data files — a mismatch means a manifested
+    * directory's content diverged from what its commit recorded (lost
+    * files, hand edits). Cheap: count(*) over parquet reads row-group
+    * metadata, no column data. ONE manifest snapshot per attempt (want and
+    * got derive from the same readEntries observation — re-reading the
+    * manifest inside the count made a commit landing between the two reads
+    * fail the gate spuriously). A concurrent fold can still vacuum a
+    * snapshotted directory mid-count; `maxRetries` re-snapshots absorb
+    * that (default 1: the stream-start posture — one retry, then quiesce
+    * maintenance and re-run; a reader probing DURING continuous
+    * maintenance passes more). Throws on divergence or retry exhaustion;
+    * returns the verified row count (−1 for an un-counted/legacy store,
+    * which has no gate). Called at every append-stream start; callable
+    * standalone as an operator's health probe — the cross-process race
+    * against live consolidations/vacuums is gated by StoreMultiJvmSpec. */
+  def verifyStoreIntegrity(spark: SparkSession, storePath: String,
+      maxRetries: Int = 1): Long = {
+    val (mfs, mp) = fsOf(spark, storePath)
+    var integrityAttempt = 0
+    while (true) {
+      graft.sources.StoreManifest.readEntries(mfs, mp) match {
+        case Some(entries)
+            if entries.nonEmpty && entries.values.forall(_.isDefined) =>
+          val want = entries.values.flatten.sum
+          // a snapshotted dir vacuumed under the count surfaces as an
+          // AnalysisException (planning), a raw FileNotFoundException (the
+          // parquet listing itself lost the race — the shape ONLY the
+          // cross-process hammer produced, StoreMultiJvmSpec), or a
+          // SparkException carrying one in its cause chain (execution) —
+          // see [[isVacuumRace]]
+          val got =
+            try scanBatches(spark, storePath, entries.keySet).count()
+            catch {
+              case _: org.apache.spark.sql.AnalysisException => -1L
+              case e: Exception if isVacuumRace(e) => -1L
+            }
+          if (got == want) return want
+          integrityAttempt += 1
+          if (integrityAttempt > maxRetries) throw new IllegalStateException(
+            if (got == -1L)
+              // retry exhaustion, NOT divergence: every count attempt died
+              // under a concurrent vacuum — don't claim the counts differ
+              s"store integrity check could not complete for $storePath: " +
+                "the manifested-directory scan kept failing under " +
+                s"concurrent vacuums (${maxRetries + 1} attempts); quiesce " +
+                "maintenance on the store and retry before streaming on " +
+                "top of it"
+            else
+              s"store integrity check failed for $storePath: the manifest " +
+                s"records $want committed posting rows but the manifested " +
+                s"directories hold $got — a committed batch's content has " +
+                "diverged; inspect the store before streaming on top of it")
+        case _ => return -1L // un-counted or legacy store: no gate
+      }
+    }
+    -1L // unreachable
+  }
+
   def migrateBatchBuiltStore(spark: SparkSession, storePath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1051,6 +1095,166 @@ object AnnStreaming {
     val stats = consolidateStore(spark, storePath, targetBytes,
       transform = relabel, refold = true)
     (refreshed, Some(SplitStats(hotIds, subRows.length.toLong, stats)))
+  }
+
+  /** Per-list occupancy audit AGAINST A QUANTIZER — the cold-side drift
+    * signal [[listSkewAudit]] structurally cannot produce: a centroid whose
+    * list holds ZERO rows yields no groupBy row at all, so the hot audit
+    * never sees the dead lists that waste probe budget forever (every
+    * query whose nprobe-nearest set includes a dead centroid burns a probe
+    * on an empty scan). Full outer join of the quantizer's centroid ids
+    * with the store's per-cluster counts:
+    * `(cluster, rows, mean_rows, ratio, is_cold, is_dead, is_orphan)` where
+    * `mean_rows` is total rows over total centroids (dead lists pull the
+    * mean down — by design, they are part of the probe budget),
+    * `is_cold = 0 < ratio < coldFactor`, `is_dead = rows == 0`, and
+    * `is_orphan` marks a store cluster id the quantizer no longer carries
+    * (a stale appender landed rows against a retired centroid — rescued by
+    * the next [[mergeColdLists]] pass). The input [[mergeColdLists]] acts
+    * on, and a driver-checked row (e3_cold_audit). */
+  def coldListAudit(spark: SparkSession, storePath: String, cents: DataFrame,
+      coldFactor: Double = 0.25): DataFrame = {
+    val counts = readStore(spark, storePath)
+      .groupBy("cluster").agg(count(lit(1)).as("rows"))
+    val known = cents.select(col("c_id").as("cluster"),
+      lit(true).as("known"))
+    // no broadcast hint: FULL OUTER can't broadcast-build (Spark warns and
+    // ignores it); both sides are nlist-sized so the shuffle is trivial.
+    // Checkpointed because it feeds BOTH the mean aggregate and the ratio
+    // join below — without a leaf the store-sized counts scan executes
+    // once per consumer (CatalogLintSpec's repeated-derived-subtree rule);
+    // the materialized table is one row per centroid/orphan, ~nothing.
+    val full = known.join(counts, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("rows"), lit(0L)).as("rows"),
+        coalesce(col("known"), lit(false)).as("known"))
+      .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    val mean = full.agg(
+      (sum(col("rows")) / count(lit(1))).as("mean_rows"))
+    full.crossJoin(broadcast(mean))
+      .withColumn("ratio", col("rows") / col("mean_rows"))
+      .withColumn("is_cold",
+        col("known") && col("rows") > 0L && col("ratio") < coldFactor)
+      .withColumn("is_dead", col("known") && col("rows") === 0L)
+      .withColumn("is_orphan", !col("known"))
+      .select("cluster", "rows", "mean_rows", "ratio",
+        "is_cold", "is_dead", "is_orphan")
+  }
+
+  final case class MergeStats(coldClusters: Seq[Long], orphans: Seq[Long],
+      retired: Seq[Long], draining: Seq[Long], fold: ConsolidationStats)
+
+  /** Merge the COLD inverted lists of a drifted append store into their
+    * nearest surviving centroids and RETIRE the centroids whose lists
+    * drain empty — the complement of [[splitHotLists]] (round-16 verdict
+    * item 2: distribution drift doesn't only pile rows into hot lists, it
+    * also drains others, and a dead centroid wastes one probe of every
+    * query whose nprobe-nearest set includes it, forever).
+    *
+    * Protocol, in crash-safe order — the INVERSE of split's, because this
+    * quantizer refresh is SUBTRACTIVE (split adds centroids, so its
+    * quantizer lands first; merge removes them, so its quantizer lands
+    * LAST — in both cases every intermediate state must serve every row):
+    *
+    *  1. AUDIT ([[coldListAudit]]): lists with `0 < ratio < coldFactor`
+    *     are cold, zero-row centroids are dead, store cluster ids the
+    *     quantizer no longer carries are orphans (stale-appender strays —
+    *     rescued here). The merge must leave at least one survivor;
+    *     nothing cold/dead/orphaned → no-op: the caller gets its quantizer
+    *     back untouched and the store is never locked.
+    *  2. RELABEL FIRST: one transforming fold through the consolidation
+    *     protocol (same lease, staging, count-verify, token, single CAS
+    *     manifest swap, recovery as [[consolidateStore]]) — cold and
+    *     orphan rows re-assign to the nearest SURVIVING centroid
+    *     ([[VectorOps.assignWithVectors]] against the survivor subset),
+    *     survivor rows pass through. The quantizer is UNTOUCHED during the
+    *     fold, so a crash anywhere up to and including the swap loses
+    *     maintenance progress, never reachability: un-relabeled rows still
+    *     probe through their retained cold centroid.
+    *  3. RETIRE LAST: re-audit the folded store; cold/dead centroids whose
+    *     lists are now EMPTY leave the quantizer (`persistRefreshed` fires
+    *     with the shrunken table). A cold centroid still holding rows —
+    *     the newest landing stays un-folded by the crash-replay contract,
+    *     and a concurrently-running append stream may land stragglers
+    *     against its frozen quantizer — stays in the quantizer (DRAINING)
+    *     and retires on a later pass once its stragglers fold. Retirement
+    *     therefore never strands a row that was labeled when the
+    *     post-fold audit ran.
+    *
+    * Concurrency caveat (the one asymmetry vs split): an append stream
+    * frozen on a quantizer OLDER than this refresh can land a row against
+    * a centroid retired AFTER the post-fold audit; that row is unreachable
+    * until the next merge pass rescues it as an orphan. Operationally:
+    * retire (i.e. run this) only when every live appender has adopted a
+    * quantizer at least as new as the last refresh, or accept
+    * next-pass-rescue semantics for the straggler window. Split never has
+    * this window because its refresh is additive.
+    *
+    * Returns the (possibly shrunken) quantizer `(c_id, cv, cn)` and the
+    * merge stats (None when nothing was cold, dead, or orphaned). */
+  def mergeColdLists(spark: SparkSession, storePath: String,
+      cents: DataFrame, persistRefreshed: DataFrame => Unit = _ => (),
+      coldFactor: Double = 0.25,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : (DataFrame, Option[MergeStats]) = {
+    val audit = coldListAudit(spark, storePath, cents, coldFactor)
+      .select("cluster", "is_cold", "is_dead", "is_orphan")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    val coldIds = audit.collect { case (c, true, _, _) => c }.toSeq.sorted
+    val deadIds = audit.collect { case (c, _, true, _) => c }.toSeq.sorted
+    val orphanIds = audit.collect { case (c, _, _, true) => c }.toSeq.sorted
+    if (coldIds.isEmpty && deadIds.isEmpty && orphanIds.isEmpty)
+      return (cents, None)
+    val retiring = (coldIds ++ deadIds).toSet
+    val survivors =
+      (if (retiring.isEmpty) cents
+       else cents.filter(!col("c_id").isin(retiring.toSeq: _*)))
+        .select(col("c_id"), col("cv"), col("cn"))
+        .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+    require(survivors.limit(1).count() > 0,
+      s"cold-list merge on $storePath would retire EVERY centroid " +
+        s"(cold=$coldIds dead=$deadIds) — the quantizer is globally " +
+        "drifted; retrain it instead of merging")
+    val moving = (coldIds ++ orphanIds).toSet
+    val fold =
+      if (moving.isEmpty)
+        // only dead lists: nothing to relabel, no fold — retire directly
+        ConsolidationStats(0, 0, 0, 0, -1, skipped = true)
+      else {
+        def relabel(src: DataFrame): DataFrame = {
+          val movers = src.filter(col("cluster").isin(moving.toSeq: _*))
+          val keep = src.filter(!col("cluster").isin(moving.toSeq: _*))
+          VectorOps.assignWithVectors(
+              movers.select("vec_id", "v", "nrm"), broadcast(survivors))
+            .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+            .unionByName(keep.select("vec_id", "v", "nrm", "cluster"))
+        }
+        consolidateStore(spark, storePath, targetBytes,
+          transform = relabel, refold = true)
+      }
+    // post-fold audit: retire only what is provably empty NOW; a cold list
+    // whose stragglers live in the un-folded newest landing keeps draining
+    val stillHeld =
+      if (retiring.isEmpty) Set.empty[Long]
+      else readStore(spark, storePath)
+        .filter(col("cluster").isin(retiring.toSeq: _*))
+        .groupBy("cluster").agg(count(lit(1)).as("rows"))
+        .collect().map(_.getLong(0)).toSet
+    val retired = retiring.diff(stillHeld).toSeq.sorted
+    val draining = retiring.intersect(stillHeld).toSeq.sorted
+    val refreshed =
+      if (retired.isEmpty) cents
+      else {
+        val r = cents.filter(!col("c_id").isin(retired: _*))
+          .select(col("c_id"), col("cv"), col("cn"))
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
+        // the quantizer lands LAST (subtractive — see scaladoc step 3)
+        persistRefreshed(r)
+        r
+      }
+    (refreshed, Some(MergeStats(coldIds, orphanIds, retired, draining, fold)))
   }
 
   /** True when `dir` holds a consolidation run's commit token whose id is

@@ -143,5 +143,14 @@ object CatalogLintSpec {
     // recompute (e4_jsd: one term-table agg; e4_char_entropy: the per-doc
     // char-count table, ≤ alphabet-size rows per doc).
     "e4_char_entropy" -> Set("repeated-derived-subtree"),
-    "e4_jsd" -> Set("repeated-derived-subtree"))
+    "e4_jsd" -> Set("repeated-derived-subtree"),
+    // e3_pq_distortion (round 17): the PQ sub-block Generate
+    // (explode(0..7) + slice) runs once per consumer — the distortion
+    // branch, the doc-encode join, and the 10-query broadcast side. Same
+    // adjudication as the e2 shingle explodes above: the exploded table is
+    // 8× its input and every re-run is a codegen'd map-side slice over the
+    // (exchange-reused) corpus scan, so materializing it would trade three
+    // cheap rescans for a corpus-sized write. The expensive parts beneath
+    // (encode aggregate, err shuffle) are deduplicated by exchange reuse.
+    "e3_pq_distortion" -> Set("repeated-derived-subtree"))
 }

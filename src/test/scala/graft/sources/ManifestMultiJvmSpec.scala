@@ -36,7 +36,7 @@ class ManifestMultiJvmSpec extends AnyFunSuite {
     }
   }
 
-  test("three real JVMs racing commits + folds + a SIGKILL lose no acknowledged delta") {
+  private def raceAndVerify(hammerMain: String): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_mjvm")
     val store = s"$dir/store"
     val java17 = java.nio.file.Paths.get(
@@ -45,7 +45,7 @@ class ManifestMultiJvmSpec extends AnyFunSuite {
     def ackPath(w: Int) = dir.resolve(s"acks_$w.log")
     def spawn(w: Int, n: Int, foldEvery: Int): Process =
       new ProcessBuilder(java17, "-Xmx256m", "-cp", cp,
-          "graft.sources.ManifestHammer",
+          hammerMain,
           store, w.toString, n.toString, foldEvery.toString,
           ackPath(w).toString)
         .redirectErrorStream(true)
@@ -102,5 +102,28 @@ class ManifestMultiJvmSpec extends AnyFunSuite {
       assert(id > acked3.keys.max, s"unacked id $id is not the next in-flight landing")
     }
     assert(finalEntries.contains(sentinel))
+
+    // expose the dir for leg-specific post-checks
+    lastRaceDir = Some(dir)
+  }
+
+  private var lastRaceDir: Option[java.nio.file.Path] = None
+
+  test("three real JVMs racing commits + folds + a SIGKILL lose no acknowledged delta") {
+    raceAndVerify("graft.sources.ManifestHammer")
+  }
+
+  test("the conditional-put object-store adapter passes the same three-JVM + SIGKILL gate") {
+    // same topology, but every version create in the hammer JVMs
+    // arbitrates through StoreManifest.ConditionalPut (If-None-Match-style
+    // whole-object publish via link(2)) instead of kernel O_EXCL —
+    // close-time arbitration, post-close-verify loss classification
+    raceAndVerify("graft.sources.ManifestHammerConditional")
+    val dir = lastRaceDir.get
+    for (w <- Seq(1, 2)) {
+      val out = java.nio.file.Files.readString(dir.resolve(s"out_$w.log"))
+      assert(out.contains("CONDITIONAL-PUT ADAPTER INSTALLED"),
+        s"writer $w did not run through the adapter")
+    }
   }
 }
