@@ -101,14 +101,25 @@ object PageRank {
     // Heap budget for the limit: a superseded round's broadcast is only
     // reclaimed after the ContextCleaner processes its weak reference,
     // which needs a driver GC first — so near the limit, plan for 2-3 rank
-    // broadcast GENERATIONS resident at once (~100 MB materialized each at
-    // 4 M vertices), not one. The default fits that envelope inside the
-    // 8 GB protocol heap; deployments tune it per executor memory via
+    // broadcast GENERATIONS resident at once, not one. Round-17 A/B pins
+    // at the 100× probe (1.5 M vertices, 8 GB protocol heap) measured what
+    // that does to a heap without headroom: the broadcast leg DEGRADES
+    // monotonically across same-JVM reps (131 → 133 → 175 s) as the
+    // resident generations churn the old gen — the recurring "g1 flags as
+    // sweep outlier, self-corrects on a drained re-rep" pattern — while
+    // shuffle-hash holds stable and wins the warm min (129 → 111 → 105 s).
+    // With 12 GB the broadcast leg is stable and fastest (98 s), so the
+    // limit is a HEAP budget, not a plan preference: the default keeps
+    // broadcast for vertex sets that fit comfortably (~2-3 resident
+    // generations ≤ a few hundred MB) and hands larger graphs to the
+    // shuffled hash join, whose per-task memory is independent of both
+    // vertex count and the hottest vertex's degree. Deployments with
+    // executor-memory headroom raise it via
     // spark.graft.pagerank.broadcastVertexLimit (0 forces shuffle-hash —
     // also the A/B seam the perf probes use).
     val nV = ids.count()
     val BroadcastVertexLimit = edges.sparkSession.conf
-      .get("spark.graft.pagerank.broadcastVertexLimit", "4000000").toLong
+      .get("spark.graft.pagerank.broadcastVertexLimit", "1000000").toLong
     def rankSide(r: DataFrame): DataFrame =
       if (nV <= BroadcastVertexLimit) broadcast(r) else r.hint("shuffle_hash")
     // dangling vertices (has_out = 0) are ITERATION-INVARIANT — a filter
