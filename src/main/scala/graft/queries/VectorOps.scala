@@ -115,6 +115,16 @@ object VectorOps {
       (s, dir) => lshAnnTopK(s, dir, nQueries = 50, k = 3),
       Some(lshAnnOracleSql)),
 
+    // the same ANN served from the PERSISTED bucket index ([[lshIndex]]):
+    // index construction (hashing the corpus) happens once per
+    // fixture+params+code; the row measures what a serving tier actually
+    // pays per query batch — posting-table scan + candidate join + exact
+    // re-rank. Byte-identical results (VectorSpec parity), same oracle
+    // (which replays the whole pipeline from scratch in SQL).
+    QueryDef("e3_lsh_store",
+      (s, dir) => lshStoreTopK(s, dir, nQueries = 50, k = 3),
+      Some(lshAnnOracleSql)),
+
     // embedding-cosine near-DEDUP (the decision step on top of pair
     // finding): every vector whose cosine to a LOWER-id vector exceeds the
     // threshold is marked a duplicate of its best (then lowest-id) such
@@ -494,6 +504,15 @@ object VectorOps {
       (s, dir) => pqAdcTopK(s, dir, refineIters = 1),
       Some(pqOracleSql)),
 
+    // PQ-ADC served from the PERSISTED codebook + code table
+    // ([[pqIndex]]): the corpus is re-encoded exactly never; the row
+    // measures the serving cost — query LUT broadcast, one narrow
+    // code-table scan, shortlist re-rank. Byte-identical results
+    // (VectorSpec parity), same from-scratch oracle.
+    QueryDef("e3_pq_store",
+      (s, dir) => pqStoreTopK(s, dir, 1),
+      Some(pqOracleSql)),
+
     // ANN QUALITY under the driver's hash gate (round-15 verdict item 8):
     // recall@k of each approximate method against ITS exact ground truth —
     // lsh/ivf vs brute-force cosine top-3 over the same 50 queries, pq vs
@@ -541,11 +560,15 @@ object VectorOps {
             .select(lit(method).as("method"), col("hits"), col("total"),
               round(col("hits").cast("double") / col("total"), 6)
                 .as("recall"))
+        // every method leg serves from its PERSISTED index (the store
+        // variants — byte-parity with the from-scratch plans is pinned by
+        // VectorSpec, so the recall numbers are unchanged): re-measuring
+        // quality each sweep should cost a serve, not an index rebuild.
         recallOf("ivf_ann",
-            ivfAnnTopK(s, dir, nQueries = 50, k = 3, trainIters = 2), bf3)
+            ivfStoreTopK(s, dir, nQueries = 50, k = 3, trainIters = 2), bf3)
           .unionByName(recallOf("lsh_ann",
-            lshAnnTopK(s, dir, nQueries = 50, k = 3), bf3))
-          .unionByName(recallOf("pq_adc", pqAdcTopK(s, dir, 1), bfL2))
+            lshStoreTopK(s, dir, nQueries = 50, k = 3), bf3))
+          .unionByName(recallOf("pq_adc", pqStoreTopK(s, dir, 1), bfL2))
           .orderBy("method")
       },
       Some(recallOracleSql)),
@@ -1005,6 +1028,55 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
+  /** The PQ code table as a PERSISTED artifact: every vector's 8
+    * sub-space codeword ids `(vid, j, code)` under the (already
+    * persisted) trained codebook — encoding the corpus is index
+    * construction, exactly like [[lshIndex]]'s bucket table and the IVF
+    * posting store. Key folds fixture and code tokens. */
+  private[graft] def pqIndex(s: SparkSession, dir: String, sub: DataFrame,
+      cb: DataFrame, refineIters: Int): DataFrame =
+    Tables.persistedArtifact(s, "graft_pq_index",
+      s"$dir|${Tables.fixtureToken(dir, "embeddings")}" +
+        s"|pq-enc|$refineIters|v1|${Tables.codeToken(getClass)}")(
+      pqEncode(pqDistances(sub, cb)))
+
+  /** PQ-ADC serving from the PERSISTED codebook + code table: the
+    * per-serve cost is the query sub-blocks' 8×16 distance LUT (10
+    * queries → 1,280 rows, broadcast), one narrow scan of the code table
+    * with the summed lookup, and the exact re-rank of the 20-candidate
+    * shortlist — the corpus is re-encoded exactly never. Identical
+    * results to [[pqAdcTopK]] (the LUT rows are the same
+    * [[pqDistances]] rows, filtered before the explode instead of
+    * after): VectorSpec pins byte-parity, and the row shares
+    * [[pqOracleSql]], which retrains + re-encodes from scratch in SQL. */
+  def pqStoreTopK(s: SparkSession, dir: String,
+                  refineIters: Int = 1): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+    def l2m(a: Column, b: Column): Column = l2Micros(a, b)
+    val cb = pqCodebook(s, dir, pqSub(all), refineIters)
+    val enc = pqIndex(s, dir, pqSub(all), cb, refineIters)
+    val qd = pqDistances(pqSub(all.filter(col("vec_id") < 10)), cb)
+      .select(col("vid").as("q_id"), col("c").as("code"), col("j"),
+        col("d"))
+    val adc = enc.join(broadcast(qd), Seq("j", "code"))
+      .filter(col("vid") =!= col("q_id"))
+      .groupBy("q_id", "vid")
+      .agg(sum("d").as("adc_micros"))
+    val short = OrderedOps.topKPerGroup(adc, Seq("q_id"),
+      Seq(col("adc_micros").asc, col("vid").asc), k = 20).drop("rank")
+    val qv = all.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nv = all.select(col("vec_id").as("vid"), col("v").as("nv"))
+    val ex = short.join(broadcast(qv.filter(col("q_id") < 10)), Seq("q_id"))
+      .join(nv, Seq("vid"))
+      .withColumn("l2_micros", l2m(col("qv"), col("nv")))
+    OrderedOps.topKPerGroup(ex, Seq("q_id"),
+        Seq(col("l2_micros").asc, col("vid").asc), k = 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vid").as("n_id"), col("adc_micros"), col("l2_micros"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-sub-space distortion of a PQ codebook over an arbitrary
     * sub-block table — the codebook-staleness signal (round-16 verdict
     * item 3): `(j, mean_distortion_micros)` where the distortion of a
@@ -1241,6 +1313,56 @@ object VectorOps {
     val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tb"))
     val candIds = broadcast(q).join(all.select(col("vec_id"), col("tb")), Seq("tb"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
+    val base = emb(s, dir)
+    val scored = candIds
+      .join(base.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(base, Seq("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+    OrderedOps.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The LSH bucket index as a PERSISTED artifact: the corpus-side
+    * `(vec_id, tb)` posting table for `tables × planesPerTable` random
+    * hyperplanes — the [[postingStorePath]] pattern applied to the LSH
+    * method. Hashing the corpus is index CONSTRUCTION, not serving: it
+    * runs once per (fixture, params, code) and every later serve reads
+    * the two-column posting table back (narrow scan, no plane math). The
+    * key folds fixtureToken (regenerated fixture → rebuild) and codeToken
+    * (edited hash family → rebuild). */
+  private[graft] def lshIndex(s: SparkSession, dir: String,
+      tables: Int = 8, planesPerTable: Int = 6): DataFrame =
+    Tables.persistedArtifact(s, "graft_lsh_index",
+      s"$dir|${Tables.fixtureToken(dir, "embeddings")}" +
+        s"|lsh-index|$tables|$planesPerTable|v1" +
+        s"|${Tables.codeToken(getClass)}")(
+      emb(s, dir).select(col("vec_id"),
+        explode(lshTableBuckets(col("v"), tables, planesPerTable,
+          dim = 64)).as("tb")))
+
+  /** Serve multi-table LSH ANN from the PERSISTED bucket index — the
+    * e3_ivf_store counterpart for the LSH method, and the reason an LSH
+    * index pays at 100 TB: the per-serve cost is a narrow posting-table
+    * scan + candidate join + exact re-rank of the candidates, with the
+    * corpus re-hashed exactly never. Query buckets ARE index rows
+    * (`vec_id < nQueries` — queries are corpus members, same as
+    * [[lshAnnTopK]]'s probe side), so results are IDENTICAL to the
+    * from-scratch plan: VectorSpec pins byte-parity, and the row shares
+    * [[lshAnnOracleSql]], which replays the whole pipeline from scratch
+    * in SQL. */
+  def lshStoreTopK(s: SparkSession, dir: String, nQueries: Int,
+                   k: Int): DataFrame = {
+    val idx = lshIndex(s, dir)
+    val q = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tb"))
+    val candIds = broadcast(q).join(idx, Seq("tb"))
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
     val base = emb(s, dir)

@@ -113,6 +113,31 @@ class VectorSpec extends SparkSpec {
       s"expected one directory per inverted list under $path")
   }
 
+  test("LSH store serving: byte-parity with the from-scratch plan") {
+    // the persisted bucket index must answer exactly as the plan that
+    // re-hashes the corpus — the index holds the same (vec_id, tb) rows
+    // the explode produces, and the probe/re-rank is the same code
+    val scratch = VectorOps.lshAnnTopK(spark, dir, nQueries = 50, k = 3)
+      .collect().toSeq
+    val store = VectorOps.lshStoreTopK(spark, dir, nQueries = 50, k = 3)
+      .collect().toSeq
+    assert(scratch.nonEmpty)
+    assert(store == scratch,
+      "index-served LSH top-k must equal the from-scratch plan's")
+  }
+
+  test("PQ store serving: byte-parity with the from-scratch plan") {
+    // persisted codebook + code table vs retrain-and-re-encode: the ADC
+    // sums, shortlist, and exact re-rank must be bit-identical
+    val scratch = VectorOps.pqAdcTopK(spark, dir, refineIters = 1)
+      .collect().toSeq
+    val store = VectorOps.pqStoreTopK(spark, dir, refineIters = 1)
+      .collect().toSeq
+    assert(scratch.nonEmpty)
+    assert(store == scratch,
+      "index-served PQ top-k must equal the from-scratch plan's")
+  }
+
   test("hybrid RRF id-alignment canary: embeddings.vec_id IS documents.doc_id") {
     // e3_hybrid_rrf fuses the dense list (over embeddings) with the sparse
     // list (over documents) BY ID — which is only meaningful because the
