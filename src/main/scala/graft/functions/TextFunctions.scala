@@ -26,6 +26,17 @@ object TextFunctions {
   def bpeIsh(c: Column): Column =
     regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
+  /** Per-code-point counts `array<struct<c,cnt>>` — the one-pass kernel
+    * behind e4_char_entropy ([[graft.expressions.CharCounts]]); exploding
+    * it yields exactly the rows of the per-char regex explode + (doc, c)
+    * count. */
+  def charCounts(c: Column): Column = graft.expressions.CharCounts(c)
+
+  /** Adjacent (a[i], a[i+1]) pairs of an array — the map-side bigram
+    * kernel ([[graft.expressions.AdjacentPairs]]); exploding it yields
+    * exactly the posexplode→lead(1)→non-null pairs. */
+  def adjacentPairs(c: Column): Column = graft.expressions.AdjacentPairs(c)
+
   /** Distinct character n-grams — the native one-pass kernel
     * ([[graft.expressions.ShingleSet]]); bit-identical to [[shinglesHof]]
     * but codegen'd, without per-shingle interpreted-lambda dispatch. */

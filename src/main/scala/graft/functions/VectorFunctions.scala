@@ -55,12 +55,16 @@ object VectorFunctions {
     }
   }
 
-  /** Sign-bit signature of `v` against `planes` → a bucket id in [0, 2^P). */
+  /** Sign-bit signature of `v` against `planes` → a bucket id in [0, 2^P).
+    * REFERENCE spelling, kept for cross-checking the compiled kernel
+    * below — as a plan expression at 8×6×64 it embeds 3,072 literal
+    * doubles into the whole-stage-codegen method, which blows the JIT's
+    * huge-method limit and drops the hashing into the bytecode
+    * interpreter (~100 s of e3_lsh_ann's 100× cost; see
+    * [[graft.expressions.LshTableBuckets]]). */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (w, p) =>
-      val proj = aggregate(
-        zip_with(v, typedLit(w.toSeq), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, typedLit(w.toSeq))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -69,9 +73,19 @@ object VectorFunctions {
   /** Multi-table LSH buckets: `tables` independent hash tables of
     * `planesPerTable` hyperplanes each. A pair collides if it shares a bucket
     * in ANY table — recall 1 − (1 − p^k)^L for per-plane agreement p. Returns
-    * one struct(table, bucket) per table, ready to explode. */
+    * one struct(table, bucket) per table, ready to explode. One compiled
+    * kernel holding the plane matrix as a reference object
+    * ([[graft.expressions.LshTableBuckets]]), bit-identical to
+    * [[lshTableBucketsRef]]. */
   def lshTableBuckets(v: Column, tables: Int, planesPerTable: Int,
-                      dim: Int): Column = {
+                      dim: Int): Column =
+    graft.expressions.LshTableBuckets(v, tables, planesPerTable, dim)
+
+  /** Reference expression spelling of [[lshTableBuckets]] (kept for
+    * cross-checking, the dotHof pattern; do not use in a query plan — see
+    * [[lshBucket]]'s huge-method note). */
+  def lshTableBucketsRef(v: Column, tables: Int, planesPerTable: Int,
+                         dim: Int): Column = {
     val planes = hyperplanes(tables * planesPerTable, dim)
     val cols = (0 until tables).map { t =>
       val slice = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)

@@ -598,18 +598,39 @@ object EventOps {
     // per-group formula touches doubles, identically in both engines.
     QueryDef("a24_gini",
       (s, dir) => {
-        val w = Window.partitionBy("event_type")
-          .orderBy(col("xm"), col("event_id"))
-        val n = col("n").cast(DoubleType)
-        ev(s, dir).filter(col("value").isNotNull)
-          .select(col("event_type"), col("event_id"),
+        // Σi·x folded over distinct values, NOT ranked rows: the rank-
+        // weighted sum is invariant to tie order (equal x commute), so for
+        // a distinct value with count c and m strictly-smaller rows the
+        // ranks are m+1..m+c and Σi·x contributes x·(c·m + c(c+1)/2)
+        // exactly. The previous row_number spelling sorted the FULL fact
+        // under Window.partitionBy(event_type) — ≤5 non-empty partitions,
+        // so the data-sized sort ran ≤5-wide on a 32-core box (100×
+        // isolated pin: 19.3 s warm) and a hot event_type is one straggler
+        // task at any cluster width. Here the fact pass is a map-side
+        // partial count into a (event_type, xm) shuffle — fully parallel —
+        // and the only window runs over the DISTINCT-VALUE table (the
+        // value domain is quantization-bounded: ~9.8k distinct micros per
+        // type at every SF vs 2M rows/type at 100×). Integer/decimal
+        // carriers match the old spelling term for term, so the output is
+        // bit-identical (oracle-verified).
+        val vc = ev(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
             round(col("value") * 1e6, 0).cast("long").as("xm"))
-          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("event_type", "xm")
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("xm")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val n = col("n").cast(DoubleType)
+        val cD = col("c").cast("decimal(38,0)")
+        vc.withColumn("m", coalesce(sum("c").over(w), lit(0L)))
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
-            sum("xm").as("sx"),
-            // widen BEFORE the product — i*xm in long wraps at ~2e19
-            sum(col("i").cast("decimal(38,0)") * col("xm")).as("six"))
+          .agg(sum("c").as("n"),
+            sum(col("xm") * col("c")).as("sx"),
+            // widen BEFORE the products — rank·xm in long wraps at ~2e19
+            sum(col("xm").cast("decimal(38,0)") *
+              (cD * col("m").cast("decimal(38,0)") +
+                expr("(c * (c + 1)) div 2").cast("decimal(38,0)")))
+              .as("six"))
           .select(col("event_type"), col("n"),
             round((lit(2.0) * col("six").cast(DoubleType)
               - (n + 1.0) * col("sx").cast(DoubleType))

@@ -562,6 +562,13 @@ object TextOps {
     // of distinct shared 8-grams with no extra dedup pass.
     QueryDef("e2_decontaminate",
       (s, dir) => {
+        // (r17 attempt, measured and REVERTED: replacing the corpus-side
+        // explode + broadcast join with a map-side SortedIntersectSize
+        // against the collected benchmark array pinned 15.5 → 18.9 s warm
+        // at 100× — the linear merge pays O(|bench| ≈ 7k) per DOCUMENT
+        // where the hash join pays O(1) per shingle probe, so the kernel
+        // only wins when the two sets are comparably sized, which is the
+        // near-dup verify case it was built for, not this one.)
         val sh = docs(s, dir)
           .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
         val bench = broadcast(
@@ -607,17 +614,31 @@ object TextOps {
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val bits = BloomFilter.build(bench, col("sh"),
           BloomFilter.sizeBits(bench.count()), k)
-        val corpus = docs(s, dir).filter(col("doc_id") >= 10)
+        // ONE shingle pass over the corpus (r16 verdict's efficiency note:
+        // the bloom-probe and exact-verify branches each ran the ShingleSet
+        // kernel over the full corpus). The exploded shingle row carries
+        // BOTH verdicts — the bloom probe per shingle (anyMightContain over
+        // a 1-element array, so the two xxhash64 draws are computed once,
+        // not once per of the k probes) and the exact benchmark hit via the
+        // same broadcast join as before — and one partial-aggregated OR per
+        // doc replaces the probe pass + explode pass + distinct + left
+        // join. explode_outer keeps shingle-less docs in n_docs with both
+        // flags false, exactly as the old left join did; per-doc booleans
+        // are unchanged (exists == OR over the same distinct-shingle set),
+        // so the aggregate row is bit-identical (oracle-verified).
+        val perDoc = docs(s, dir).filter(col("doc_id") >= 10)
           .select(col("doc_id"),
-            BloomFilter.anyMightContain(shingles(col("text"), 8), bits, k)
-              .as("bloom_hit"))
-        val exact = docs(s, dir).filter(col("doc_id") >= 10)
-          .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
-          .join(broadcast(bench), "sh").select("doc_id").distinct()
-          .withColumn("exact_hit", lit(true))
-        corpus.join(exact, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("bloom_hit"),
-            coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+            explode_outer(shingles(col("text"), 8)).as("sh"))
+          .join(broadcast(bench.withColumn("in_bench", lit(true))),
+            Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(
+            coalesce(max(when(col("sh").isNotNull,
+              BloomFilter.anyMightContain(array(col("sh")), bits, k))
+              .otherwise(lit(false))), lit(false)).as("bloom_hit"),
+            coalesce(max(coalesce(col("in_bench"), lit(false))), lit(false))
+              .as("exact_hit"))
+        perDoc
           .agg(count(lit(1)).as("n_docs"),
             sum(col("exact_hit").cast("long")).as("n_contaminated"),
             sum((col("exact_hit") && !col("bloom_hit")).cast("long"))
@@ -1139,6 +1160,12 @@ object TextOps {
             explode(sequence(lit(0), col("n") - k)).as("p"))
           .select(col("doc_id"), col("p"),
             concat_ws(" ", slice(col("w"), col("p") + 1, lit(k))).as("g"))
+        // (r17 attempt, measured and REVERTED: folding the dup-count and
+        // occurrence positions into one collect_list aggregate and
+        // rebuilding map-side with a compiled stitch kernel pinned 22.4 →
+        // 28.4 s warm at 100× — the object aggregate's per-gram position
+        // lists cost more than the second gram projection they saved, and
+        // the rebuild join still had to move the split word arrays.)
         val dup = grams.groupBy("g").agg(count(lit(1)).as("f"))
           .filter(col("f") >= 2).select("g")
         val covered = grams.join(dup, "g")
@@ -1520,17 +1547,22 @@ object TextOps {
     // the e4_unigram_logprob contract).
     QueryDef("e4_bigram_logprob",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val tok = docs(s, dir).select(col("doc_id"),
-          posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        // (doc, w1, w2) grain with a per-doc count, NOT bigram grain: the
-        // per-doc bigram-frequency aggregate rides the lead-window pass, so
-        // c2/c1 and the scoring join all read the smaller distinct-bigram
-        // table; the integer-micros NLL term distributes exactly over n_b
-        // (the e4_unigram_logprob argument). The window still runs once.
-        val bgc = tok.withColumn("w2", lead("w1", 1).over(w))
-          .filter(col("w2").isNotNull)
+        // (doc, w1, w2) grain with a per-doc count, NOT bigram grain: c2/c1
+        // and the scoring join all read the smaller distinct-bigram table;
+        // the integer-micros NLL term distributes exactly over n_b (the
+        // e4_unigram_logprob argument). Bigrams pair MAP-SIDE (AdjacentPairs
+        // — each token's successor is the next array slot of its own row):
+        // the previous posexplode→lead-window spelling shuffled and sorted
+        // the corpus at token grain purely to re-discover that adjacency,
+        // so its first exchange carried every token; now the first exchange
+        // carries the partial-aggregated (doc, w1, w2) counts. (A lead
+        // window was itself the round-13 fix over a zip_with HOF chain —
+        // HOF lambdas don't codegen; the compiled kernel keeps that win
+        // without the token-grain exchange.)
+        val bgc = docs(s, dir)
+          .select(col("doc_id"),
+            explode(adjacentPairs(tokens(col("text")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
           .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_b"))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val c2 = bgc.groupBy("w1", "w2").agg(sum("n_b").as("c2"))
@@ -1578,13 +1610,23 @@ object TextOps {
     // aggregate map-side (≤ alphabet-size rows per doc on the wire).
     QueryDef("e4_char_entropy",
       (s, dir) => {
-        // [\s\S] rather than '.': Java regex '.' excludes \r and Unicode
-        // line separators while DuckDB's RE2 '.' excludes only \n — the
-        // explicit class matches EVERY character identically in both
-        val ch = docs(s, dir).select(col("doc_id"),
-          explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0)))
-            .as("c"))
-        val cf = ch.groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+        // (the oracle's [\s\S] rather than '.': Java regex '.' excludes \r
+        // and Unicode line separators while DuckDB's RE2 '.' excludes only
+        // \n — the explicit class matches EVERY character identically)
+        // One compiled histogram pass (CharCounts) instead of a per-char
+        // regex match + char-grain explode + (doc, c) hash re-group: the
+        // exploded rows only ever fed that count, and the count is exactly
+        // the kernel's per-code-point tally, so cf is row-identical. The
+        // checkpoint matters as much as the kernel: cf feeds BOTH the
+        // per-doc length aggregate and the scoring join, and unrooted the
+        // whole corpus subtree executed once per consumer (the r17 plan
+        // audit found two full Scan→Generate→HashAgg chains under this
+        // row; cf is alphabet×docs-sized, the cheapest table in the query,
+        // so materializing it is the e4_unigram dt-checkpoint pattern).
+        val cf = docs(s, dir)
+          .select(col("doc_id"), explode(charCounts(col("text"))).as("e"))
+          .select(col("doc_id"), col("e.c").as("c"), col("e.cnt").as("cnt"))
+          .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val lens = cf.groupBy("doc_id").agg(sum("cnt").as("len"))
         val p = col("cnt").cast(DoubleType) / col("len")
         cf.join(lens, "doc_id")

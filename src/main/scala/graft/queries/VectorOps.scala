@@ -1210,10 +1210,13 @@ object VectorOps {
     val candIds = probeTop.join(assign, Seq("cluster"))
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
+    // candidate vectors first, query vectors via filtered broadcast — the
+    // lshAnnTopK re-rank fix (see there); identical result set
     val scored = candIds
-      .join(base.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn")), Seq("q_id"))
       .join(base, Seq("vec_id"))
+      .join(broadcast(base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))), Seq("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
     OrderedOps.topKPerGroup(scored, Seq("q_id"),
         Seq(col("cos").desc, col("vec_id")), k)
@@ -1316,10 +1319,20 @@ object VectorOps {
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
     val base = emb(s, dir)
+    // re-rank: candidate vectors first (the one exchange that must carry
+    // the corpus), THEN the query vectors via a broadcast of the
+    // nQueries-filtered slice — the r17 plan audit found this tail joining
+    // the UNFILTERED corpus on q_id (a q_id can only be < nQueries, but
+    // the planner can't know that), which sort-merge-shuffled every
+    // vector's 64-double array a second time; the ivf-store/pq/bruteforce
+    // tails already broadcast their filtered query side. Inner joins plus
+    // a filter that only drops provably-unmatched rows: identical result
+    // set (oracle-verified).
     val scored = candIds
-      .join(base.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn")), Seq("q_id"))
       .join(base, Seq("vec_id"))
+      .join(broadcast(base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))), Seq("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
     OrderedOps.topKPerGroup(scored, Seq("q_id"),
         Seq(col("cos").desc, col("vec_id")), k)
@@ -1366,10 +1379,13 @@ object VectorOps {
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
     val base = emb(s, dir)
+    // candidate vectors first, query vectors via filtered broadcast — the
+    // lshAnnTopK re-rank fix (see there); identical result set
     val scored = candIds
-      .join(base.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn")), Seq("q_id"))
       .join(base, Seq("vec_id"))
+      .join(broadcast(base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))), Seq("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
     OrderedOps.topKPerGroup(scored, Seq("q_id"),
         Seq(col("cos").desc, col("vec_id")), k)
