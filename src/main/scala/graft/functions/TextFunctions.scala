@@ -37,6 +37,13 @@ object TextFunctions {
     * exactly the posexplode→lead(1)→non-null pairs. */
   def adjacentPairs(c: Column): Column = graft.expressions.AdjacentPairs(c)
 
+  /** Per-doc token counts `array<struct<t,cnt>>` — the (doc, term)-grain
+    * kernel ([[graft.expressions.ArrayElementCounts]] over [[tokens]]);
+    * exploding it yields exactly the rows of
+    * `explode(tokens(text))` + `groupBy(doc_id, t).count()`. */
+  def tokenCounts(c: Column): Column =
+    graft.expressions.ArrayElementCounts(tokens(c))
+
   /** Distinct character n-grams — the native one-pass kernel
     * ([[graft.expressions.ShingleSet]]); bit-identical to [[shinglesHof]]
     * but codegen'd, without per-shingle interpreted-lambda dispatch. */

@@ -89,11 +89,21 @@ object BloomFilter {
     })
   }
 
-  /** Membership probe: true iff all k probe bits are set. Codegen'd
-    * built-ins only (HOF + element_at + shifts) — stays inside
-    * whole-stage codegen, no UDF. */
+  /** Membership probe: true iff all k probe bits are set. REFERENCE
+    * spelling (HOF + element_at over the bits literal), kept for
+    * cross-checking [[probe]] — as a hot-path expression it pays
+    * interpreted HOF dispatch per probe and re-renders the m/64-long bit
+    * array literal into the plan (round-17 audit: the
+    * e2_decontaminate_bloom plan was 163 KB and the probe pass dominated
+    * the row); use [[probe]] in query plans. */
   def mightContain(c: Column, bits: Array[Long], k: Int): Column =
     probesOk(h1(c), h2(c), bits, k)
+
+  /** Compiled membership probe ([[graft.expressions.BloomProbe]]) —
+    * bit-identical to [[mightContain]] (BloomProbeSpec pins the hash fold
+    * and every probe against the expression spelling). */
+  def probe(c: Column, bits: Array[Long], k: Int): Column =
+    graft.expressions.BloomProbe(c, bits, k, Seed2)
 
   /** Does ANY element of the array column hit the filter? Hashes each
     * element ONCE into a (h1, h2) struct before probing — HOF lambdas

@@ -617,9 +617,10 @@ object TextOps {
         // ONE shingle pass over the corpus (r16 verdict's efficiency note:
         // the bloom-probe and exact-verify branches each ran the ShingleSet
         // kernel over the full corpus). The exploded shingle row carries
-        // BOTH verdicts — the bloom probe per shingle (anyMightContain over
-        // a 1-element array, so the two xxhash64 draws are computed once,
-        // not once per of the k probes) and the exact benchmark hit via the
+        // BOTH verdicts — the compiled BloomFilter.probe per shingle (the
+        // HOF spelling paid interpreted dispatch per probe and inlined the
+        // 4k-long bit-array literal into the plan; BloomProbe carries the
+        // bits as a reference object) and the exact benchmark hit via the
         // same broadcast join as before — and one partial-aggregated OR per
         // doc replaces the probe pass + explode pass + distinct + left
         // join. explode_outer keeps shingle-less docs in n_docs with both
@@ -634,7 +635,7 @@ object TextOps {
           .groupBy("doc_id")
           .agg(
             coalesce(max(when(col("sh").isNotNull,
-              BloomFilter.anyMightContain(array(col("sh")), bits, k))
+              BloomFilter.probe(col("sh"), bits, k))
               .otherwise(lit(false))), lit(false)).as("bloom_hit"),
             coalesce(max(coalesce(col("in_bench"), lit(false))), lit(false))
               .as("exact_hit"))
@@ -667,13 +668,14 @@ object TextOps {
     // full scored table. Smoothed idf: ln((N+1)/(df+1)) + 1.
     QueryDef("e4_tfidf",
       (s, dir) => {
-        val toks = docs(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         // tf feeds BOTH the document-frequency aggregate and the scoring
-        // join: materialize it once or the tokenize+explode+shuffle chain
-        // runs twice over the corpus (~1 row per (doc, term), far fewer
-        // than token occurrences)
-        val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        // join: materialize it once or the tokenize chain runs twice over
+        // the corpus. Counts come off the compiled per-row kernel
+        // (tokenCounts — r17): only (doc, term)-grain rows ever exist,
+        // instead of one row per token occurrence re-grouped by hash agg
+        val tf = docs(s, dir)
+          .select(col("doc_id"), explode(tokenCounts(col("text"))).as("e"))
+          .select(col("doc_id"), col("e.t").as("t"), col("e.cnt").as("tf"))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
         val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
@@ -1003,26 +1005,28 @@ object TextOps {
         SELECT doc_id, round(quality, 6) AS quality, round(p75, 6) AS p75
         FROM q CROSS JOIN thr WHERE quality >= p75 ORDER BY doc_id""")),
 
-    // One posexplode feeds BOTH term tables; bigrams come from lead() over
-    // the (doc_id, pos) window — partitions bounded by a single doc's token
-    // count, so the window is safe at any corpus size. The first spelling
-    // (a transform/element_at lambda building the bigram array per row)
-    // measured 10.2 s at sf0.1 vs 1.6 s for this one: HOF lambdas evaluate
-    // interpreted AND CollapseProject re-inlines the tokenizer into every
-    // element_at reference, making it O(tokens²) splits per doc.
+    // Bigrams pair map-side (AdjacentPairs — the e4_bigram_logprob kernel;
+    // each token's successor is the next array slot of its own row), so
+    // neither term table needs the token-grain Exchange+Sort+Window the
+    // lead() spelling paid. Historical note kept for the record: the
+    // round-13 HOF attempt (a transform/element_at lambda building the
+    // bigram array per row) measured 10.2 s at sf0.1 vs 1.6 s for the
+    // window because HOF lambdas evaluate interpreted AND CollapseProject
+    // re-inlines the tokenizer into every element_at reference — the
+    // compiled kernel has neither failure mode (tokens() evaluates once as
+    // the generator's input).
     QueryDef("e4_repetition",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val tok = docs(s, dir).select(col("doc_id"),
-          posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-        val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val tf = docs(s, dir)
+          .select(col("doc_id"), explode(tokenCounts(col("text"))).as("e"))
+          .select(col("doc_id"), col("e.t").as("t"), col("e.cnt").as("tf"))
         val ts = tf.groupBy("doc_id").agg(
           sum("tf").as("n_tokens"), count(lit(1)).as("n_unique"),
           max("tf").as("top_tf"))
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val bg = tok.withColumn("nxt", lead("t", 1).over(w))
-          .filter(col("nxt").isNotNull)
-          .select(col("doc_id"), concat(col("t"), lit(" "), col("nxt")).as("b"))
+        val bg = docs(s, dir).select(col("doc_id"),
+            explode(adjacentPairs(tokens(col("text")))).as("p"))
+          .select(col("doc_id"),
+            concat(col("p.w1"), lit(" "), col("p.w2")).as("b"))
         val bf = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("bf"))
         val bs = bf.groupBy("doc_id").agg(
           sum("bf").as("n_bigrams"), max("bf").as("top_bf"))
@@ -1498,9 +1502,13 @@ object TextOps {
         // the engine's largest token-grain checkpoint; §14.11 measured its
         // serialized-read cost and shrank the snapshot instead of
         // un-serializing it.)
+        // (doc, term) counts come off the compiled per-row kernel
+        // (tokenCounts — r17): the explode+groupBy spelling turned every
+        // token OCCURRENCE into a row for the hash aggregate to re-group,
+        // when the key is doc-local; now only term-grain rows ever exist
         val dt = docs(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-          .groupBy("doc_id", "t").agg(count(lit(1)).as("n_dt"))
+          .select(col("doc_id"), explode(tokenCounts(col("text"))).as("e"))
+          .select(col("doc_id"), col("e.t").as("t"), col("e.cnt").as("n_dt"))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)
         val freq = dt.groupBy("t").agg(sum("n_dt").as("cnt"))
           .localCheckpoint(true, graft.operators.Ckpt.SerLevel)

@@ -388,16 +388,25 @@ object VectorOps {
     // round(v / max_abs × 127). Deterministic double math → full oracle.
     QueryDef("e3_quantize",
       (s, dir) => {
+        // sort BEFORE the explode: the output order (vec_id, then pos) is
+        // exactly "range-sort the vectors, then emit each row's dims in
+        // index order" — posexplode preserves per-row element order and
+        // range partitions are globally ordered, so sorting the 500k-row
+        // vector table instead of the 64×-exploded dim table produces the
+        // identical row sequence while the range exchange + sort (and the
+        // range-boundary SAMPLING pass, which re-executes the upstream)
+        // carry 1/64th the rows (100× pin: 37.3 → see OPTIMIZATION_r17).
         val all = emb(s, dir).withColumn("max_abs",
           array_max(transform(col("v"), x => abs(x))))
-        all.select(col("vec_id"), col("max_abs"),
+        all.select(col("vec_id"), col("max_abs"), col("v"))
+          .orderBy("vec_id")
+          .select(col("vec_id"), col("max_abs"),
             posexplode(col("v")).as(Seq("pos", "x")))
           .select(col("vec_id"), col("pos").cast("long").as("pos"),
             when(col("max_abs") === 0, lit(0L))
               .otherwise(round(col("x") / col("max_abs") * 127, 0)
                 .cast("long")).as("q"),
             round(col("max_abs"), 6).as("scale"))
-          .orderBy("vec_id", "pos")
       },
       Some(s"""$baseCte,
         ma AS (SELECT vec_id, max(abs(v)) AS max_abs FROM x GROUP BY vec_id)
