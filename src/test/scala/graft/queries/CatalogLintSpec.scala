@@ -140,9 +140,11 @@ object CatalogLintSpec {
     // e4 vocabulary totals consumed twice: the re-executed aggregate is
     // the final (above-exchange) step over vocab/alphabet-bounded groups —
     // corpus-level tiny tables where a checkpoint would cost more than the
-    // recompute (e4_jsd: one term-table agg; e4_char_entropy: the per-doc
-    // char-count table, ≤ alphabet-size rows per doc).
-    "e4_char_entropy" -> Set("repeated-derived-subtree"),
+    // recompute (e4_jsd: one term-table agg). e4_char_entropy left this
+    // list in round 17: its duplicated subtree was the full corpus regex
+    // explode, not a tiny aggregate — the CharCounts kernel + cf
+    // checkpoint removed it (100× pin 30.9 → 8.8 s), so the entry would
+    // now be dead.
     "e4_jsd" -> Set("repeated-derived-subtree"),
     // e3_pq_distortion (round 17): the PQ sub-block Generate
     // (explode(0..7) + slice) runs once per consumer — the distortion
