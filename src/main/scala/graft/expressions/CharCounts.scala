@@ -46,15 +46,45 @@ case class CharCounts(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "char_counts"
 
-  /** The kernel, shared by interpreted eval and generated code. */
+  /** The kernel, shared by interpreted eval and generated code. ASCII
+    * strings (the overwhelming case for a text corpus) count through a
+    * flat 128-slot array — no per-character hashing or boxing; the first
+    * multi-byte character falls back to the general code-point map,
+    * restarted from offset 0 so first-occurrence order is computed over
+    * the whole string. Both paths emit first-occurrence order —
+    * deterministic output (order is irrelevant to every consumer, which
+    * re-aggregates, but a deterministic expression must not depend on
+    * hash iteration order). */
   def countsOf(s: UTF8String): GenericArrayData = {
     val bytes = s.getBytes
     val total = bytes.length
-    // LinkedHashMap keeps first-occurrence order — deterministic output
-    // (order is irrelevant to every consumer, which re-aggregates, but a
-    // deterministic expression must not depend on hash iteration order)
-    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    val cnt = new Array[Long](128)
+    val order = new Array[Byte](128)
+    var nSeen = 0
     var i = 0
+    var ascii = true
+    while (ascii && i < total) {
+      val b = bytes(i)
+      if (b < 0) ascii = false
+      else {
+        if (cnt(b) == 0L) { order(nSeen) = b; nSeen += 1 }
+        cnt(b) += 1L
+        i += 1
+      }
+    }
+    if (ascii) {
+      val out = new Array[Any](nSeen)
+      var j = 0
+      while (j < nSeen) {
+        val b = order(j)
+        out(j) = new GenericInternalRow(Array[Any](
+          UTF8String.fromBytes(Array(b), 0, 1), cnt(b))): InternalRow
+        j += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    i = 0
     while (i < total) {
       val len = UTF8String.numBytesForFirstByte(bytes(i))
       val cp = UTF8String.fromBytes(bytes, i, len)
